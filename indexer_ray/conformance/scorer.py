@@ -1,0 +1,98 @@
+"""Brute-force (spec) scorers.  These are the oracles the distributed engine
+must match rank-identically (SURVEY.md §5.3).
+
+Conformance scorer = the reference formula exactly (tree.rs:419-451):
+    N   = number of documents with >= 1 token (empty docs are never added;
+          tree.rs:333-335)
+    df  = number of documents containing the term (global)
+    idf = |ln(N / df)|              (tree.rs:426 — note the abs())
+    score(d) = sum over query TOKENS (in order, duplicates counted twice —
+               the reference iterates the raw token list, tree.rs:418) of
+               tf(t, d) * idf(t)
+    documents with score == 0.0 dropped (tree.rs:457); sort by score desc.
+    Tie-break (score desc, doc_id asc) replaces the reference's
+    nondeterministic HashMap order (SURVEY.md quirk Q7).
+
+Engine scorer = BM25 (Lucene-style positive idf), same iteration rules.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterable, Sequence
+
+K1 = 1.2
+B = 0.75
+
+
+def tfidf_idf(n_docs: int, df: int) -> float:
+    return abs(math.log(n_docs / df))
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _corpus_stats(corpus: Iterable[tuple[int, Sequence[str]]]):
+    """corpus: iterable of (doc_id, tokens).  Returns (N, df, tf_by_term,
+    doc_len) with empty docs excluded."""
+    df: Counter = Counter()
+    tf_by_term: dict[str, dict[int, int]] = {}
+    doc_len: dict[int, int] = {}
+    for doc_id, tokens in corpus:
+        if not tokens:
+            continue  # reference skips empty docs (tree.rs:333-335)
+        doc_len[doc_id] = len(tokens)
+        counts = Counter(tokens)
+        for term, tf in counts.items():
+            df[term] += 1
+            tf_by_term.setdefault(term, {})[doc_id] = tf
+    return len(doc_len), df, tf_by_term, doc_len
+
+
+def brute_force_tfidf_topk(
+    corpus: Iterable[tuple[int, Sequence[str]]],
+    q_tokens: Sequence[str],
+    k: int | None = 10,
+) -> list[tuple[int, float]]:
+    """Exhaustive reference-formula scoring.  Accumulation order is fixed:
+    query-token order, then doc_id order (pins float associativity)."""
+    n_docs, df, tf_by_term, _ = _corpus_stats(corpus)
+    scores: dict[int, float] = {}
+    for tok in q_tokens:
+        d = df.get(tok, 0)
+        if d == 0:
+            continue
+        idf = tfidf_idf(n_docs, d)
+        for doc_id in sorted(tf_by_term[tok]):
+            scores[doc_id] = scores.get(doc_id, 0.0) + tf_by_term[tok][doc_id] * idf
+    results = [(doc, s) for doc, s in scores.items() if s != 0.0]
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return results if k is None else results[:k]
+
+
+def brute_force_bm25_topk(
+    corpus: Iterable[tuple[int, Sequence[str]]],
+    q_tokens: Sequence[str],
+    k: int | None = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    n_docs, df, tf_by_term, doc_len = _corpus_stats(corpus)
+    if n_docs == 0:
+        return []
+    avgdl = sum(doc_len.values()) / n_docs
+    scores: dict[int, float] = {}
+    for tok in q_tokens:
+        d = df.get(tok, 0)
+        if d == 0:
+            continue
+        idf = bm25_idf(n_docs, d)
+        for doc_id in sorted(tf_by_term[tok]):
+            tf = tf_by_term[tok][doc_id]
+            norm = tf + k1 * (1.0 - b + b * doc_len[doc_id] / avgdl)
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (k1 + 1.0) / norm
+    results = [(doc, s) for doc, s in scores.items() if s != 0.0]
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return results if k is None else results[:k]

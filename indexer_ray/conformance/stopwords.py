@@ -1,0 +1,33 @@
+"""Frozen English stop-word list.
+
+The reference filters tokens against `stop_words::get(LANGUAGE::English)`
+(reference lib.rs:95,310; Cargo.toml:25, stop-words crate v0.8.1).  That
+crate's exact list cannot be fetched in this offline sandbox, so the spec
+freezes the widely-published NLTK English stop-word list (public domain, 179
+entries) as OUR authoritative list; it is treated as part of this engine's
+specification and used identically on the document and query sides, so all
+internal conformance guarantees (rank identity engine vs spec) are exact.
+
+Quirk replicated from the reference (lexer.rs:107-128): the filter runs AFTER
+stemming, comparing stemmed tokens to the UNSTEMMED stop list — e.g.
+"having" stems to "have" which IS in the list (dropped), while "has" stems to
+"ha" which is NOT (kept).
+"""
+
+STOP_WORDS = frozenset(
+    """
+i me my myself we our ours ourselves you you're you've you'll you'd your
+yours yourself yourselves he him his himself she she's her hers herself it
+it's its itself they them their theirs themselves what which who whom this
+that that'll these those am is are was were be been being have has had having
+do does did doing a an the and but if or because as until while of at by for
+with about against between into through during before after above below to
+from up down in out on off over under again further then once here there when
+where why how all any both each few more most other some such no nor not only
+own same so than too very s t can will just don don't should should've now d
+ll m o re ve y ain aren aren't couldn couldn't didn didn't doesn doesn't
+hadn hadn't hasn hasn't haven haven't isn isn't ma mightn mightn't mustn
+mustn't needn needn't shan shan't shouldn shouldn't wasn wasn't weren weren't
+won won't wouldn wouldn't
+""".split()
+)
