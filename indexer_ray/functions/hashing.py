@@ -1,0 +1,55 @@
+"""Stable 64-bit identities and partition routing.
+
+doc_id must be deterministic across runs, schedulers and cluster sizes
+(SURVEY.md §1.2; the reference's insertion-order AtomicU64 ids,
+tree.rs:63-82, are nondeterministic under parallelism — quirk Q8, replaced).
+We derive doc_id = blake2b-64(url): collision probability for 10^12 docs over
+64 bits is ~2.7% birthday mass, so the build VERIFIES uniqueness (distinct
+count == row count) and the digest can be widened per-deployment; at test
+scale collisions are impossible in practice.
+
+Partition routing:
+    normal term:  part_id = H(term) % P
+    hot term:     part_id = H(term, salt) % P,  salt = order-preserving
+                  multiply-shift bucket of doc_id into n_salts ranges
+Salting hot-head terms across partitions bounds the largest shuffle group
+(SURVEY.md §2.8); because salt buckets are doc_id RANGES, each (term, salt)
+run is a disjoint doc_id interval and the global posting list is just the
+runs concatenated in salt order — no merge step (codec blocks are
+block-local-delta encoded and independently decodable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64_str(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def doc_ids_for_urls(urls: list[str]) -> np.ndarray:
+    out = np.empty(len(urls), dtype=np.uint64)
+    blake = hashlib.blake2b
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(blake(u.encode("utf-8"), digest_size=8).digest(), "big")
+    return out
+
+
+def term_partition(term: str, n_partitions: int) -> int:
+    return hash64_str("t\x00" + term) % n_partitions
+
+
+def hot_term_partitions(term: str, n_salts: int, n_partitions: int) -> list[int]:
+    """All partitions holding runs of a hot term, in salt (= doc_id range) order."""
+    return [hash64_str(f"t\x01{salt}\x00" + term) % n_partitions for salt in range(n_salts)]
+
+
+def salt_of_doc(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
+    """Order-preserving bucket of uint64 doc_id into [0, n_salts)."""
+    hi = (doc_ids.astype(np.uint64) >> np.uint64(32)).astype(np.uint64)
+    return ((hi * np.uint64(n_salts)) >> np.uint64(32)).astype(np.uint32)

@@ -1,0 +1,402 @@
+"""Distributed inverted-index build (the rebuild of reference lib.rs:292-342
+`index_documents` + tree.rs:186-247 `flush_segment`, re-architected for Ray
+Data; SURVEY.md §3.1/§7.1 M2-M3-M5).
+
+Two phases, both resumable (state/manifest.py):
+
+Phase 1 — tokenize + route (narrow, streaming):
+    ray.data.read_parquet(pages, columns=pruned)
+      -> map_batches(TokenizeStage, batch_format="pyarrow", actor pool)
+      -> write_parquet(<index>/raw/, partition_cols=["part_id"])
+    The partitioned write IS the groupby-term shuffle, materialized to
+    storage: every posting lands in the partition dir owned by its term
+    (hot terms: by (term, salt), see functions/hashing.py).  Compared to an
+    object-store shuffle this costs one disk round-trip but buys per-batch
+    idempotence, bounded memory at any corpus size, and restartability —
+    the properties the north rule's checkpoint/resume demands at 10^12 docs.
+    Docmap fragments are side-written by the actors with content-hash names
+    (idempotent under retries).
+
+Phase 2 — per-partition encode (embarrassingly parallel, checkpointed):
+    ray.data.from_items(pending partitions)
+      -> map_batches(encode_partition, stateless tasks)
+    Each task reads ONLY its partition's raw files, dedups (term, doc_id)
+    (retried phase-1 batches may have double-written), sorts by
+    (term, doc_id) with numpy, delta+varbyte block-encodes
+    (stages/codec.py), writes parts/K/{blocks,dict}.parquet and an atomic
+    _meta.json completion marker carrying metrics + lineage.  A resumed
+    build skips completed partitions; output bytes are a pure function of
+    the raw partition content, so retries/resumes are byte-identical.
+
+Skew: hot-head terms (stopword-grade; punctuation and markup tokens survive
+the stop filter, SURVEY.md §2.8) are detected on a driver-side sample and
+salted across `n_salts` doc_id-range runs, each routed to its own partition.
+Runs are disjoint doc_id ranges, so the term's global posting list is the
+concatenation of its runs — the merge step the reference needed per segment
+disappears by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+from collections import Counter
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from indexer_ray.conformance.extract import extract_text, extract_visible_text
+from indexer_ray.conformance.lexer import tokenize, tokenize_plain
+from indexer_ray.stages.codec import BLOCK_SIZE, encode_term_postings
+from indexer_ray.stages.tokenize import TokenizeStage
+from indexer_ray.state.manifest import (
+    IndexManifest,
+    load_progress,
+    mark_part_complete,
+    part_complete,
+    part_dir,
+    save_progress,
+)
+
+
+@dataclasses.dataclass
+class BuildConfig:
+    n_partitions: int = 32
+    block_size: int = BLOCK_SIZE
+    mode: str = "conformance"  # or "plain"
+    source: str = "text"  # or "html"
+    extract: str = "conformance"  # or "visible"
+    verify_extract: bool = False
+    # skew handling
+    sample_docs: int = 400
+    hot_df_ratio: float = 0.25  # sample df fraction above which a term is "hot"
+    target_run_postings: int = 1 << 20  # max postings per (term, salt) run
+    max_salts: int = 64
+    # execution
+    batch_size: int = 2048
+    tokenize_actors: tuple[int, int] | int | None = None  # None -> autoscale
+    keep_raw: bool = False
+    verify_doc_ids: bool = True
+
+    def tokenizer_config(self, hot_terms: dict[str, int], docmap_dir: str) -> dict:
+        return {
+            "mode": self.mode,
+            "source": self.source,
+            "extract": self.extract,
+            "verify_extract": self.verify_extract,
+            "n_partitions": self.n_partitions,
+            "hot_terms": hot_terms,
+            "docmap_dir": docmap_dir,
+        }
+
+
+def _input_columns(cfg: BuildConfig) -> list[str]:
+    cols = ["url", "warc_ts"]
+    cols.append("html" if cfg.source == "html" else "text")
+    if cfg.source == "html" and cfg.verify_extract:
+        cols.append("text")
+    return cols
+
+
+def _tokenize_fn(cfg: BuildConfig):
+    return tokenize if cfg.mode == "conformance" else tokenize_plain
+
+
+def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -> dict[str, int]:
+    """Driver-side sample of the term-frequency head (SURVEY.md §2.8).
+
+    Reads the first `sample_docs` rows of the first input file, tokenizes
+    them, and marks terms whose sample df-ratio exceeds `hot_df_ratio` as
+    hot.  n_salts sizes each run to ~target_run_postings expected postings.
+    """
+    tok = _tokenize_fn(cfg)
+    extract = extract_text if cfg.extract == "conformance" else extract_visible_text
+    f = pq.ParquetFile(paths[0])
+    need = cfg.sample_docs
+    got = 0
+    df: Counter = Counter()
+    for rb in f.iter_batches(batch_size=min(need, 1024), columns=[_input_columns(cfg)[-1]]):
+        col = rb.column(0).to_pylist()
+        for v in col:
+            text = extract(v) if cfg.source == "html" else v
+            if not text:
+                continue
+            df.update(set(tok(text)))
+            got += 1
+            if got >= need:
+                break
+        if got >= need:
+            break
+    if got == 0:
+        return {}
+    hot: dict[str, int] = {}
+    for term, d in df.items():
+        ratio = d / got
+        if ratio >= cfg.hot_df_ratio:
+            expected = ratio * max(n_docs_estimate, got)
+            n_salts = int(np.ceil(expected / cfg.target_run_postings))
+            n_salts = max(2, min(cfg.max_salts, n_salts))  # >=2 so salting is real
+            hot[term] = n_salts
+    return hot
+
+
+def encode_partition(
+    index_dir: str, raw_root: str, part_id: int, block_size: int
+) -> dict[str, Any]:
+    """Phase-2 body: one partition raw -> encoded blocks + dict (pure)."""
+    t0 = time.monotonic()
+    pdir = os.path.join(raw_root, f"part_id={part_id}")
+    files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+    out_dir = part_dir(index_dir, part_id)
+    os.makedirs(out_dir, exist_ok=True)
+    if files:
+        tbl = pq.read_table(files, columns=["term", "doc_id", "tf", "dl"])
+    else:
+        tbl = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.uint64()),
+                "tf": pa.array([], type=pa.uint32()),
+                "dl": pa.array([], type=pa.uint32()),
+            }
+        )
+    term_col = tbl.column("term")
+    denc = term_col.combine_chunks().dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vocab, kind="stable")  # lexicographic vocab order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    sorted_codes = rank[codes] if len(codes) else codes
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.uint64)
+    perm = np.lexsort((doc_ids, sorted_codes))
+    sorted_codes, doc_ids, tf, dl = (
+        sorted_codes[perm],
+        doc_ids[perm],
+        tf[perm],
+        dl[perm],
+    )
+    # dedup (term, doc_id): duplicates only arise from retried phase-1 tasks
+    # rewriting a batch; duplicate rows are identical, keep the first.
+    if len(doc_ids):
+        keep = np.r_[True, (sorted_codes[1:] != sorted_codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])]
+        n_dups = int((~keep).sum())
+        if n_dups:
+            sorted_codes, doc_ids, tf, dl = (
+                sorted_codes[keep],
+                doc_ids[keep],
+                tf[keep],
+                dl[keep],
+            )
+    else:
+        n_dups = 0
+
+    cols = encode_term_postings(sorted_codes, doc_ids, tf, dl, block_size=block_size)
+    sorted_vocab = vocab[order] if len(vocab) else vocab
+    block_terms = pa.array(
+        sorted_vocab[np.asarray(cols["term_code"], dtype=np.int64)]
+        if len(cols["term_code"])
+        else [],
+        type=pa.string(),
+    )
+    blocks = pa.table(
+        {
+            "term": block_terms,
+            "block_id": pa.array(cols["block_id"], type=pa.uint32()),
+            "first_doc_id": pa.array(cols["first_doc_id"], type=pa.uint64()),
+            "last_doc_id": pa.array(cols["last_doc_id"], type=pa.uint64()),
+            "n": pa.array(cols["n"], type=pa.uint32()),
+            "max_tf": pa.array(cols["max_tf"], type=pa.uint32()),
+            "min_dl": pa.array(cols["min_dl"], type=pa.uint32()),
+            "sum_tf": pa.array(cols["sum_tf"], type=pa.uint64()),
+            "payload": cols["payload"],
+        }
+    )
+    pq.write_table(blocks, os.path.join(out_dir, "blocks.parquet"), row_group_size=16384)
+    # per-term dict: df (postings in THIS partition), cf, n_blocks
+    if len(sorted_codes):
+        t_starts = np.flatnonzero(np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
+        t_ends = np.r_[t_starts[1:], len(sorted_codes)]
+        dict_tbl = pa.table(
+            {
+                "term": pa.array(sorted_vocab[sorted_codes[t_starts]], type=pa.string()),
+                "df": pa.array((t_ends - t_starts).astype(np.uint64), type=pa.uint64()),
+                "cf": pa.array(np.add.reduceat(tf, t_starts).astype(np.uint64), type=pa.uint64()),
+            }
+        )
+    else:
+        dict_tbl = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.uint64()),
+                "cf": pa.array([], type=pa.uint64()),
+            }
+        )
+    pq.write_table(dict_tbl, os.path.join(out_dir, "dict.parquet"), row_group_size=16384)
+    meta = {
+        "part_id": part_id,
+        "n_postings": int(len(doc_ids)),
+        "n_terms": int(dict_tbl.num_rows),
+        "n_blocks": int(blocks.num_rows),
+        "n_dup_postings_removed": n_dups,
+        "payload_bytes": int(len(cols["payload"].buffers()[2] or b"")) if blocks.num_rows else 0,
+        "elapsed_sec": round(time.monotonic() - t0, 4),
+        "lineage": {"raw_files": [os.path.basename(f) for f in files]},
+    }
+    mark_part_complete(index_dir, part_id, meta)
+    return meta
+
+
+class _EncodePartitionTask:
+    """map_batches body over partition-descriptor rows (phase 2)."""
+
+    def __init__(self, index_dir: str, raw_root: str, block_size: int):
+        self.index_dir, self.raw_root, self.block_size = index_dir, raw_root, block_size
+
+    def __call__(self, batch: dict) -> dict:
+        metas = []
+        for pid in batch["part_id"]:
+            m = encode_partition(self.index_dir, self.raw_root, int(pid), self.block_size)
+            metas.append(m)
+        return {
+            "part_id": np.array([m["part_id"] for m in metas], dtype=np.int64),
+            "n_postings": np.array([m["n_postings"] for m in metas], dtype=np.int64),
+            "n_terms": np.array([m["n_terms"] for m in metas], dtype=np.int64),
+            "n_blocks": np.array([m["n_blocks"] for m in metas], dtype=np.int64),
+        }
+
+
+def _docmap_stats(docmap_dir: str) -> tuple[int, int]:
+    """(n_docs, total_doc_len) from the docmap fragments.
+
+    Fragment files are idempotent per batch (content-hash names), so rows are
+    unique; a streaming per-fragment scan suffices — no shuffle.
+    """
+    files = sorted(glob.glob(os.path.join(docmap_dir, "*.parquet")))
+    n, total = 0, 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_len"])
+        n += t.num_rows
+        total += pc.sum(t.column("doc_len")).as_py() or 0
+    return n, total
+
+
+def _verify_doc_ids_unique(docmap_dir: str) -> None:
+    ds = pads.dataset(docmap_dir, format="parquet")
+    t = ds.to_table(columns=["doc_id"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    uniq = len(np.unique(ids))
+    if uniq != len(ids):
+        raise RuntimeError(
+            f"doc_id collision or duplicate url: {len(ids) - uniq} duplicates; "
+            "widen the digest or dedup the input by url"
+        )
+
+
+def build_index(
+    paths: list[str] | str,
+    index_dir: str,
+    config: BuildConfig | None = None,
+    resume: bool = False,
+) -> IndexManifest:
+    """Build (or resume building) an index over pages/documents parquet.
+
+    Ray must already be initialised by the caller (driver contract)."""
+    import ray
+    import ray.data as rd
+
+    cfg = config or BuildConfig()
+    if isinstance(paths, str):
+        paths = sorted(glob.glob(os.path.join(paths, "*.parquet"))) if os.path.isdir(paths) else [paths]
+    if not resume and os.path.exists(os.path.join(index_dir, "progress.json")):
+        # fresh build into a used dir: clear stale state so checkpoints can't
+        # mix two builds (resume=True is the path that reuses state)
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    raw_root = os.path.join(index_dir, "raw")
+    docmap_dir = os.path.join(index_dir, "docmap")
+    progress = load_progress(index_dir) if resume else {}
+
+    n_docs_estimate = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+    # hot-term set must be identical across resumes (it determines routing)
+    if "hot_terms" in progress:
+        hot_terms = progress["hot_terms"]
+    else:
+        hot_terms = sample_hot_terms(paths, cfg, n_docs_estimate)
+        progress = {"hot_terms": hot_terms, "input_files": paths, "config": dataclasses.asdict(cfg)}
+        save_progress(index_dir, progress)
+
+    t_build0 = time.monotonic()
+    if not progress.get("phase1_complete"):
+        ds = rd.read_parquet(paths, columns=_input_columns(cfg))
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = cfg.tokenize_actors or (1, max(2, n_cpus))
+        postings = ds.map_batches(
+            TokenizeStage,
+            fn_constructor_args=(cfg.tokenizer_config(hot_terms, docmap_dir),),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        postings.write_parquet(raw_root, partition_cols=["part_id"])
+        progress["phase1_complete"] = True
+        progress["phase1_sec"] = round(time.monotonic() - t_build0, 3)
+        save_progress(index_dir, progress)
+
+    # phase 2: encode partitions that aren't checkpointed yet
+    t2 = time.monotonic()
+    existing = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(raw_root, "part_id=*"))
+    }
+    all_parts = sorted(existing)
+    pending = [p for p in all_parts if not part_complete(index_dir, p)]
+    if pending:
+        rd.from_items([{"part_id": p} for p in pending]).map_batches(
+            _EncodePartitionTask,
+            fn_constructor_args=(index_dir, raw_root, cfg.block_size),
+            batch_size=1,
+            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
+            num_cpus=1,
+        ).materialize()
+    progress["phase2_sec"] = round(time.monotonic() - t2, 3)
+
+    if cfg.verify_doc_ids:
+        _verify_doc_ids_unique(docmap_dir)
+
+    n_docs, total_dl = _docmap_stats(docmap_dir)
+    part_metas = {}
+    for p in all_parts:
+        import json
+
+        with open(os.path.join(part_dir(index_dir, p), "_meta.json")) as f:
+            part_metas[str(p)] = json.load(f)
+    manifest = IndexManifest(
+        n_docs=n_docs,
+        total_doc_len=total_dl,
+        n_partitions=cfg.n_partitions,
+        hot_terms=hot_terms,
+        config=dataclasses.asdict(cfg),
+        partitions=part_metas,
+        input_files=list(paths),
+    )
+    manifest.save(index_dir)
+    if not cfg.keep_raw:
+        import shutil
+
+        shutil.rmtree(raw_root, ignore_errors=True)
+    return manifest

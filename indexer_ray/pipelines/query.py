@@ -1,0 +1,304 @@
+"""Query engines over the partitioned index (rebuild of reference
+tree.rs:388-465 `search` + lib.rs:92-100 `search_term`; SURVEY.md §2.6, §7.1 M4).
+
+Two scorers sharing one decode path:
+  * conformance TF-IDF — the reference formula exactly: idf = |ln(N/df)|,
+    score += tf*idf accumulated in query-token order then doc_id order,
+    score==0.0 dropped, ties broken (score desc, doc_id asc).  Duplicate
+    query tokens accumulate once PER OCCURRENCE (the reference iterates the
+    raw token list, tree.rs:418).
+  * BM25 (k1=1.2, b=0.75, Lucene-style positive idf) — the engine-mode
+    scorer named by the north rule; doc length comes from the posting
+    payload (inlined norms), avgdl/N from the manifest.
+
+Two algorithms, both exact:
+  * exhaustive — decode every matching block, vectorized numpy accumulate;
+  * block-max WAND ("wand") — document-at-a-time at BLOCK granularity:
+    blocks carry (first_doc_id, last_doc_id, max_tf, min_dl), giving a
+    per-block upper bound on the term's contribution; the cursor sweep
+    skips every block window whose summed upper bound is below the current
+    top-k threshold θ, and scores surviving windows with the same
+    vectorized kernel.  Skipping uses strict <, so tie candidates are never
+    lost; results are identical to exhaustive (tested).
+
+Unlike the reference — which re-reads every segment dictionary from disk on
+every query (tree.rs:397-404) — term lookups are parquet reads pruned to the
+term's partition(s) with predicate pushdown, and a small LRU caches dict
+partitions across queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from indexer_ray.conformance.lexer import tokenize, tokenize_plain
+from indexer_ray.conformance.scorer import B, K1, bm25_idf, tfidf_idf
+from indexer_ray.functions.hashing import hot_term_partitions, term_partition
+from indexer_ray.stages.codec import decode_blocks
+from indexer_ray.state.manifest import IndexManifest, part_dir
+
+
+class _TermBlocks:
+    """All block metadata + payloads for one term, in global doc_id order."""
+
+    __slots__ = ("term", "df", "first", "last", "n", "max_tf", "min_dl", "payloads")
+
+    def __init__(self, term, df, first, last, n, max_tf, min_dl, payloads):
+        self.term, self.df = term, df
+        self.first, self.last, self.n = first, last, n
+        self.max_tf, self.min_dl, self.payloads = max_tf, min_dl, payloads
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, dict_cache_parts: int = 64):
+        self.index_dir = index_dir
+        self.m = IndexManifest.load(index_dir)
+        self.n_docs = self.m.n_docs
+        self.avgdl = self.m.avgdl
+        self.mode = self.m.config.get("mode", "conformance")
+        self._tokenize = tokenize if self.mode == "conformance" else tokenize_plain
+        self.hot_terms = self.m.hot_terms
+        self.P = self.m.n_partitions
+        self._dict_cache: OrderedDict[int, dict[str, int]] = OrderedDict()
+        self._dict_cache_parts = dict_cache_parts
+
+    # ---- lookup ----
+
+    def _parts_of_term(self, term: str) -> list[int]:
+        s = self.hot_terms.get(term)
+        if s:
+            # distinct partitions only: two salts may hash to the same
+            # partition, whose dict/blocks already merge both (doc-disjoint)
+            # runs — visiting it twice would double-count.
+            return list(dict.fromkeys(hot_term_partitions(term, int(s), self.P)))
+        return [term_partition(term, self.P)]
+
+    def _part_df(self, part_id: int, term: str) -> int:
+        cached = self._dict_cache.get(part_id)
+        if cached is None:
+            path = os.path.join(part_dir(self.index_dir, part_id), "dict.parquet")
+            if not os.path.exists(path):
+                cached = {}
+            else:
+                t = pq.read_table(path, columns=["term", "df"])
+                cached = dict(
+                    zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+                )
+            self._dict_cache[part_id] = cached
+            if len(self._dict_cache) > self._dict_cache_parts:
+                self._dict_cache.popitem(last=False)
+        else:
+            self._dict_cache.move_to_end(part_id)
+        return cached.get(term, 0)
+
+    def term_df(self, term: str) -> int:
+        # global df = sum of per-partition dfs (runs are doc-disjoint; the
+        # reference's analogous sum over segments is tree.rs:413)
+        return sum(self._part_df(p, term) for p in self._parts_of_term(term))
+
+    def _load_term_blocks(self, term: str) -> _TermBlocks | None:
+        firsts, lasts, ns, mtfs, mdls, pays = [], [], [], [], [], []
+        df = 0
+        for p in self._parts_of_term(term):
+            df_p = self._part_df(p, term)
+            if df_p == 0:
+                continue
+            df += df_p
+            path = os.path.join(part_dir(self.index_dir, p), "blocks.parquet")
+            t = pq.read_table(path, filters=[("term", "=", term)])
+            firsts.append(t.column("first_doc_id").to_numpy(zero_copy_only=False))
+            lasts.append(t.column("last_doc_id").to_numpy(zero_copy_only=False))
+            ns.append(t.column("n").to_numpy(zero_copy_only=False))
+            mtfs.append(t.column("max_tf").to_numpy(zero_copy_only=False))
+            mdls.append(t.column("min_dl").to_numpy(zero_copy_only=False))
+            pays.extend(t.column("payload").to_pylist())
+        if df == 0:
+            return None
+        first = np.concatenate(firsts).astype(np.uint64)
+        last = np.concatenate(lasts).astype(np.uint64)
+        n = np.concatenate(ns).astype(np.int64)
+        max_tf = np.concatenate(mtfs).astype(np.int64)
+        min_dl = np.concatenate(mdls).astype(np.int64)
+        # salted runs are doc_id-range-disjoint: order blocks globally
+        order = np.argsort(first, kind="stable")
+        return _TermBlocks(
+            term,
+            df,
+            first[order],
+            last[order],
+            n[order],
+            max_tf[order],
+            min_dl[order],
+            [pays[i] for i in order],
+        )
+
+    # ---- scoring kernels ----
+
+    def _weights(self, q_tokens: list[str], scorer: str) -> list[tuple[str, float, _TermBlocks]]:
+        """Per unique term: weight = idf * multiplicity (duplicates in the
+        token list accumulate per occurrence) + its blocks."""
+        mult: dict[str, int] = {}
+        order: list[str] = []
+        for t in q_tokens:
+            if t not in mult:
+                order.append(t)
+            mult[t] = mult.get(t, 0) + 1
+        out = []
+        for t in order:
+            tb = self._load_term_blocks(t)
+            if tb is None:
+                continue
+            idf = tfidf_idf(self.n_docs, tb.df) if scorer == "tfidf" else bm25_idf(self.n_docs, tb.df)
+            out.append((t, idf * mult[t], tb))
+        return out
+
+    def _contrib(self, scorer: str, w: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        if scorer == "tfidf":
+            return w * tfs.astype(np.float64)
+        tff = tfs.astype(np.float64)
+        norm = tff + K1 * (1.0 - B + B * dls.astype(np.float64) / self.avgdl)
+        return w * tff * (K1 + 1.0) / norm
+
+    def _block_ub(self, scorer: str, w: float, max_tf: np.ndarray, min_dl: np.ndarray) -> np.ndarray:
+        if scorer == "tfidf":
+            return w * max_tf.astype(np.float64)
+        mt = max_tf.astype(np.float64)
+        norm = mt + K1 * (1.0 - B + B * min_dl.astype(np.float64) / self.avgdl)
+        return w * mt * (K1 + 1.0) / norm
+
+    # ---- public API ----
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        scorer: str = "tfidf",
+        algorithm: str = "exhaustive",
+    ) -> list[tuple[int, float]]:
+        """Returns [(doc_id, score)] sorted (score desc, doc_id asc), top k.
+        ``k=None`` returns all matches (exhaustive only)."""
+        q_tokens = self._tokenize(query)
+        if not q_tokens or self.n_docs == 0:
+            return []
+        terms = self._weights(q_tokens, scorer)
+        if not terms:
+            return []
+        if algorithm == "wand" and k is not None:
+            return self._search_wand(terms, k, scorer)
+        return self._search_exhaustive(terms, k, scorer)
+
+    def _search_exhaustive(self, terms, k, scorer) -> list[tuple[int, float]]:
+        # accumulate in term order (float-order parity with the spec scorer)
+        scores: dict[int, float] = {}
+        for _, w, tb in terms:
+            doc_ids, tfs, dls, _ = decode_blocks(tb.payloads, tb.n, tb.first)
+            contrib = self._contrib(scorer, w, tfs, dls)
+            for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+                scores[d] = scores.get(d, 0.0) + c
+        items = [(d, s) for d, s in scores.items() if s != 0.0]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items if k is None else items[:k]
+
+    def _search_wand(self, terms, k, scorer) -> list[tuple[int, float]]:
+        """Block-max WAND at block granularity — an interval sweep.
+
+        Doc-id space is processed left to right in maximal windows over which
+        the set of covering blocks ("active set") is constant.  A window is
+        skipped without decoding iff the summed block upper bounds of its
+        active set are STRICTLY below the current top-k threshold θ (a doc
+        scoring exactly θ can still win its tie on doc_id, so it is never
+        skipped).  Surviving windows are scored with the vectorized decode
+        kernel; decoded blocks are cached per cursor so a block spanning
+        several windows decodes once.  Exact: equals the exhaustive scorer.
+        """
+        n_t = len(terms)
+        ubs = [self._block_ub(scorer, w, tb.max_tf, tb.min_dl) for _, w, tb in terms]
+        cursors = [0] * n_t
+        nblocks = [len(t[2].n) for t in terms]
+        decoded: list[tuple | None] = [None] * n_t
+        INF = 1 << 66
+        heap_scores = np.empty(0, dtype=np.float64)
+        heap_docs = np.empty(0, dtype=np.uint64)
+        theta = -math.inf
+
+        def push_candidates(docs: np.ndarray, scs: np.ndarray):
+            nonlocal heap_scores, heap_docs, theta
+            nz = scs != 0.0
+            docs, scs = docs[nz], scs[nz]
+            if len(docs) == 0:
+                return
+            heap_docs = np.concatenate([heap_docs, docs])
+            heap_scores = np.concatenate([heap_scores, scs])
+            if len(heap_scores) > 8 * k:
+                keep = np.lexsort((heap_docs, -heap_scores))[: 2 * k]
+                heap_docs, heap_scores = heap_docs[keep], heap_scores[keep]
+            if len(heap_scores) >= k:
+                theta = float(np.partition(heap_scores, -k)[-k])
+
+        cur_pos = 0
+        while True:
+            live = [t for t in range(n_t) if cursors[t] < nblocks[t]]
+            if not live:
+                break
+            f = {t: int(terms[t][2].first[cursors[t]]) for t in live}
+            l = {t: int(terms[t][2].last[cursors[t]]) for t in live}
+            # invariant: l[t] >= cur_pos for all live blocks
+            lo = min(max(f[t], cur_pos) for t in live)
+            active = [t for t in live if f[t] <= lo]
+            boundary = min(l[t] for t in active)
+            for t in live:
+                if f[t] > lo:
+                    boundary = min(boundary, f[t] - 1)
+            bound = sum(float(ubs[t][cursors[t]]) for t in active)
+            if bound >= theta:
+                acc: dict[int, float] = {}
+                for t in active:
+                    if decoded[t] is None:
+                        tb = terms[t][2]
+                        cur = cursors[t]
+                        doc_ids, tfs, dls, _ = decode_blocks(
+                            [tb.payloads[cur]], tb.n[cur : cur + 1], tb.first[cur : cur + 1]
+                        )
+                        decoded[t] = (doc_ids, self._contrib(scorer, terms[t][1], tfs, dls))
+                    doc_ids, contrib = decoded[t]
+                    m = (doc_ids >= lo) & (doc_ids <= boundary)
+                    for d, c in zip(doc_ids[m].tolist(), contrib[m].tolist()):
+                        acc[d] = acc.get(d, 0.0) + c
+                if acc:
+                    push_candidates(
+                        np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc)),
+                        np.fromiter(acc.values(), dtype=np.float64, count=len(acc)),
+                    )
+            for t in active:
+                if l[t] <= boundary:
+                    cursors[t] += 1
+                    decoded[t] = None
+            cur_pos = boundary + 1
+        if len(heap_scores) == 0:
+            return []
+        order = np.lexsort((heap_docs, -heap_scores))[:k]
+        return [(int(d), float(s)) for d, s in zip(heap_docs[order], heap_scores[order])]
+
+    # ---- resolution (Q5 analogue: doc_id -> url via docmap) ----
+
+    def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        if not doc_ids:
+            return {}
+        ds = pads.dataset(os.path.join(self.index_dir, "docmap"), format="parquet")
+        t = ds.to_table(
+            columns=["doc_id", "url"],
+            filter=pads.field("doc_id").isin(pa.array(doc_ids, type=pa.uint64())),
+        )
+        return dict(zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()))
+
+    def search_urls(self, query: str, k: int = 10, **kw) -> list[tuple[str, float]]:
+        hits = self.search(query, k=k, **kw)
+        urls = self.resolve_urls([d for d, _ in hits])
+        return [(urls.get(d, str(d)), s) for d, s in hits]

@@ -1,0 +1,182 @@
+"""Phase-1 stage: extract + tokenize + tf-count + partition-route.
+
+The distributed analogue of the reference's parse→lex→count chain
+(parsers.rs P1-P5, lexer.rs T1-T4, tree.rs:146-160 A1) as ONE actor-pool
+`map_batches` stage over zero-copy Arrow batches.  Stateful setup (stop set,
+stem cache, hot-term routing table, compiled regexes) happens once per actor
+in ``__init__`` — the reference instead rebuilt its stemmer per token
+(lexer.rs:93-96).
+
+Per input row (url, warc_ts, text|html):
+  * conformance extraction (or visible-text mode) if reading `html`;
+  * tokenize per the configured mode ("conformance" = lowercase → lex →
+    Porter2 → post-stem stop filter; "plain" = lowercase + [a-z0-9] runs);
+  * docs with zero tokens are skipped entirely — never assigned a doc_id,
+    never counted in N (reference tree.rs:333-335, quirk Q9);
+  * emit one posting row (term, doc_id, tf, dl, part_id) per distinct term.
+
+The stage also side-writes `docmap` fragments (doc_id, url, warc_ts,
+doc_len).  Fragment files are named by a content hash of the batch's doc_id
+span, so a retried task rewrites the SAME file — idempotent under Ray task
+retries (the checkpoint/resume contract in state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from indexer_ray.conformance.extract import extract_text, extract_visible_text
+from indexer_ray.conformance.lexer import tokenize, tokenize_plain
+from indexer_ray.functions.hashing import (
+    hash64_str,
+    hot_term_partitions,
+    salt_of_doc,
+    term_partition,
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.uint64()),
+        ("tf", pa.uint32()),
+        ("dl", pa.uint32()),
+        ("part_id", pa.int32()),
+    ]
+)
+
+DOCMAP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("doc_len", pa.uint32()),
+    ]
+)
+
+
+class TokenizeStage:
+    """Callable class for ``map_batches(..., batch_format="pyarrow")``."""
+
+    def __init__(self, config: dict):
+        self.cfg = config
+        mode = config.get("mode", "conformance")
+        self._tokenize = tokenize if mode == "conformance" else tokenize_plain
+        self.source = config.get("source", "text")
+        extract_mode = config.get("extract", "conformance")
+        self._extract = extract_text if extract_mode == "conformance" else extract_visible_text
+        self.n_partitions = int(config["n_partitions"])
+        self.docmap_dir = config.get("docmap_dir")
+        self.verify_extract = bool(config.get("verify_extract", False))
+        # Routing table: term -> (base_part or per-salt part list).
+        self._normal_part_cache: dict[str, int] = {}
+        self._hot_parts = {
+            t: np.array(hot_term_partitions(t, int(s), self.n_partitions), dtype=np.int32)
+            for t, s in (config.get("hot_terms") or {}).items()
+        }
+        self._hot_salts = {t: int(s) for t, s in (config.get("hot_terms") or {}).items()}
+
+    def _part_of(self, term: str) -> int:
+        p = self._normal_part_cache.get(term)
+        if p is None:
+            p = term_partition(term, self.n_partitions)
+            # an unbounded vocabulary cache would grow per actor; cap it
+            if len(self._normal_part_cache) < 4_000_000:
+                self._normal_part_cache[term] = p
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        if self.source == "html":
+            raw = batch.column("html").to_pylist()
+            texts = [self._extract(h) for h in raw]
+            if self.verify_extract and "text" in batch.column_names:
+                expected = batch.column("text").to_pylist()
+                for u, got, want in zip(urls, texts, expected):
+                    if got != want:
+                        raise AssertionError(f"extract_text mismatch for {u!r}")
+        else:
+            texts = batch.column("text").to_pylist()
+        ts = batch.column("warc_ts").to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+
+        blake = hashlib.blake2b
+        terms: list[str] = []
+        doc_of: list[int] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        parts: list[int] = []
+        dm_doc: list[int] = []
+        dm_url: list[str] = []
+        dm_ts: list = []
+        dm_len: list[int] = []
+        hot_pending: list[tuple[str, int, int, int]] = []  # term, doc_id, tf, dl
+
+        tokenize_fn = self._tokenize
+        part_of = self._part_of
+        hot_salts = self._hot_salts
+        for url, text, t_ts in zip(urls, texts, ts):
+            if text is None:
+                continue  # undecodable doc: silently skipped (lib.rs:260-262)
+            toks = tokenize_fn(text)
+            dl = len(toks)
+            if dl == 0:
+                continue  # empty docs never indexed / counted (tree.rs:333-335)
+            doc_id = int.from_bytes(blake(url.encode("utf-8"), digest_size=8).digest(), "big")
+            dm_doc.append(doc_id)
+            dm_url.append(url)
+            dm_ts.append(t_ts)
+            dm_len.append(dl)
+            for term, tf in Counter(toks).items():
+                if term in hot_salts:
+                    hot_pending.append((term, doc_id, tf, dl))
+                else:
+                    terms.append(term)
+                    doc_of.append(doc_id)
+                    tfs.append(tf)
+                    dls.append(dl)
+                    parts.append(part_of(term))
+        # vectorized salt routing for hot terms
+        if hot_pending:
+            h_docs = np.array([d for _, d, _, _ in hot_pending], dtype=np.uint64)
+            salts_all = {t: salt_of_doc(h_docs, s) for t, s in hot_salts.items()}
+            for i, (term, doc_id, tf, dl) in enumerate(hot_pending):
+                salt = int(salts_all[term][i])
+                terms.append(term)
+                doc_of.append(doc_id)
+                tfs.append(tf)
+                dls.append(dl)
+                parts.append(int(self._hot_parts[term][salt]))
+
+        if self.docmap_dir and dm_doc:
+            frag = pa.table(
+                {
+                    "doc_id": pa.array(dm_doc, type=pa.uint64()),
+                    "url": pa.array(dm_url, type=pa.string()),
+                    "warc_ts": pa.array(dm_ts, type=pa.timestamp("us")),
+                    "doc_len": pa.array(dm_len, type=pa.uint32()),
+                },
+                schema=DOCMAP_SCHEMA,
+            )
+            name = hashlib.blake2b(
+                f"{min(dm_doc)}-{max(dm_doc)}-{len(dm_doc)}".encode(), digest_size=12
+            ).hexdigest()
+            os.makedirs(self.docmap_dir, exist_ok=True)
+            tmp = os.path.join(self.docmap_dir, f".{name}.tmp")
+            pq.write_table(frag, tmp)
+            os.replace(tmp, os.path.join(self.docmap_dir, f"{name}.parquet"))
+
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "doc_id": pa.array(doc_of, type=pa.uint64()),
+                "tf": pa.array(tfs, type=pa.uint32()),
+                "dl": pa.array(dls, type=pa.uint32()),
+                "part_id": pa.array(parts, type=pa.int32()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )

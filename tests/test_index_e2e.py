@@ -1,0 +1,96 @@
+"""End-to-end rank-identity: distributed build + both query engines vs the
+brute-force conformance spec on the reference query set (SURVEY.md §5.3)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from indexer_ray.conformance.lexer import tokenize
+from indexer_ray.conformance.scorer import brute_force_bm25_topk, brute_force_tfidf_topk
+from indexer_ray.functions.hashing import hash64_str
+from indexer_ray.pipelines.build import BuildConfig, build_index
+from indexer_ray.pipelines.query import IndexSearcher
+from indexer_ray.sources.pages import reference_queries
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tiny_pages, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx") / "tiny")
+    cfg = BuildConfig(
+        n_partitions=8,
+        block_size=16,  # small blocks so WAND pruning paths execute
+        sample_docs=100,
+        hot_df_ratio=0.10,  # force a real hot-term set at tiny scale
+        tokenize_actors=2,
+        batch_size=64,
+    )
+    manifest = build_index([tiny_pages], index_dir, cfg)
+    # spec-side corpus: tokenize the text column with the conformance chain
+    t = pq.read_table(tiny_pages, columns=["url", "text"])
+    corpus = []
+    for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+        corpus.append((hash64_str(url), tokenize(text)))
+    return index_dir, manifest, corpus
+
+
+def test_manifest_counts(built):
+    index_dir, manifest, corpus = built
+    non_empty = [c for c in corpus if c[1]]
+    assert manifest.n_docs == len(non_empty) == 200
+    assert manifest.total_doc_len == sum(len(toks) for _, toks in non_empty)
+    assert manifest.hot_terms, "tiny corpus must trip the hot-term sampler"
+    assert all(s >= 2 for s in manifest.hot_terms.values())
+    total_postings = sum(p["n_postings"] for p in manifest.partitions.values())
+    assert total_postings == sum(len(set(toks)) for _, toks in non_empty)
+
+
+def test_df_matches_spec(built):
+    index_dir, manifest, corpus = built
+    s = IndexSearcher(index_dir)
+    from collections import Counter
+
+    df = Counter()
+    for _, toks in corpus:
+        df.update(set(toks))
+    probes = ["needle17", ".", ",", "needle199"] + list(manifest.hot_terms)[:3]
+    for term in probes:
+        assert s.term_df(term) == df.get(term, 0), term
+
+
+@pytest.mark.parametrize("scorer", ["tfidf", "bm25"])
+def test_rank_identity_vs_spec(built, scorer):
+    index_dir, manifest, corpus = built
+    s = IndexSearcher(index_dir)
+    brute = brute_force_tfidf_topk if scorer == "tfidf" else brute_force_bm25_topk
+    for q in reference_queries():
+        expected = brute(corpus, tokenize(q["query"]), k=q["k"])
+        got = s.search(q["query"], k=q["k"], scorer=scorer, algorithm="exhaustive")
+        assert [d for d, _ in got] == [d for d, _ in expected], q["query"]
+        for (_, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12), q["query"]
+
+
+@pytest.mark.parametrize("scorer", ["tfidf", "bm25"])
+def test_wand_equals_exhaustive(built, scorer):
+    index_dir, _, _ = built
+    s = IndexSearcher(index_dir)
+    for q in reference_queries():
+        for k in (3, 10):
+            ex = s.search(q["query"], k=k, scorer=scorer, algorithm="exhaustive")
+            wd = s.search(q["query"], k=k, scorer=scorer, algorithm="wand")
+            assert wd == ex, (q["query"], k)
+
+
+def test_url_resolution(built):
+    index_dir, _, corpus = built
+    s = IndexSearcher(index_dir)
+    hits = s.search_urls("needle17", k=3)
+    assert len(hits) == 1
+    assert hits[0][0].endswith("/page/000000000017")
+
+
+def test_empty_and_stopword_queries(built):
+    index_dir, _, _ = built
+    s = IndexSearcher(index_dir)
+    assert s.search("") == []
+    assert s.search("the and of") == []
+    assert s.search("zzzzunknownterm") == []
