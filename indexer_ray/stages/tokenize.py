@@ -73,6 +73,12 @@ class TokenizeStage:
         self.n_partitions = int(config["n_partitions"])
         self.docmap_dir = config.get("docmap_dir")
         self.verify_extract = bool(config.get("verify_extract", False))
+        # id_column: take doc ids from a native int column (e.g. the driver
+        # testdata `documents.doc_id`) instead of hashing `url`.  NOTE: doc_id
+        # -range salting assumes hash-distributed ids; with small sequential
+        # native ids all postings of a hot term fall into salt 0 (correct but
+        # unbalanced — the web-scale path is url-hash ids).
+        self.id_column = config.get("id_column")
         # Routing table: term -> (base_part or per-salt part list).
         self._normal_part_cache: dict[str, int] = {}
         self._hot_parts = {
@@ -91,7 +97,12 @@ class TokenizeStage:
         return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        if self.id_column:
+            native_ids = batch.column(self.id_column).to_pylist()
+            urls = [str(i) for i in native_ids]
+        else:
+            native_ids = None
+            urls = batch.column("url").to_pylist()
         if self.source == "html":
             raw = batch.column("html").to_pylist()
             texts = [self._extract(h) for h in raw]
@@ -119,14 +130,17 @@ class TokenizeStage:
         tokenize_fn = self._tokenize
         part_of = self._part_of
         hot_salts = self._hot_salts
-        for url, text, t_ts in zip(urls, texts, ts):
+        for row_i, (url, text, t_ts) in enumerate(zip(urls, texts, ts)):
             if text is None:
                 continue  # undecodable doc: silently skipped (lib.rs:260-262)
             toks = tokenize_fn(text)
             dl = len(toks)
             if dl == 0:
                 continue  # empty docs never indexed / counted (tree.rs:333-335)
-            doc_id = int.from_bytes(blake(url.encode("utf-8"), digest_size=8).digest(), "big")
+            if native_ids is not None:
+                doc_id = int(native_ids[row_i])
+            else:
+                doc_id = int.from_bytes(blake(url.encode("utf-8"), digest_size=8).digest(), "big")
             dm_doc.append(doc_id)
             dm_url.append(url)
             dm_ts.append(t_ts)

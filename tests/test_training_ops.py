@@ -1,0 +1,237 @@
+"""Training-data operators: dedup family, ANN, text analysis, multimodal
+plumbing — checked against in-test brute-force oracles on sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_exact_duplicates(docs_ds, docs_pdf, ray_session):
+    from indexer_ray.pipelines.dedup import exact_duplicates
+
+    got = exact_duplicates(docs_ds).to_pandas()
+    expected = (
+        docs_pdf.groupby("text")
+        .agg(keep_doc_id=("doc_id", "min"), dup_count=("doc_id", "size"))
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    assert sorted(got["keep_doc_id"]) == sorted(expected["keep_doc_id"])
+    assert got["dup_count"].sum() == len(docs_pdf)
+
+
+def test_exact_duplicates_finds_injected_dups(ray_session, docs_pdf):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import exact_duplicates
+
+    dup = docs_pdf.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    both = pd.concat([docs_pdf, dup], ignore_index=True)
+    got = exact_duplicates(rd.from_pandas(both)).to_pandas()
+    assert (got["dup_count"] == 2).sum() == 5
+    # first-wins: kept ids are the originals
+    kept_for_dups = got[got["dup_count"] == 2]["keep_doc_id"]
+    assert all(k < 100_000 for k in kept_for_dups)
+
+
+def test_minhash_finds_near_dups(ray_session, docs_pdf):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import minhash_lsh_pairs
+
+    # inject near-duplicates: copy docs with a small tail edit
+    near = docs_pdf.head(8).copy()
+    near["doc_id"] = near["doc_id"] + 200_000
+    near["text"] = near["text"] + " extra tail token"
+    both = pd.concat([docs_pdf, near], ignore_index=True)
+    pairs = minhash_lsh_pairs(rd.from_pandas(both), jaccard_threshold=0.5)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    expected = {(i, i + 200_000) for i in docs_pdf.head(8)["doc_id"]}
+    assert expected <= found, expected - found
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_pairs(ray_session, docs_pdf):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import simhash_pairs
+
+    near = docs_pdf.head(4).copy()
+    near["doc_id"] = near["doc_id"] + 300_000
+    near["text"] = near["text"] + " tail"
+    both = pd.concat([docs_pdf, near], ignore_index=True)
+    pairs = simhash_pairs(rd.from_pandas(both), max_hamming=3)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    expected = {(i, i + 300_000) for i in docs_pdf.head(4)["doc_id"]}
+    # simhash with hamming<=3 must at minimum catch these light edits
+    assert expected <= found, expected - found
+    if len(pairs):
+        assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_dup_pairs_brute_vs_lsh(emb_ds, ray_session):
+    from indexer_ray.pipelines.dedup import embedding_dup_pairs
+
+    brute = embedding_dup_pairs(emb_ds, cosine_threshold=0.9, brute=True)
+    lsh = embedding_dup_pairs(emb_ds, cosine_threshold=0.9, n_planes=8)
+    bset = set(zip(brute["vec_a"], brute["vec_b"]))
+    lset = set(zip(lsh["vec_a"], lsh["vec_b"])) if len(lsh) else set()
+    # LSH returns a subset of the true pairs (no false positives after verify)
+    assert lset <= bset
+    if bset:
+        assert len(lset) / len(bset) >= 0.3  # sane recall on this data
+
+
+def test_ann_brute_topk(emb_ds, ray_session):
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.ann import ann_brute_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    Q = X[:3]  # first three vectors as queries
+    got = ann_brute_topk(emb_ds, Q, k=5)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        expect_ids = ids[order].tolist()
+        g = got[got["query_id"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == expect_ids
+        assert g["cosine"].to_numpy() == pytest.approx(sims[qi][order], rel=1e-9)
+        # self-match first with cosine ~1
+        assert g.iloc[0]["vec_id"] == ids[qi]
+        assert g.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ann_lsh_recall(emb_ds, ray_session):
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    Q = np.stack(t.column("embedding").to_pylist()[:5]).astype(np.float64)
+    brute = ann_brute_topk(emb_ds, Q, k=5)
+    lsh = ann_lsh_topk(emb_ds, Q, k=5, n_planes=6, multiprobe=2)
+    recalls = []
+    for qi in range(5):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        l = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        recalls.append(len(b & l) / len(b))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_token_stats_and_term_stats(docs_ds, docs_pdf, ray_session):
+    from indexer_ray.conformance.lexer import tokenize_plain
+    from indexer_ray.pipelines.text_analysis import doc_token_stats, term_stats
+
+    got = doc_token_stats(docs_ds).to_pandas().set_index("doc_id")
+    for doc_id, text in zip(docs_pdf["doc_id"].head(20), docs_pdf["text"].head(20)):
+        toks = tokenize_plain(text)
+        assert got.loc[doc_id, "n_tokens"] == len(toks)
+        assert got.loc[doc_id, "n_unique"] == len(set(toks))
+
+    ts = term_stats(docs_ds).to_pandas().set_index("term")
+    from collections import Counter
+
+    df, cf = Counter(), Counter()
+    for text in docs_pdf["text"]:
+        toks = tokenize_plain(text)
+        cf.update(toks)
+        df.update(set(toks))
+    assert len(ts) == len(df)
+    for term in list(df)[:30]:
+        assert ts.loc[term, "df"] == df[term]
+        assert ts.loc[term, "cf"] == cf[term]
+
+
+def test_language_id(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import language_id
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat and the dog went to the park and it was good",
+                "der Hund und die Katze sind nicht mit dem Mann",
+                "le chat et le chien sont dans la maison pour une fête",
+                "el perro y el gato no es una casa con los amigos",
+                "这是一个中文文档 包含很多汉字内容",
+            ],
+        }
+    )
+    got = language_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "pred_lang"] == "en"
+    assert got.loc[2, "pred_lang"] == "de"
+    assert got.loc[3, "pred_lang"] == "fr"
+    assert got.loc[4, "pred_lang"] == "es"
+    assert got.loc[5, "pred_lang"] == "zh"
+
+
+def test_quality_and_fingerprints(docs_ds, docs_pdf, ray_session):
+    from indexer_ray.pipelines.text_analysis import fingerprints, quality_scores
+
+    q = quality_scores(docs_ds).to_pandas()
+    assert (q["n_chars"] == docs_pdf.sort_values("doc_id")["n_chars"].values).all() or set(
+        zip(q["doc_id"], q["n_chars"])
+    ) == set(zip(docs_pdf["doc_id"], docs_pdf["n_chars"]))
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+    fp = fingerprints(docs_ds).to_pandas()
+    # deterministic + injective on this corpus (distinct texts)
+    fp2 = fingerprints(docs_ds).to_pandas()
+    assert fp.sort_values("doc_id").equals(fp2.sort_values("doc_id"))
+    assert fp["fingerprint"].nunique() == len(fp)
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import (
+        MediaDecodeStage,
+        decode_features,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(50, seed=42))
+    feats = decode_features(media, decoder="fake", feat_dim=16).to_pandas()
+    assert len(feats) == 50
+    assert feats["ok"].all()
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic
+    feats2 = decode_features(rd.from_arrow(synth_media_table(50, seed=42)), "fake", 16).to_pandas()
+    assert feats.sort_values("media_id")["n_bytes"].tolist() == feats2.sort_values("media_id")["n_bytes"].tolist()
+    frames = sample_frames(media, n_frames=4).to_pandas()
+    assert len(frames) == 200
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(decoder="real")
