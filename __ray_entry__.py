@@ -4,41 +4,386 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Oracle design notes:
+  * "plain mode" tokenization (lowercase + maximal [a-z0-9] runs,
+    conformance/lexer.py:tokenize_plain) is chosen for the SQL-checked
+    queries because it is exactly ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')`` in DuckDB.  The stemmed/stop-filtered conformance chain
+    (reference lexer.rs:66-128) is not SQL-expressible → those queries are
+    rows-only and are instead pinned by the in-repo spec tests
+    (tests/test_conformance.py, test_index_e2e.py).
+  * SQL-checked outputs are integers / timestamps / strings only: float
+    aggregates are summed in nondeterministic order on both engines and
+    would hash-mismatch at the last bit.  Per-row float ratios/scores stay
+    in the rows-only queries.
+  * ``index_term_df`` / ``index_postings`` / ``index_docmap`` run the REAL
+    distributed index build (salted shuffle + codec) and diff its decoded
+    contents against SQL recomputation — the strongest oracle here.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Fixed probe terms for posting-list diffs: present at every sf (the synthetic
+# documents vocabulary), mixed frequencies.
+_PROBE_TERMS = ["batch", "customer", "join", "window", "vector"]
+# Fixed reference query set for the search engines (rows-only checks).
+_SEARCH_QUERIES = ["batch window", "customer join fast", "data stream sort table"]
+_ANN_NQ = 5
+_ANN_K = 10
+
+_PLAIN_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------------------- index cache
+
+_BUILT: dict[tuple[str, str], str] = {}
+
+
+def _index_dir_for(sf_dir: str, mode: str) -> str:
+    """Build (once per process) a real index over sf_dir/documents.parquet."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    key = (os.path.abspath(sf_dir), mode)
+    cached = _BUILT.get(key)
+    if cached and os.path.exists(os.path.join(cached, "manifest.json")):
+        return cached
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    out = f"/tmp/indexer_ray_entry/{tag}_{mode}/index"
+    build_index(
+        [os.path.join(sf_dir, "documents.parquet")],
+        out,
+        BuildConfig(mode=mode, id_column="doc_id", n_partitions=8),
+    )
+    _BUILT[key] = out
+    return out
+
+
+def _searcher(sf_dir: str, mode: str):
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    return IndexSearcher(_index_dir_for(sf_dir, mode))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_term_stats(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import term_stats
+
+    return term_stats(_docs(sf_dir), mode="plain")
+
+
+def _q_doc_token_stats(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import doc_token_stats
+
+    return doc_token_stats(_docs(sf_dir), mode="plain").select_columns(
+        ["doc_id", "n_tokens", "n_unique"]
+    )
+
+
+def _q_quality_counts(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import quality_counts
+
+    return quality_counts(_docs(sf_dir))
+
+
+def _q_exact_duplicates(sf_dir: str):
+    from indexer_ray.pipelines.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(sf_dir)).select_columns(["keep_doc_id", "dup_count"])
+
+
+def _q_lang_source_stats(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import lang_source_stats
+
+    return lang_source_stats(_docs(sf_dir)).select_columns(
+        ["lang", "source", "n_docs", "sum_chars", "max_chars"]
+    )
+
+
+def _q_events_tumbling(sf_dir: str):
+    from indexer_ray.pipelines.events import tumbling_window_stats
+
+    return tumbling_window_stats(_events(sf_dir), window="hour").select_columns(
+        ["window_start", "event_type", "n_events"]
+    )
+
+
+def _q_events_sessionize(sf_dir: str):
+    from indexer_ray.pipelines.events import sessionize
+
+    df = sessionize(_events(sf_dir), gap_minutes=30.0).to_pandas()
+    return df.astype({"session_idx": "int64", "n_events": "int64"})
+
+
+def _q_index_term_df(sf_dir: str):
+    """Global (term, df) read back from the built plain-mode index dict."""
+    idx = _index_dir_for(sf_dir, "plain")
+    files = sorted(glob.glob(os.path.join(idx, "parts", "*", "dict.parquet")))
+    t = pq.read_table(files, columns=["term", "df"])
+    df = t.to_pandas().groupby("term", as_index=False)["df"].sum()
+    return pd.DataFrame({"term": df["term"], "df": df["df"].astype("int64")})
+
+
+def _q_index_postings(sf_dir: str):
+    """Decoded posting lists of the probe terms from the built index."""
+    s = _searcher(sf_dir, "plain")
+    terms, doc_ids, tfs = [], [], []
+    for term in _PROBE_TERMS:
+        d, t = s.term_postings(term)
+        terms.extend([term] * len(d))
+        doc_ids.extend(int(x) for x in d)
+        tfs.extend(int(x) for x in t)
+    return pd.DataFrame(
+        {
+            "term": pd.Series(terms, dtype="object"),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "tf": pd.Series(tfs, dtype="int64"),
+        }
+    )
+
+
+def _q_index_docmap(sf_dir: str):
+    """(doc_id, doc_len) from the build's docmap side-output."""
+    idx = _index_dir_for(sf_dir, "plain")
+    files = sorted(glob.glob(os.path.join(idx, "docmap", "*.parquet")))
+    t = pq.read_table(files, columns=["doc_id", "doc_len"])
+    return pd.DataFrame(
+        {
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False).astype("int64"),
+            "doc_len": t.column("doc_len").to_numpy(zero_copy_only=False).astype("int64"),
+        }
+    )
+
+
+def _topk_frame(s, scorer: str, algorithm: str) -> pd.DataFrame:
+    rows = []
+    for qi, q in enumerate(_SEARCH_QUERIES):
+        for rank, (doc_id, score) in enumerate(
+            s.search(q, k=10, scorer=scorer, algorithm=algorithm)
+        ):
+            rows.append((qi, rank, int(doc_id), float(score)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+
+
+def _q_search_tfidf(sf_dir: str):
+    return _topk_frame(_searcher(sf_dir, "conformance"), "tfidf", "exhaustive")
+
+
+def _q_search_bm25_wand(sf_dir: str):
+    return _topk_frame(_searcher(sf_dir, "conformance"), "bm25", "wand")
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from indexer_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from indexer_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    from indexer_ray.pipelines.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(sf_dir), cosine_threshold=0.9)
+
+
+def _ann_queries(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(_ANN_NQ)
+    return np.stack(df["embedding"].to_numpy())
+
+
+def _q_ann_brute(sf_dir: str):
+    from indexer_ray.pipelines.ann import ann_brute_topk
+
+    out = ann_brute_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _q_ann_lsh(sf_dir: str):
+    from indexer_ray.pipelines.ann import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
+
+
+def _q_language_id(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import decode_features, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(200, seed=42))
+    return decode_features(media, decoder="fake", feat_dim=16)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: distributed inverted-index
+    build over the documents table (conformance tokenizer chain, salted
+    groupby-term shuffle, delta+varbyte block codec) + block-max-WAND BM25
+    and conformance-TFIDF top-k on the fixed query set."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(sf_dir, "conformance")
+    tfidf = _topk_frame(s, "tfidf", "exhaustive").assign(scorer="tfidf")
+    bm25 = _topk_frame(s, "bm25", "wand").assign(scorer="bm25")
+    return pd.concat([tfidf, bm25], ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-checked
+        "term_stats_plain": _q_term_stats,
+        "doc_token_stats_plain": _q_doc_token_stats,
+        "quality_counts": _q_quality_counts,
+        "exact_duplicates": _q_exact_duplicates,
+        "lang_source_stats": _q_lang_source_stats,
+        "events_tumbling_hour": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
+        "index_term_df": _q_index_term_df,
+        "index_postings": _q_index_postings,
+        "index_docmap": _q_index_docmap,
+        "ann_brute_topk": _q_ann_brute,
+        # rows-only (stemming / hashing / model scoring: not SQL-expressible)
+        "search_tfidf_topk": _q_search_tfidf,
+        "search_bm25_wand_topk": _q_search_bm25_wand,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_dedup_pairs": _q_simhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "language_id": _q_language_id,
+        "doc_fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS_CTE = f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    probe = ", ".join(f"'{t}'" for t in _PROBE_TERMS)
+    return {
+        "term_stats_plain": f"""{_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term""",
+        "doc_token_stats_plain": f"""{_TOKS_CTE}
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.n_unique, 0) AS BIGINT) AS n_unique
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique
+  FROM toks GROUP BY doc_id
+) t USING (doc_id)""",
+        "quality_counts": f"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_PLAIN_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM documents""",
+        "exact_duplicates": """SELECT min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY text""",
+        "lang_source_stats": """SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source""",
+        "events_tumbling_hour": """SELECT date_trunc('hour', ts) AS window_start,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2""",
+        "events_sessionize": """WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_idx""",
+        "index_term_df": f"""{_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term""",
+        "index_postings": f"""{_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf
+FROM toks WHERE term IN ({probe})
+GROUP BY term, doc_id""",
+        "index_docmap": f"""SELECT doc_id,
+       CAST(len({_PLAIN_TOKS}) AS BIGINT) AS doc_len
+FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
+        "ann_brute_topk": f"""WITH q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) - 1 AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < {_ANN_K}""",
+    }

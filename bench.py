@@ -1,0 +1,181 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS cpus (default 32).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+`--scaling` runs the headline index build twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (thr32/thr8)/(32/8); this is the sandbox
+evidence for the north rule's two-cluster-size criterion (no real cluster
+available — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/indexer_ray_bench"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    base = os.path.basename(os.path.abspath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return base
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Headline pipelines, each timed end-to-end (lazy Datasets are forced
+    with materialize/count so the timing covers execution)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines import ann, dedup, events, text_analysis
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        out[name] = round(time.monotonic() - t0, 4)
+
+    # 1. flagship: full index build (conformance chain) over documents
+    idx = os.path.join(SCRATCH, "index_conformance")
+    shutil.rmtree(idx, ignore_errors=True)
+    timed(
+        "index_build",
+        lambda: build_index(
+            [docs_path], idx, BuildConfig(mode="conformance", id_column="doc_id", n_partitions=32)
+        ),
+    )
+
+    # 2. query latency: 200 searches (bm25+wand), p95 in seconds
+    s = IndexSearcher(idx)
+    queries = ["batch window", "customer join fast", "data stream sort table", "vector scan"]
+    lat = []
+    for i in range(200):
+        q = queries[i % len(queries)]
+        t0 = time.monotonic()
+        s.search(q, k=10, scorer="bm25", algorithm="wand")
+        lat.append(time.monotonic() - t0)
+    lat.sort()
+    out["query_p95"] = round(lat[int(0.95 * len(lat))], 6)
+
+    docs = rd.read_parquet(docs_path)
+    timed("term_stats", lambda: text_analysis.term_stats(docs, mode="plain").materialize())
+    timed("minhash_dedup", lambda: dedup.minhash_lsh_pairs(rd.read_parquet(docs_path)))
+    timed("simhash_dedup", lambda: dedup.simhash_pairs(rd.read_parquet(docs_path)))
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(emb_path)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas().head(8)
+    Q = np.stack(t["embedding"].to_numpy())
+    timed("ann_brute", lambda: ann.ann_brute_topk(emb, Q, k=10))
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    timed("events_window", lambda: events.tumbling_window_stats(ev).materialize())
+    return out
+
+
+def run_single(num_cpus: int, sf_dir: str) -> dict:
+    _init_ray(num_cpus)
+    queries = bench_queries(sf_dir)
+    return {
+        "metric": "indexer_ray headline pipelines wall time",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
+def _build_only(num_cpus: int, sf_dir: str, out_dir: str) -> dict:
+    """Subprocess body for --scaling: one fresh-process index build."""
+    _init_ray(num_cpus)
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    m = build_index(
+        [docs_path], out_dir, BuildConfig(mode="conformance", id_column="doc_id", n_partitions=32)
+    )
+    elapsed = time.monotonic() - t0
+    return {
+        "num_cpus": num_cpus,
+        "elapsed_sec": round(elapsed, 4),
+        "n_docs": m.n_docs,
+        "docs_per_sec": round(m.n_docs / elapsed, 2),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    runs = []
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only", str(n)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling run num_cpus={n} failed:\n{proc.stderr[-2000:]}")
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    thr_lo, thr_hi = runs[0]["docs_per_sec"], runs[1]["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (fresh processes, same input)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {
+            f"build_docs_per_sec_cpus{lo}": thr_lo,
+            f"build_docs_per_sec_cpus{hi}": thr_hi,
+            f"build_sec_cpus{lo}": runs[0]["elapsed_sec"],
+            f"build_sec_cpus{hi}": runs[1]["elapsed_sec"],
+        },
+        "sf": _sf_label(sf_dir),
+        "num_cpus": hi,
+    }
+
+
+def main() -> None:
+    if "--build-only" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--build-only") + 1])
+        result = _build_only(n, SF_DIR, os.path.join(SCRATCH, f"scaling_cpus{n}"))
+    elif "--scaling" in sys.argv:
+        result = run_scaling(SF_DIR)
+    else:
+        result = run_single(NUM_CPUS, SF_DIR)
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,13 +42,20 @@ def _hash64_bytes(b: bytes) -> int:
 
 
 def _content_hash_batch(batch: pa.Table, key: str) -> pa.Table:
+    # int64 (signed view of the 64-bit digest): uint64 keys above 2^63 force
+    # Ray's groupby key handling into a pickled-object fallback path
     hashes = [
-        _hash64_bytes((v or "").encode("utf-8")) for v in batch.column(key).to_pylist()
+        int.from_bytes(
+            hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest(),
+            "big",
+            signed=True,
+        )
+        for v in batch.column(key).to_pylist()
     ]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "content_hash": pa.array(hashes, type=pa.uint64()),
+            "content_hash": pa.array(hashes, type=pa.int64()),
         }
     )
 

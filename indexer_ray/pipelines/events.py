@@ -18,7 +18,9 @@ import pyarrow.compute as pc
 
 def _tumble_batch(batch: pa.Table, window: str) -> pa.Table:
     ts = batch.column("ts")
-    bucket = pc.floor_temporal(ts, unit=window)
+    # keep timestamp[us] through the pandas round-trip (floor_temporal +
+    # from_pandas otherwise coerce to [s]/[ns], breaking oracle schema parity)
+    bucket = pc.floor_temporal(ts, unit=window).cast(pa.timestamp("us"))
     t = batch.set_column(batch.schema.get_field_index("ts"), "window_start", bucket)
     df = t.select(["window_start", "event_type", "value"]).to_pandas()
     g = (
@@ -36,9 +38,17 @@ def tumbling_window_stats(events_ds, window: str = "hour"):
     partial = events_ds.map_batches(
         lambda b: _tumble_batch(b, window), batch_format="pyarrow", batch_size=8192
     )
-    return partial.groupby(["window_start", "event_type"]).aggregate(
+    agg = partial.groupby(["window_start", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
+
+    # Ray's aggregate normalizes hour-aligned timestamps to timestamp[s];
+    # restore [us] so the output schema matches the input ts unit.
+    def _fix_unit(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start", b.column("window_start").cast(pa.timestamp("us")))
+
+    return agg.map_batches(_fix_unit, batch_format="pyarrow")
 
 
 def sessionize(events_ds, gap_minutes: float = 30.0):

@@ -286,6 +286,18 @@ class IndexSearcher:
         order = np.lexsort((heap_docs, -heap_scores))[:k]
         return [(int(d), float(s)) for d, s in zip(heap_docs[order], heap_scores[order])]
 
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded global posting list for one ALREADY-tokenized term:
+        (doc_ids, tfs) in doc_id order (S8 analogue, decoded via the block
+        codec; used by the driver oracle to diff the built index against
+        SQL-computed term frequencies)."""
+        tb = self._load_term_blocks(term)
+        if tb is None:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        doc_ids, tfs, _, _ = decode_blocks(tb.payloads, tb.n, tb.first)
+        order = np.argsort(doc_ids, kind="stable")
+        return doc_ids[order], tfs[order]
+
     # ---- resolution (Q5 analogue: doc_id -> url via docmap) ----
 
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:

@@ -201,6 +201,37 @@ def quality_scores(ds):
     return ds.map_batches(_quality_batch, batch_format="pyarrow", batch_size=2048)
 
 
+_ASCII_DIGITS = frozenset("0123456789")
+_ASCII_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _quality_counts_batch(batch: pa.Table) -> pa.Table:
+    """Integer-only quality counts with explicit ASCII character classes so
+    the DuckDB oracle ([0-9] / [a-zA-Z] regex counts) matches exactly."""
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, n_digit, n_alpha = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        n_tokens.append(len(tokenize_plain(t)))
+        n_digit.append(sum(1 for c in t if c in _ASCII_DIGITS))
+        n_alpha.append(sum(1 for c in t if c in _ASCII_ALPHA))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_digit": pa.array(n_digit, type=pa.int64()),
+            "n_alpha": pa.array(n_alpha, type=pa.int64()),
+        }
+    )
+
+
+def quality_counts(ds):
+    """SQL-expressible integer quality counts per doc."""
+    return ds.map_batches(_quality_counts_batch, batch_format="pyarrow", batch_size=2048)
+
+
 # ------------------------------------------------------- doc fingerprinting
 
 _FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
