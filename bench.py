@@ -112,16 +112,54 @@ def run_single(num_cpus: int, sf_dir: str) -> dict:
     }
 
 
-def _build_only(num_cpus: int, sf_dir: str, out_dir: str) -> dict:
-    """Subprocess body for --scaling: one fresh-process index build."""
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1200000"))
+
+
+def _pages_corpus(n_rows: int, rows_per_file: int = 12_500) -> str:
+    """Deterministic synthetic pages corpus (BASELINE.json input_hint shape:
+    url, warc_ts, html, text, lang), sharded so reads parallelize; cached
+    across runs (content is a pure function of (seed, row index))."""
+    import glob as _glob
+
+    out_dir = os.path.join(SCRATCH, f"pages_{n_rows}")
+    expected = -(-n_rows // rows_per_file)
+    if len(_glob.glob(os.path.join(out_dir, "*.parquet"))) != expected:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        import ray
+
+        from indexer_ray.sources.pages import generate_pages_dir_parallel
+
+        owned = not ray.is_initialized()
+        if owned:
+            ray.init(address="local", include_dashboard=False)
+        generate_pages_dir_parallel(out_dir, n_rows, rows_per_file=rows_per_file)
+        if owned:
+            ray.shutdown()
+    return out_dir
+
+
+def _build_only(num_cpus: int, corpus_dir: str, out_dir: str) -> dict:
+    """Subprocess body for --scaling: one fresh-process index build over the
+    pages corpus (html->text already extracted; conformance tokenizer).
+
+    A small warmup build runs first so the timed run measures steady-state
+    throughput, not Ray worker-process provisioning — the cluster-boot
+    analogue a real N-node deployment also excludes from docs/s."""
     _init_ray(num_cpus)
+    import glob as _glob
+
     from indexer_ray.pipelines.build import BuildConfig, build_index
 
-    docs_path = os.path.join(sf_dir, "documents.parquet")
+    shards = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    warm_dir = out_dir + "_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(shards[:1], warm_dir, BuildConfig(mode="conformance", source="text", n_partitions=8))
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
     m = build_index(
-        [docs_path], out_dir, BuildConfig(mode="conformance", id_column="doc_id", n_partitions=32)
+        shards, out_dir, BuildConfig(mode="conformance", source="text", n_partitions=64)
     )
     elapsed = time.monotonic() - t0
     return {
@@ -133,13 +171,14 @@ def _build_only(num_cpus: int, sf_dir: str, out_dir: str) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    corpus = _pages_corpus(SCALING_ROWS)
     runs = []
     for n in (lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--build-only", str(n)],
             capture_output=True,
             text=True,
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir, "GRAFT_SCALING_DIR": corpus},
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if proc.returncode != 0:
@@ -165,7 +204,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def main() -> None:
     if "--build-only" in sys.argv:
         n = int(sys.argv[sys.argv.index("--build-only") + 1])
-        result = _build_only(n, SF_DIR, os.path.join(SCRATCH, f"scaling_cpus{n}"))
+        corpus = os.environ.get("GRAFT_SCALING_DIR") or _pages_corpus(SCALING_ROWS)
+        result = _build_only(n, corpus, os.path.join(SCRATCH, f"scaling_cpus{n}"))
     elif "--scaling" in sys.argv:
         result = run_scaling(SF_DIR)
     else:

@@ -80,7 +80,7 @@ class BuildConfig:
     target_run_postings: int = 1 << 20  # max postings per (term, salt) run
     max_salts: int = 64
     # execution
-    batch_size: int = 2048
+    batch_size: int = 8192  # upper clamp; builds target ~4 map tasks/cpu
     tokenize_actors: tuple[int, int] | int | None = None  # None -> autoscale
     keep_raw: bool = False
     verify_doc_ids: bool = True
@@ -148,17 +148,67 @@ def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -
     return hot
 
 
+_TERM_HASH_MEMO: dict[str, int] = {}
+
+
+def _chunk_term_hashes(
+    chunk: pa.Array, memo: dict[str, int], seen: set[str] | None = None
+) -> np.ndarray:
+    """uint64 hash per row of a term chunk, hashing each DISTINCT term once.
+
+    Parquet already dictionary-encodes the term column; we read it back as
+    DictionaryArray so only the (small, Zipf-headed) per-chunk vocabulary is
+    hashed in Python — the per-row work is a single numpy gather.  This keeps
+    phase 2 free of per-posting string handling (the previous
+    dictionary_encode + object-dtype vocab sort was the dominant cost AND the
+    main memory-bandwidth contender under high task concurrency)."""
+    from indexer_ray.functions.hashing import hash64_str
+
+    if isinstance(chunk, pa.DictionaryArray):
+        dict_vals = chunk.dictionary.to_pylist()
+        if seen is not None:
+            seen.update(dict_vals)
+        lut = np.empty(len(dict_vals), dtype=np.uint64)
+        for i, t in enumerate(dict_vals):
+            h = memo.get(t)
+            if h is None:
+                h = hash64_str(t)
+                memo[t] = h
+            lut[i] = h
+        idx = chunk.indices.to_numpy(zero_copy_only=False)
+        return lut[idx]
+    vals = chunk.to_pylist()
+    if seen is not None:
+        seen.update(vals)
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, t in enumerate(vals):
+        h = memo.get(t)
+        if h is None:
+            h = hash64_str(t)
+            memo[t] = h
+        out[i] = h
+    return out
+
+
 def encode_partition(
     index_dir: str, raw_root: str, part_id: int, block_size: int
 ) -> dict[str, Any]:
-    """Phase-2 body: one partition raw -> encoded blocks + dict (pure)."""
+    """Phase-2 body: one partition raw -> encoded blocks + dict (pure).
+
+    Terms are grouped by their 64-bit hash (numeric lexsort; dict/blocks are
+    stored in hash order — lookups are point queries, so no order is needed).
+    Collisions would merge two terms' postings: probability ~V²/2^65 (~3e-8
+    for a 1M-term partition); detected below by comparing distinct-hash vs
+    distinct-string counts and raised loudly rather than silently merged."""
     t0 = time.monotonic()
     pdir = os.path.join(raw_root, f"part_id={part_id}")
     files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
     out_dir = part_dir(index_dir, part_id)
     os.makedirs(out_dir, exist_ok=True)
     if files:
-        tbl = pq.read_table(files, columns=["term", "doc_id", "tf", "dl"])
+        tbl = pq.read_table(
+            files, columns=["term", "doc_id", "tf", "dl"], read_dictionary=["term"]
+        )
     else:
         tbl = pa.table(
             {
@@ -168,47 +218,42 @@ def encode_partition(
                 "dl": pa.array([], type=pa.uint32()),
             }
         )
+    memo: dict[str, int] = _TERM_HASH_MEMO
+    part_terms: set[str] = set()
     term_col = tbl.column("term")
-    denc = term_col.combine_chunks().dictionary_encode()
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vocab, kind="stable")  # lexicographic vocab order
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    sorted_codes = rank[codes] if len(codes) else codes
+    if term_col.num_chunks:
+        thash = np.concatenate(
+            [_chunk_term_hashes(c, memo, part_terms) for c in term_col.chunks]
+        )
+    else:
+        thash = np.empty(0, dtype=np.uint64)
     doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
     dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.uint64)
-    perm = np.lexsort((doc_ids, sorted_codes))
-    sorted_codes, doc_ids, tf, dl = (
-        sorted_codes[perm],
-        doc_ids[perm],
-        tf[perm],
-        dl[perm],
-    )
+    perm = np.lexsort((doc_ids, thash))
+    thash, doc_ids, tf, dl = thash[perm], doc_ids[perm], tf[perm], dl[perm]
     # dedup (term, doc_id): duplicates only arise from retried phase-1 tasks
     # rewriting a batch; duplicate rows are identical, keep the first.
     if len(doc_ids):
-        keep = np.r_[True, (sorted_codes[1:] != sorted_codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])]
+        keep = np.r_[True, (thash[1:] != thash[:-1]) | (doc_ids[1:] != doc_ids[:-1])]
         n_dups = int((~keep).sum())
         if n_dups:
-            sorted_codes, doc_ids, tf, dl = (
-                sorted_codes[keep],
-                doc_ids[keep],
-                tf[keep],
-                dl[keep],
-            )
+            thash, doc_ids, tf, dl = thash[keep], doc_ids[keep], tf[keep], dl[keep]
     else:
         n_dups = 0
 
-    cols = encode_term_postings(sorted_codes, doc_ids, tf, dl, block_size=block_size)
-    sorted_vocab = vocab[order] if len(vocab) else vocab
+    hash2term = {h: t for t, h in memo.items()}
+    n_distinct_hashes = int((np.r_[True, thash[1:] != thash[:-1]]).sum()) if len(thash) else 0
+    if n_distinct_hashes != len(part_terms):
+        raise RuntimeError(
+            f"term-hash collision in partition {part_id}: "
+            f"{len(part_terms)} distinct terms -> {n_distinct_hashes} hashes; "
+            "widen the digest (functions/hashing.py)"
+        )
+
+    cols = encode_term_postings(thash, doc_ids, tf, dl, block_size=block_size)
     block_terms = pa.array(
-        sorted_vocab[np.asarray(cols["term_code"], dtype=np.int64)]
-        if len(cols["term_code"])
-        else [],
+        [hash2term[h] for h in np.asarray(cols["term_code"], dtype=np.uint64)],
         type=pa.string(),
     )
     blocks = pa.table(
@@ -224,14 +269,17 @@ def encode_partition(
             "payload": cols["payload"],
         }
     )
+    # postings were grouped by term HASH; re-sort the (small) block table
+    # alphabetically so parquet row-group stats prune term point-lookups
+    blocks = blocks.sort_by([("term", "ascending"), ("block_id", "ascending")])
     pq.write_table(blocks, os.path.join(out_dir, "blocks.parquet"), row_group_size=16384)
     # per-term dict: df (postings in THIS partition), cf, n_blocks
-    if len(sorted_codes):
-        t_starts = np.flatnonzero(np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
-        t_ends = np.r_[t_starts[1:], len(sorted_codes)]
+    if len(thash):
+        t_starts = np.flatnonzero(np.r_[True, thash[1:] != thash[:-1]])
+        t_ends = np.r_[t_starts[1:], len(thash)]
         dict_tbl = pa.table(
             {
-                "term": pa.array(sorted_vocab[sorted_codes[t_starts]], type=pa.string()),
+                "term": pa.array([hash2term[h] for h in thash[t_starts]], type=pa.string()),
                 "df": pa.array((t_ends - t_starts).astype(np.uint64), type=pa.uint64()),
                 "cf": pa.array(np.add.reduceat(tf, t_starts).astype(np.uint64), type=pa.uint64()),
             }
@@ -244,6 +292,7 @@ def encode_partition(
                 "cf": pa.array([], type=pa.uint64()),
             }
         )
+    dict_tbl = dict_tbl.sort_by([("term", "ascending")])
     pq.write_table(dict_tbl, os.path.join(out_dir, "dict.parquet"), row_group_size=16384)
     meta = {
         "part_id": part_id,
@@ -259,23 +308,22 @@ def encode_partition(
     return meta
 
 
-class _EncodePartitionTask:
-    """map_batches body over partition-descriptor rows (phase 2)."""
-
-    def __init__(self, index_dir: str, raw_root: str, block_size: int):
-        self.index_dir, self.raw_root, self.block_size = index_dir, raw_root, block_size
-
-    def __call__(self, batch: dict) -> dict:
-        metas = []
-        for pid in batch["part_id"]:
-            m = encode_partition(self.index_dir, self.raw_root, int(pid), self.block_size)
-            metas.append(m)
-        return {
-            "part_id": np.array([m["part_id"] for m in metas], dtype=np.int64),
-            "n_postings": np.array([m["n_postings"] for m in metas], dtype=np.int64),
-            "n_terms": np.array([m["n_terms"] for m in metas], dtype=np.int64),
-            "n_blocks": np.array([m["n_blocks"] for m in metas], dtype=np.int64),
-        }
+def _encode_partition_batch(
+    batch: dict, index_dir: str, raw_root: str, block_size: int
+) -> dict:
+    """map_batches body over partition-descriptor rows (phase 2).  A plain
+    function -> stateless Ray tasks: no actor-pool startup cost, and encode
+    tasks start the moment a cpu frees up."""
+    metas = []
+    for pid in batch["part_id"]:
+        m = encode_partition(index_dir, raw_root, int(pid), block_size)
+        metas.append(m)
+    return {
+        "part_id": np.array([m["part_id"] for m in metas], dtype=np.int64),
+        "n_postings": np.array([m["n_postings"] for m in metas], dtype=np.int64),
+        "n_terms": np.array([m["n_terms"] for m in metas], dtype=np.int64),
+        "n_blocks": np.array([m["n_blocks"] for m in metas], dtype=np.int64),
+    }
 
 
 def _docmap_stats(docmap_dir: str) -> tuple[int, int]:
@@ -345,12 +393,23 @@ def build_index(
     if not progress.get("phase1_complete"):
         ds = rd.read_parquet(paths, columns=_input_columns(cfg))
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = cfg.tokenize_actors or (1, max(2, n_cpus))
+        # Task granularity: Ray sizes map tasks at ~max(block rows, batch
+        # rows), so clamp batch_size to ~corpus/(4*cpus) rows — small corpora
+        # then still fan out across every cpu, while at web scale the clamp
+        # is a no-op (read_parquet already splits files into many blocks).
+        eff_batch = int(np.clip(n_docs_estimate // (4 * n_cpus), 64, cfg.batch_size))
+        # Actor pool: leave >=2 cpus for read/write tasks (a pool sized to
+        # the whole cluster starves its own input and deadlocks), and
+        # pre-start roughly one actor per 4 pending tasks — demand-driven
+        # ramp-up otherwise wastes most of the run on short jobs.
+        max_actors = max(2, n_cpus - 2)
+        min_actors = int(np.clip(n_docs_estimate // (4 * eff_batch), 1, max_actors))
+        concurrency = cfg.tokenize_actors or (min_actors, max_actors)
         postings = ds.map_batches(
             TokenizeStage,
             fn_constructor_args=(cfg.tokenizer_config(hot_terms, docmap_dir),),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=eff_batch,
             concurrency=concurrency,
             num_cpus=1,
         )
@@ -369,10 +428,9 @@ def build_index(
     pending = [p for p in all_parts if not part_complete(index_dir, p)]
     if pending:
         rd.from_items([{"part_id": p} for p in pending]).map_batches(
-            _EncodePartitionTask,
-            fn_constructor_args=(index_dir, raw_root, cfg.block_size),
+            _encode_partition_batch,
+            fn_args=(index_dir, raw_root, cfg.block_size),
             batch_size=1,
-            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
             num_cpus=1,
         ).materialize()
     progress["phase2_sec"] = round(time.monotonic() - t2, 3)

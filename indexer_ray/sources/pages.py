@@ -186,6 +186,31 @@ def generate_pages_dir(
     return paths
 
 
+def generate_pages_dir_parallel(
+    out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 50_000
+) -> list[str]:
+    """Parallel shard generation via Ray tasks (shards are pure functions of
+    (seed, row range), so this is byte-identical to the sequential path).
+    Requires an initialised Ray session; falls back to sequential without."""
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        return generate_pages_dir(out_dir, n_rows, seed=seed, rows_per_file=rows_per_file)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _gen(path: str, rows: int, start: int) -> str:
+        return generate_pages_parquet(path, rows, seed=seed, start=start)
+
+    refs = []
+    for s in range(0, n_rows, rows_per_file):
+        p = os.path.join(out_dir, f"pages-{s:012d}.parquet")
+        refs.append(_gen.remote(p, min(rows_per_file, n_rows - s), s))
+    return ray.get(refs)
+
+
 def reference_queries() -> list[dict]:
     """The fixed reference query set (FIXTURES.md F2)."""
     vocab, _ = _tables()

@@ -47,9 +47,18 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
 def varint_sizes(values: np.ndarray) -> np.ndarray:
-    """Byte length of each value's LEB128 encoding (1..10)."""
+    """Byte length of each value's LEB128 encoding (1..10).
+
+    Comparison-chain instead of searchsorted: posting gaps/tfs/dls are small,
+    so the loop exits after 1-3 cheap vector compares."""
     v = values.astype(np.uint64, copy=False)
-    return (1 + np.searchsorted(_THRESHOLDS, v, side="right")).astype(np.int64)
+    sizes = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        over = v >= t
+        if not over.any():
+            break
+        sizes += over
+    return sizes
 
 
 def encode_varints(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -175,7 +184,7 @@ def encode_term_postings(
     min_dl = np.minimum.reduceat(dls, block_starts).astype(np.uint32)
     sum_tf = np.add.reduceat(tfs, block_starts).astype(np.uint64)
     return {
-        "term_code": term_codes[block_starts].astype(np.int64),
+        "term_code": term_codes[block_starts],  # caller's dtype (code or hash)
         "block_id": block_of[block_starts].astype(np.uint32),
         "first_doc_id": doc_ids[block_starts],
         "last_doc_id": doc_ids[block_ends - 1],

@@ -1,0 +1,84 @@
+"""Extractor-registry conformance tests (reference parsers.rs; SURVEY.md
+§2.1 S3/S4, §2.2 P1-P5 and quirks Q1/Q2)."""
+
+import pytest
+
+from indexer_ray.functions.extractors import (
+    extract_csv,
+    extract_pdf,
+    extract_txt,
+    extract_xml,
+    get_extractor,
+    register_extractor,
+    registered_types,
+)
+
+
+class TestCsv:
+    def test_header_row_skipped_fields_fused(self):
+        # csv::Reader default has_headers=true; fields concatenated with NO
+        # separator (parsers.rs:61-63, quirk Q1): "abc","def" -> "abcdef"
+        data = "h1,h2\nabc,def\nghi,jkl\n"
+        assert extract_csv(data) == "abcdefghijkl"
+
+    def test_field_count_mismatch_record_skipped(self):
+        data = "h1,h2\na,b\nonlyone\nc,d\n"
+        assert extract_csv(data) == "abcd"
+
+    def test_quoted_fields(self):
+        data = 'h1,h2\n"hello, world",x\n'
+        assert extract_csv(data) == "hello, worldx"
+
+    def test_empty_and_header_only(self):
+        assert extract_csv("") == ""
+        assert extract_csv("h1,h2\n") == ""
+
+    def test_undecodable_returns_none(self):
+        assert extract_csv(b"\xff\xfe\x00bad") is None
+
+
+class TestXml:
+    def test_text_nodes_only(self):
+        data = "<root><a>Hello</a><b attr='x'>World</b></root>"
+        assert extract_xml(data) == "Hello World"
+
+    def test_interelement_whitespace_not_indexed(self):
+        data = "<root>\n  <a>one</a>\n  <b>two</b>\n</root>"
+        assert extract_xml(data) == "one two"
+
+    def test_nested_document_order(self):
+        data = "<r>first<inner>second</inner>third</r>"
+        assert extract_xml(data) == "first second third"
+
+    def test_parse_error_keeps_prefix(self):
+        # reference keeps tokens collected before a per-event error
+        # (parsers.rs:163-168); expat stops at the first error
+        data = "<r><a>kept</a><broken</r>"
+        assert "kept" in (extract_xml(data) or "")
+
+
+class TestRegistry:
+    def test_registered_types(self):
+        assert {"txt", "md", "csv", "html", "xhtml", "xml", "pdf"} <= set(registered_types())
+
+    def test_unregistered_type_is_none(self):
+        # extension filter: unknown types are dropped (lib.rs:239-249, S4)
+        assert get_extractor("docx") is None
+
+    def test_register_custom(self):
+        register_extractor("rot13", lambda b: "x")
+        assert get_extractor("rot13")("anything") == "x"
+
+    def test_txt_passthrough(self):
+        assert extract_txt("Hello World") == "Hello World"
+        assert extract_txt("Hello".encode()) == "Hello"
+        assert extract_txt(b"\xff\xfe") is None
+
+    def test_pdf_slot_documents_integration_point(self):
+        with pytest.raises(NotImplementedError):
+            extract_pdf(b"%PDF-1.4")
+
+    def test_html_is_markup_serialization(self):
+        # quirk Q2: html "text" is the serialized markup, tags included
+        html = b"<html><body><p>hi</p></body></html>"
+        assert get_extractor("html")(html) == "<html><body><p>hi</p></body></html>"
