@@ -1,0 +1,166 @@
+"""Command-line driver: ``python -m indexer_ray {index,search,serve}``.
+
+Mirrors the reference's CLI surface (main.rs:38-89) where it still makes
+sense for a parquet-corpus engine:
+
+  index   — reference `index --path --output --hidden --skip-paths`
+            (main.rs:41-64): here the corpus is parquet files/dirs, so
+            `--path` takes parquet paths; `--skip-paths` filters input
+            files by basename; hidden-file semantics don't apply to a
+            columnar corpus and are dropped (SURVEY.md Q10: n/a).
+  search  — reference `search --index --query --output --count`
+            (main.rs:66-79): prints "score: url" lines (main.rs:200-207);
+            `--output` writes one result per LINE — the reference's
+            separator-less file join (main.rs:208-209, quirk Q12) is
+            consciously not replicated.
+  serve   — reference `serve --index --port` (main.rs:80-89): a minimal
+            stdlib HTTP loop over a warmed searcher: GET / -> search form,
+            POST /query -> newline-joined urls (scores dropped, matching
+            server.rs:70-75).
+
+The CLI owns its Ray session (the library never calls ray.init; the
+`__ray_entry__` driver contract owns the session there).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def _resolve_inputs(path: str, skip: list[str]) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
+    skipset = set(skip or [])
+    return [f for f in files if os.path.basename(f) not in skipset]
+
+
+def cmd_index(args) -> int:
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    files = _resolve_inputs(args.path, args.skip_paths)
+    if not files:
+        print("no parquet inputs found", file=sys.stderr)
+        return 1
+    _init_ray()
+    cfg = BuildConfig(
+        mode=args.mode,
+        source=args.source,
+        n_partitions=args.partitions,
+        id_column=args.id_column,
+    )
+    m = build_index(files, args.output, cfg, resume=args.resume)
+    total_postings = sum(p["n_postings"] for p in m.partitions.values())
+    print(f"Indexed {m.n_docs} docs, {total_postings} postings, {m.n_partitions} partitions -> {args.output}")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    s = IndexSearcher(args.index)
+    hits = s.search_urls(args.query, k=args.count, scorer=args.scorer, algorithm=args.algorithm)
+    lines = [f"{score}: {url}" for url, score in hits]
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    else:
+        for line in lines:
+            print(line)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    searcher = IndexSearcher(args.index)
+    page = (
+        b"<!doctype html><html><body><h1>indexer_ray</h1>"
+        b"<form method='post' action='/query'><input name='q'>"
+        b"<button>Search</button></form></body></html>"
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(page)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/query":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            q = self.rfile.read(n).decode("utf-8", "replace")
+            hits = searcher.search_urls(q, k=args.count)
+            body = "\n".join(u for u, _ in hits).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"serving index {args.index} on http://127.0.0.1:{args.port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="indexer_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build an index over parquet pages/documents")
+    p.add_argument("-p", "--path", required=True, help="parquet file or directory")
+    p.add_argument("-o", "--output", required=True, help="index output directory")
+    p.add_argument("-s", "--skip-paths", nargs="*", default=[], help="skip input files by basename")
+    p.add_argument("--mode", default="conformance", choices=["conformance", "plain"])
+    p.add_argument("--source", default="text", choices=["text", "html"])
+    p.add_argument("--id-column", default=None, help="native integer doc-id column")
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--resume", action="store_true", help="resume an interrupted build")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search", help="query an index")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-q", "--query", required=True)
+    p.add_argument("-o", "--output", default=None, help="write results to file")
+    p.add_argument("-c", "--count", type=int, default=10)
+    p.add_argument("--scorer", default="tfidf", choices=["tfidf", "bm25"])
+    p.add_argument("--algorithm", default="exhaustive", choices=["exhaustive", "wand"])
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("serve", help="HTTP query service")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-p", "--port", type=int, default=8765)
+    p.add_argument("-c", "--count", type=int, default=10)
+    p.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
