@@ -248,6 +248,12 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from indexer_ray.pipelines.ann import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
+
+
 def _q_language_id(sf_dir: str):
     from indexer_ray.pipelines.text_analysis import language_id
 
@@ -302,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "media_features": _q_media_features,

@@ -5,9 +5,12 @@
     broadcast once (ray.put) and every batch does one numpy matmul; each
     batch emits only its LOCAL top-k per query (partial top-k combiner), so
     the driver-side reduce sees #batches x k rows, not the corpus.
-  * ann_lsh_topk   — the scale path: random-hyperplane bucketing restricts
+  * ann_lsh_topk   — scale path A: random-hyperplane bucketing restricts
     scoring to vectors sharing (or neighboring, via multi-probe on 1-bit
     flips) the query's bucket.  Recall measured against brute in tests.
+  * ann_ivf_topk   — scale path B: IVF — k-means centroids fit on a driver
+    sample, broadcast once; vectors score only against queries probing
+    their centroid's cell (nprobe nearest cells per query).
 """
 
 from __future__ import annotations
@@ -147,6 +150,91 @@ def ann_lsh_topk(
                 for ci, qi in enumerate(qis):
                     col = sims[:, ci]
                     kk = min(self.k, len(rows))
+                    top = np.argpartition(-col, kk - 1)[:kk] if kk < len(rows) else np.arange(len(rows))
+                    out_q.extend([qi] * len(top))
+                    out_id.extend(ids[rows[top]].tolist())
+                    out_s.extend(col[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_id, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(Stage, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        .to_pandas()
+    )
+    if partials.empty:
+        return partials.assign(rank=pd.Series([], dtype="int64"))
+    return _final_topk(partials, k)
+
+
+def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means on unit vectors (cosine == dot)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[c] = m / n
+    return C
+
+
+def ann_ivf_topk(
+    emb_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+    sample_size: int = 2000,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF ANN: centroids from a bounded driver-side sample (k-means is tiny;
+    the corpus itself streams), broadcast via ray.put; each batch assigns its
+    vectors to cells and scores them only against the queries probing that
+    cell.  Approximate (recall < 1, grows with nprobe)."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
+    Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
+    C = _kmeans(Xs, n_centroids, iters, seed)
+    # nprobe nearest cells per query -> cell -> probing queries
+    order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted: dict[int, list[int]] = {}
+    for qi in range(len(Q)):
+        for c in order[qi]:
+            wanted.setdefault(int(c), []).append(qi)
+    cref, qref, wref = ray.put(C), ray.put(Q), ray.put(wanted)
+
+    class Stage:
+        def __init__(self):
+            self.C, self.Q, self.wanted = ray.get(cref), ray.get(qref), ray.get(wref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+            cell = np.argmax(X @ self.C.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for c in np.unique(cell):
+                qis = self.wanted.get(int(c))
+                if not qis:
+                    continue
+                rows = np.flatnonzero(cell == c)
+                sims = X[rows] @ self.Q[qis].T
+                kk = min(self.k, len(rows))
+                for ci, qi in enumerate(qis):
+                    col = sims[:, ci]
                     top = np.argpartition(-col, kk - 1)[:kk] if kk < len(rows) else np.arange(len(rows))
                     out_q.extend([qi] * len(top))
                     out_id.extend(ids[rows[top]].tolist())

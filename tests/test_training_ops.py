@@ -148,6 +148,27 @@ def test_ann_lsh_recall(emb_ds, ray_session):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_ann_ivf_recall(emb_ds, ray_session):
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    Q = np.stack(t.column("embedding").to_pylist()[:5]).astype(np.float64)
+    brute = ann_brute_topk(emb_ds, Q, k=5)
+    ivf = ann_ivf_topk(emb_ds, Q, k=5, n_centroids=8, nprobe=3, sample_size=300)
+    recalls = []
+    for qi in range(5):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        v = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.6, recalls
+    # each query's own vector lives in its top probe cell -> rank 0 exact
+    for qi in range(5):
+        g = ivf[ivf["query_id"] == qi].sort_values("rank")
+        assert len(g) and g.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
 def test_token_stats_and_term_stats(docs_ds, docs_pdf, ray_session):
     from indexer_ray.conformance.lexer import tokenize_plain
     from indexer_ray.pipelines.text_analysis import doc_token_stats, term_stats
