@@ -74,11 +74,46 @@ def _lex_unicode(text: str) -> list[str]:
     return out
 
 
-def lex(lowered: str) -> list[str]:
-    """Tokenize + stem an ALREADY-lowercased string (no stop filtering)."""
+def _lex_ascii_nostem(text: str) -> list[str]:
+    out = []
+    for num, alpha, single in _ASCII_TOKEN_RE.findall(text):
+        out.append(alpha or num or single)
+    return out
+
+
+def _lex_unicode_nostem(text: str) -> list[str]:
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if chars.is_whitespace(ch):
+            i += 1
+            continue
+        if chars.is_numeric(ch):
+            j = i + 1
+            while j < n and chars.is_numeric(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if chars.is_alphabetic(ch):
+            j = i + 1
+            while j < n and chars.is_alphanumeric(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return out
+
+
+def lex(lowered: str, stem_tokens: bool = True) -> list[str]:
+    """Tokenize (+ optionally stem) an ALREADY-lowercased string (no stop
+    filtering)."""
     if lowered.isascii():
-        return _lex_ascii(lowered)
-    return _lex_unicode(lowered)
+        return _lex_ascii(lowered) if stem_tokens else _lex_ascii_nostem(lowered)
+    return _lex_unicode(lowered) if stem_tokens else _lex_unicode_nostem(lowered)
 
 
 def tokenize(text: str, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
@@ -100,3 +135,29 @@ def tokenize_plain(text: str) -> list[str]:
     which is what the driver's oracle queries use.
     """
     return _PLAIN_RE.findall(text.lower())
+
+
+def make_tokenizer(
+    mode: str = "conformance",
+    stem_tokens: bool = True,
+    stop_words: frozenset[str] | None = STOP_WORDS,
+):
+    """Tokenizer factory — the user-extension surface the reference lacks
+    (SURVEY.md §2.7: its only configuration point is the compile-time
+    parser registry).  Conformance mode with defaults IS the reference
+    chain; `stem_tokens=False` and/or a custom/empty `stop_words` give the
+    engine-mode variants; `mode="plain"` is the SQL-expressible tokenizer.
+
+    Stop filtering stays POST-stem (lexer.rs:107-128, quirk Q3) whatever
+    the configuration, so toggles compose without changing semantics."""
+    if mode == "plain":
+        return tokenize_plain
+    stops = stop_words or frozenset()
+
+    def tok(text: str) -> list[str]:
+        tokens = lex(text.lower(), stem_tokens=stem_tokens)
+        if stops:
+            return [t for t in tokens if t not in stops]
+        return tokens
+
+    return tok

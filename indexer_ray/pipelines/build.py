@@ -70,6 +70,8 @@ class BuildConfig:
     n_partitions: int = 32
     block_size: int = BLOCK_SIZE
     mode: str = "conformance"  # or "plain"
+    stem_tokens: bool = True  # tokenizer-config surface (SURVEY.md §2.7)
+    stop_filter: bool = True
     source: str = "text"  # or "html"
     id_column: str | None = None  # native int doc ids (e.g. documents.doc_id)
     extract: str = "conformance"  # or "visible"
@@ -94,6 +96,8 @@ class BuildConfig:
     def tokenizer_config(self, hot_terms: dict[str, int], docmap_dir: str) -> dict:
         return {
             "mode": self.mode,
+            "stem_tokens": self.stem_tokens,
+            "stop_filter": self.stop_filter,
             "source": self.source,
             "extract": self.extract,
             "verify_extract": self.verify_extract,
@@ -113,7 +117,16 @@ def _input_columns(cfg: BuildConfig) -> list[str]:
 
 
 def _tokenize_fn(cfg: BuildConfig):
-    return tokenize if cfg.mode == "conformance" else tokenize_plain
+    if cfg.stem_tokens and cfg.stop_filter:
+        return tokenize if cfg.mode == "conformance" else tokenize_plain
+    from indexer_ray.conformance.lexer import make_tokenizer
+    from indexer_ray.conformance.stopwords import STOP_WORDS
+
+    return make_tokenizer(
+        cfg.mode,
+        stem_tokens=cfg.stem_tokens,
+        stop_words=STOP_WORDS if cfg.stop_filter else None,
+    )
 
 
 def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -> dict[str, int]:
@@ -404,11 +417,12 @@ def build_index(
         # then still fan out across every cpu, while at web scale the clamp
         # is a no-op (read_parquet already splits files into many blocks).
         eff_batch = int(np.clip(n_docs_estimate // (4 * n_cpus), 64, cfg.batch_size))
-        # Actor pool: leave >=2 cpus for read/write tasks (a pool sized to
-        # the whole cluster starves its own input and deadlocks), and
-        # pre-start roughly one actor per 4 pending tasks — demand-driven
-        # ramp-up otherwise wastes most of the run on short jobs.
-        max_actors = max(2, n_cpus - 2)
+        # Actor pool: leave cpus for read/write tasks (a pool sized to the
+        # whole cluster starves its own input and DEADLOCKS — seen at both
+        # 32 cpus/32 actors and 2 cpus/2 actors), and pre-start roughly one
+        # actor per 4 pending tasks — demand-driven ramp-up otherwise
+        # wastes most of the run on short jobs.
+        max_actors = max(1, n_cpus - (2 if n_cpus >= 6 else 1))
         min_actors = int(np.clip(n_docs_estimate // (4 * eff_batch), 1, max_actors))
         concurrency = cfg.tokenize_actors or (min_actors, max_actors)
         postings = ds.map_batches(

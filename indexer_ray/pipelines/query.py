@@ -63,7 +63,19 @@ class IndexSearcher:
         self.n_docs = self.m.n_docs
         self.avgdl = self.m.avgdl
         self.mode = self.m.config.get("mode", "conformance")
-        self._tokenize = tokenize if self.mode == "conformance" else tokenize_plain
+        if self.m.config.get("stem_tokens", True) and self.m.config.get("stop_filter", True):
+            self._tokenize = tokenize if self.mode == "conformance" else tokenize_plain
+        else:
+            # query tokenization must mirror the build's tokenizer config
+            # exactly (symmetry invariant, reference lib.rs:92-96 / T5)
+            from indexer_ray.conformance.lexer import make_tokenizer
+            from indexer_ray.conformance.stopwords import STOP_WORDS
+
+            self._tokenize = make_tokenizer(
+                self.mode,
+                stem_tokens=self.m.config.get("stem_tokens", True),
+                stop_words=STOP_WORDS if self.m.config.get("stop_filter", True) else None,
+            )
         self.hot_terms = self.m.hot_terms
         self.P = self.m.n_partitions
         self._dict_cache: OrderedDict[int, dict[str, int]] = OrderedDict()

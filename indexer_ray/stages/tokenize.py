@@ -66,7 +66,17 @@ class TokenizeStage:
     def __init__(self, config: dict):
         self.cfg = config
         mode = config.get("mode", "conformance")
-        self._tokenize = tokenize if mode == "conformance" else tokenize_plain
+        if config.get("stem_tokens", True) and config.get("stop_filter", True):
+            self._tokenize = tokenize if mode == "conformance" else tokenize_plain
+        else:
+            from indexer_ray.conformance.lexer import make_tokenizer
+            from indexer_ray.conformance.stopwords import STOP_WORDS
+
+            self._tokenize = make_tokenizer(
+                mode,
+                stem_tokens=config.get("stem_tokens", True),
+                stop_words=STOP_WORDS if config.get("stop_filter", True) else None,
+            )
         self.source = config.get("source", "text")
         extract_mode = config.get("extract", "conformance")
         self._extract = extract_text if extract_mode == "conformance" else extract_visible_text

@@ -135,3 +135,30 @@ def test_brute_force_bm25_orders_by_tf_and_len():
     res = brute_force_bm25_topk(corpus, ["t"], k=10)
     assert [d for d, _ in res] == [1, 2]
     assert all(s > 0 for _, s in res)
+
+
+class TestMakeTokenizer:
+    def test_defaults_equal_reference_chain(self):
+        from indexer_ray.conformance.lexer import make_tokenizer, tokenize
+
+        tok = make_tokenizer()
+        for s in ("Running fast!", "abc123 42 _x", "having has was"):
+            assert tok(s) == tokenize(s)
+
+    def test_stem_off(self):
+        from indexer_ray.conformance.lexer import make_tokenizer
+
+        tok = make_tokenizer(stem_tokens=False, stop_words=None)
+        assert tok("Running dogs") == ["running", "dogs"]
+
+    def test_custom_stop_list_post_stem(self):
+        from indexer_ray.conformance.lexer import make_tokenizer
+
+        # quirk Q3 preserved: filtering compares STEMMED token to the list
+        tok = make_tokenizer(stop_words=frozenset({"run"}))
+        assert tok("running walks") == ["walk"]
+
+    def test_plain_mode(self):
+        from indexer_ray.conformance.lexer import make_tokenizer, tokenize_plain
+
+        assert make_tokenizer(mode="plain")("A-b c!") == tokenize_plain("A-b c!")
