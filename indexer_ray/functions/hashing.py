@@ -49,7 +49,16 @@ def hot_term_partitions(term: str, n_salts: int, n_partitions: int) -> list[int]
     return [hash64_str(f"t\x01{salt}\x00" + term) % n_partitions for salt in range(n_salts)]
 
 
-def salt_of_doc(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
-    """Order-preserving bucket of uint64 doc_id into [0, n_salts)."""
-    hi = (doc_ids.astype(np.uint64) >> np.uint64(32)).astype(np.uint64)
-    return ((hi * np.uint64(n_salts)) >> np.uint64(32)).astype(np.uint32)
+def salt_of_doc(doc_ids: np.ndarray, n_salts: int, id_space: int | None = None) -> np.ndarray:
+    """Order-preserving bucket of uint64 doc_id into [0, n_salts).
+
+    ``id_space`` is the exclusive upper bound of the id range: None means the
+    full 2^64 hash space (url-hash ids); dense row-number ids pass their
+    corpus size so ranges split evenly.  Ids beyond id_space clip into the
+    last salt — still order-preserving, so runs stay doc_id-disjoint."""
+    d = doc_ids.astype(np.uint64)
+    if id_space is None:
+        hi = (d >> np.uint64(32)).astype(np.uint64)
+        return ((hi * np.uint64(n_salts)) >> np.uint64(32)).astype(np.uint32)
+    width = max(1, -(-int(id_space) // n_salts))
+    return np.minimum(d // np.uint64(width), np.uint64(n_salts - 1)).astype(np.uint32)

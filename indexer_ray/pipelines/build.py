@@ -54,7 +54,7 @@ import pyarrow.parquet as pq
 from indexer_ray.conformance.extract import extract_text, extract_visible_text
 from indexer_ray.conformance.lexer import tokenize, tokenize_plain
 from indexer_ray.stages.codec import BLOCK_SIZE, encode_term_postings
-from indexer_ray.stages.tokenize import TokenizeStage
+from indexer_ray.stages.tokenize import TokenizeFileTask, TokenizeStage
 from indexer_ray.state.manifest import (
     IndexManifest,
     load_progress,
@@ -74,6 +74,10 @@ class BuildConfig:
     stop_filter: bool = True
     source: str = "text"  # or "html"
     id_column: str | None = None  # native int doc ids (e.g. documents.doc_id)
+    # "dense": doc_id = global row number (gap-compressible, ~2.5 B/posting;
+    # see stages/tokenize.py:TokenizeFileTask).  "hash": blake2b-64(url)
+    # (coordination-free, ~10 B/posting).  id_column overrides both.
+    id_assign: str = "dense"
     extract: str = "conformance"  # or "visible"
     verify_extract: bool = False
     # skew handling
@@ -105,6 +109,7 @@ class BuildConfig:
             "hot_terms": hot_terms,
             "docmap_dir": docmap_dir,
             "id_column": self.id_column,
+            "id_space": None,  # build_index fills for dense/native ids
         }
 
 
@@ -410,7 +415,25 @@ def build_index(
 
     t_build0 = time.monotonic()
     if not progress.get("phase1_complete"):
-        ds = rd.read_parquet(paths, columns=_input_columns(cfg))
+        tok_cfg = cfg.tokenizer_config(hot_terms, docmap_dir)
+        dense = cfg.id_assign == "dense" and not cfg.id_column
+        if dense or cfg.id_column:
+            tok_cfg["id_space"] = n_docs_estimate
+        if dense:
+            # descriptor per row group, with exact global row offsets from
+            # parquet metadata (driver-side, cheap) — see TokenizeFileTask
+            descriptors = []
+            offset = 0
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    descriptors.append(
+                        {"path": p, "row_group": rg, "row_offset": offset}
+                    )
+                    offset += md.row_group(rg).num_rows
+            ds = rd.from_items(descriptors)
+        else:
+            ds = rd.read_parquet(paths, columns=_input_columns(cfg))
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         # Task granularity: Ray sizes map tasks at ~max(block rows, batch
         # rows), so clamp batch_size to ~corpus/(4*cpus) rows — small corpora
@@ -422,17 +445,34 @@ def build_index(
         # 32 cpus/32 actors and 2 cpus/2 actors), and pre-start roughly one
         # actor per 4 pending tasks — demand-driven ramp-up otherwise
         # wastes most of the run on short jobs.
-        max_actors = max(1, n_cpus - (2 if n_cpus >= 6 else 1))
+        if n_cpus >= 6:
+            actor_cpus = 1
+            max_actors = max(1, n_cpus - 2)
+        else:
+            # tiny clusters: fractional-cpu actors so a 2-cpu cluster still
+            # runs 2 tokenizers while leaving headroom for read/write tasks
+            # (1 whole-cpu actor would idle half the cluster)
+            actor_cpus = 0.75
+            max_actors = max(1, int((n_cpus - 0.5) / actor_cpus))
         min_actors = int(np.clip(n_docs_estimate // (4 * eff_batch), 1, max_actors))
         concurrency = cfg.tokenize_actors or (min_actors, max_actors)
-        postings = ds.map_batches(
-            TokenizeStage,
-            fn_constructor_args=(cfg.tokenizer_config(hot_terms, docmap_dir),),
-            batch_format="pyarrow",
-            batch_size=eff_batch,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
+        if dense:
+            postings = ds.map_batches(
+                TokenizeFileTask,
+                fn_constructor_args=(tok_cfg,),
+                batch_size=1,
+                concurrency=concurrency,
+                num_cpus=actor_cpus,
+            )
+        else:
+            postings = ds.map_batches(
+                TokenizeStage,
+                fn_constructor_args=(tok_cfg,),
+                batch_format="pyarrow",
+                batch_size=eff_batch,
+                concurrency=concurrency,
+                num_cpus=actor_cpus,
+            )
         postings.write_parquet(raw_root, partition_cols=["part_id"])
         progress["phase1_complete"] = True
         progress["phase1_sec"] = round(time.monotonic() - t_build0, 3)

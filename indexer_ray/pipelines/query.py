@@ -46,18 +46,33 @@ from indexer_ray.state.manifest import IndexManifest, part_dir
 
 
 class _TermBlocks:
-    """All block metadata + payloads for one term, in global doc_id order."""
+    """All block metadata + payloads for one term, in global doc_id order.
 
-    __slots__ = ("term", "df", "first", "last", "n", "max_tf", "min_dl", "payloads")
+    ``decoded`` lazily caches the fully-decoded (doc_ids, tfs, dls) arrays —
+    hot Zipf-head terms are decoded once per searcher, not once per query."""
+
+    __slots__ = ("term", "df", "first", "last", "n", "max_tf", "min_dl", "payloads", "decoded")
 
     def __init__(self, term, df, first, last, n, max_tf, min_dl, payloads):
         self.term, self.df = term, df
         self.first, self.last, self.n = first, last, n
         self.max_tf, self.min_dl, self.payloads = max_tf, min_dl, payloads
+        self.decoded = None
+
+    def decode_all(self):
+        if self.decoded is None:
+            doc_ids, tfs, dls, _ = decode_blocks(self.payloads, self.n, self.first)
+            self.decoded = (doc_ids, tfs, dls)
+        return self.decoded
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, dict_cache_parts: int = 64):
+    def __init__(
+        self,
+        index_dir: str,
+        dict_cache_parts: int = 64,
+        blocks_cache_bytes: int = 256 << 20,
+    ):
         self.index_dir = index_dir
         self.m = IndexManifest.load(index_dir)
         self.n_docs = self.m.n_docs
@@ -80,6 +95,13 @@ class IndexSearcher:
         self.P = self.m.n_partitions
         self._dict_cache: OrderedDict[int, dict[str, int]] = OrderedDict()
         self._dict_cache_parts = dict_cache_parts
+        # posting-block LRU (byte-budgeted): hot Zipf-head terms are touched
+        # by most queries; re-reading their ~MB payloads from parquet per
+        # query would dominate latency (the reference re-reads EVERYTHING
+        # per query, tree.rs:397-443 — the quirk we explicitly fix)
+        self._blocks_cache: OrderedDict[str, _TermBlocks] = OrderedDict()
+        self._blocks_cache_budget = blocks_cache_bytes
+        self._blocks_cache_bytes = 0
 
     # ---- lookup ----
 
@@ -116,6 +138,25 @@ class IndexSearcher:
         return sum(self._part_df(p, term) for p in self._parts_of_term(term))
 
     def _load_term_blocks(self, term: str) -> _TermBlocks | None:
+        cached = self._blocks_cache.get(term)
+        if cached is not None:
+            self._blocks_cache.move_to_end(term)
+            return cached
+        tb = self._read_term_blocks(term)
+        if tb is not None:
+            self._blocks_cache[term] = tb
+            self._blocks_cache_bytes += self._tb_size(tb)
+            while self._blocks_cache_bytes > self._blocks_cache_budget and self._blocks_cache:
+                _, old = self._blocks_cache.popitem(last=False)
+                self._blocks_cache_bytes -= self._tb_size(old)
+        return tb
+
+    @staticmethod
+    def _tb_size(tb: _TermBlocks) -> int:
+        # payloads + block metadata + the lazily-decoded arrays (3 x uint64)
+        return sum(len(p) for p in tb.payloads) + 40 * len(tb.n) + 24 * int(tb.n.sum())
+
+    def _read_term_blocks(self, term: str) -> _TermBlocks | None:
         firsts, lasts, ns, mtfs, mdls, pays = [], [], [], [], [], []
         df = 0
         for p in self._parts_of_term(term):
@@ -202,20 +243,40 @@ class IndexSearcher:
         terms = self._weights(q_tokens, scorer)
         if not terms:
             return []
+        if algorithm == "auto" and k is not None:
+            # Dense queries (candidate set ~ corpus) decode everything anyway;
+            # vectorized exhaustive beats the sweep there.  WAND pays off when
+            # upper-bound pruning can actually skip blocks — selective terms.
+            total_df = sum(tb.df for _, _, tb in terms)
+            algorithm = "wand" if total_df < 0.1 * max(self.n_docs, 1) else "exhaustive"
         if algorithm == "wand" and k is not None:
             return self._search_wand(terms, k, scorer)
         return self._search_exhaustive(terms, k, scorer)
 
     def _search_exhaustive(self, terms, k, scorer) -> list[tuple[int, float]]:
-        # accumulate in term order (float-order parity with the spec scorer)
-        scores: dict[int, float] = {}
+        # Vectorized accumulate: concatenate per-term postings in query-term
+        # order, group-sum with np.add.at (processes elements in array order,
+        # so each doc's contributions still add in term order — float-order
+        # parity with the spec scorer, tree.rs:418/445-449).
+        doc_parts, contrib_parts = [], []
         for _, w, tb in terms:
-            doc_ids, tfs, dls, _ = decode_blocks(tb.payloads, tb.n, tb.first)
-            contrib = self._contrib(scorer, w, tfs, dls)
-            for d, c in zip(doc_ids.tolist(), contrib.tolist()):
-                scores[d] = scores.get(d, 0.0) + c
-        items = [(d, s) for d, s in scores.items() if s != 0.0]
-        items.sort(key=lambda x: (-x[1], x[0]))
+            doc_ids, tfs, dls = tb.decode_all()
+            doc_parts.append(doc_ids)
+            contrib_parts.append(self._contrib(scorer, w, tfs, dls))
+        all_docs = np.concatenate(doc_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, all_contrib)
+        nz = scores != 0.0  # Q6: exact-zero results dropped (tree.rs:457)
+        uniq, scores = uniq[nz], scores[nz]
+        if k is not None and k < len(scores):
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            idx = np.flatnonzero(scores >= kth)  # includes ALL boundary ties
+        else:
+            idx = np.arange(len(scores))
+        order = idx[np.lexsort((uniq[idx], -scores[idx]))]
+        items = [(int(d), float(s)) for d, s in zip(uniq[order], scores[order])]
         return items if k is None else items[:k]
 
     def _search_wand(self, terms, k, scorer) -> list[tuple[int, float]]:
@@ -270,7 +331,7 @@ class IndexSearcher:
                     boundary = min(boundary, f[t] - 1)
             bound = sum(float(ubs[t][cursors[t]]) for t in active)
             if bound >= theta:
-                acc: dict[int, float] = {}
+                d_parts, c_parts = [], []
                 for t in active:
                     if decoded[t] is None:
                         tb = terms[t][2]
@@ -280,14 +341,25 @@ class IndexSearcher:
                         )
                         decoded[t] = (doc_ids, self._contrib(scorer, terms[t][1], tfs, dls))
                     doc_ids, contrib = decoded[t]
-                    m = (doc_ids >= lo) & (doc_ids <= boundary)
-                    for d, c in zip(doc_ids[m].tolist(), contrib[m].tolist()):
-                        acc[d] = acc.get(d, 0.0) + c
-                if acc:
-                    push_candidates(
-                        np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc)),
-                        np.fromiter(acc.values(), dtype=np.float64, count=len(acc)),
-                    )
+                    # decoded doc_ids are sorted: window slice via searchsorted.
+                    # scalars MUST be uint64: a python int would promote the
+                    # uint64 array to float64 and round 64-bit ids at the
+                    # window boundary (observed: docs split across windows)
+                    a = int(np.searchsorted(doc_ids, np.uint64(lo), side="left"))
+                    b = int(np.searchsorted(doc_ids, np.uint64(boundary), side="right"))
+                    if a < b:
+                        d_parts.append(doc_ids[a:b])
+                        c_parts.append(contrib[a:b])
+                if d_parts:
+                    dcat = np.concatenate(d_parts)
+                    ccat = np.concatenate(c_parts)
+                    if len(d_parts) == 1:
+                        push_candidates(dcat, ccat)
+                    else:
+                        uniq, inv = np.unique(dcat, return_inverse=True)
+                        sums = np.zeros(len(uniq), dtype=np.float64)
+                        np.add.at(sums, inv, ccat)
+                        push_candidates(uniq, sums)
             for t in active:
                 if l[t] <= boundary:
                     cursors[t] += 1

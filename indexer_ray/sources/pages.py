@@ -154,8 +154,12 @@ def generate_pages_parquet(
     seed: int = 42,
     start: int = 0,
     chunk: int = 20_000,
+    row_group_size: int = 4096,
 ) -> str:
-    """Write rows [start, start+n_rows) to one parquet file."""
+    """Write rows [start, start+n_rows) to one parquet file.
+
+    Small row groups matter: they are the unit of read parallelism for
+    Ray's parquet reader AND the task unit of the dense-id build path."""
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -164,7 +168,7 @@ def generate_pages_parquet(
         t = generate_pages_batch(s, min(chunk, start + n_rows - s), seed=seed)
         if writer is None:
             writer = pq.ParquetWriter(path, t.schema)
-        writer.write_table(t)
+        writer.write_table(t, row_group_size=row_group_size)
     if writer is not None:
         writer.close()
     return path

@@ -97,10 +97,10 @@ def decode_varints(data: np.ndarray | bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    # position of each byte within its value
-    idx = np.arange(len(buf), dtype=np.int64)
-    value_of_byte = np.searchsorted(ends, idx, side="left")
-    pos = idx - starts[value_of_byte]
+    # position of each byte within its value (repeat beats searchsorted ~3x)
+    sizes = ends - starts + 1
+    value_of_byte = np.repeat(np.arange(len(ends), dtype=np.int64), sizes)
+    pos = np.arange(len(buf), dtype=np.int64) - starts[value_of_byte]
     contrib = (buf & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
     return np.add.reduceat(contrib, starts)
 

@@ -12,9 +12,12 @@ from indexer_ray.pipelines.query import IndexSearcher
 from indexer_ray.sources.pages import reference_queries
 
 
-@pytest.fixture(scope="module")
-def built(ray_session, tiny_pages, tmp_path_factory):
-    index_dir = str(tmp_path_factory.mktemp("idx") / "tiny")
+@pytest.fixture(scope="module", params=["dense", "hash"])
+def built(request, ray_session, tiny_pages, tmp_path_factory):
+    """Build + spec corpus under both doc-id schemes (dense row numbers and
+    url hashes); every test below must hold for each."""
+    id_assign = request.param
+    index_dir = str(tmp_path_factory.mktemp("idx") / f"tiny_{id_assign}")
     cfg = BuildConfig(
         n_partitions=8,
         block_size=16,  # small blocks so WAND pruning paths execute
@@ -22,13 +25,17 @@ def built(ray_session, tiny_pages, tmp_path_factory):
         hot_df_ratio=0.10,  # force a real hot-term set at tiny scale
         tokenize_actors=2,
         batch_size=64,
+        id_assign=id_assign,
     )
     manifest = build_index([tiny_pages], index_dir, cfg)
     # spec-side corpus: tokenize the text column with the conformance chain
     t = pq.read_table(tiny_pages, columns=["url", "text"])
     corpus = []
-    for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
-        corpus.append((hash64_str(url), tokenize(text)))
+    for i, (url, text) in enumerate(
+        zip(t.column("url").to_pylist(), t.column("text").to_pylist())
+    ):
+        doc_id = i if id_assign == "dense" else hash64_str(url)
+        corpus.append((doc_id, tokenize(text)))
     return index_dir, manifest, corpus
 
 
