@@ -356,13 +356,9 @@ def _docmap_stats(docmap_dir: str) -> tuple[int, int]:
     Fragment files are idempotent per batch (content-hash names), so rows are
     unique; a streaming per-fragment scan suffices — no shuffle.
     """
-    files = sorted(glob.glob(os.path.join(docmap_dir, "*.parquet")))
-    n, total = 0, 0
-    for f in files:
-        t = pq.read_table(f, columns=["doc_len"])
-        n += t.num_rows
-        total += pc.sum(t.column("doc_len")).as_py() or 0
-    return n, total
+    ds = pads.dataset(docmap_dir, format="parquet")
+    t = ds.to_table(columns=["doc_len"])
+    return t.num_rows, int(pc.sum(t.column("doc_len")).as_py() or 0)
 
 
 def _verify_doc_ids_unique(docmap_dir: str) -> None:
@@ -497,7 +493,9 @@ def build_index(
         ).materialize()
     progress["phase2_sec"] = round(time.monotonic() - t2, 3)
 
-    if cfg.verify_doc_ids:
+    if cfg.verify_doc_ids and not (cfg.id_assign == "dense" and not cfg.id_column):
+        # dense row-number ids are unique by construction; the scan only
+        # guards hash/native id modes against collisions/duplicate urls
         _verify_doc_ids_unique(docmap_dir)
 
     n_docs, total_dl = _docmap_stats(docmap_dir)
