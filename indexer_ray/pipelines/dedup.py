@@ -77,12 +77,38 @@ def exact_duplicates(ds, key: str = "text"):
 # ------------------------------------------------------------ minhash LSH
 
 
-def _shingles(tokens: list[str], k: int) -> set[int]:
-    if len(tokens) < k:
-        return {_hash64_bytes(" ".join(tokens).encode())} if tokens else set()
-    return {
-        _hash64_bytes(" ".join(tokens[i : i + k]).encode()) for i in range(len(tokens) - k + 1)
-    }
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_B = np.uint64(1099511628211)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token; Zipfian vocab -> high cache hit rate."""
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = _hash64_bytes(t.encode())
+            if len(cache) < 4_000_000:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingles(tokens: list[str], k: int) -> np.ndarray:
+    """Sorted unique uint64 k-shingle hashes (vectorized rolling polynomial
+    over per-token hashes: k vector ops per doc, no per-shingle hashing)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(tokens)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * _SHINGLE_B + th[j : n - k + 1 + j]) & _M64
+    return np.unique(acc)
 
 
 class MinHashStage:
@@ -98,10 +124,9 @@ class MinHashStage:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray | None:
-        sh = _shingles(tokenize_plain(text or ""), self.shingle_k)
-        if not sh:
+        x = _shingles(tokenize_plain(text or ""), self.shingle_k)
+        if not len(x):
             return None
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
         with np.errstate(over="ignore"):
             # (a*x + b) mod 2^61-1, vectorized over (perm, shingle)
             prod = (self.a[:, None] * x[None, :] + self.b[:, None]) & _M64
@@ -131,22 +156,69 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"].tolist()))
-    if len(ids) < 2 or len(ids) > max_bucket:
+_PAIR_PARTITIONS = 64
+
+
+def _add_bucket_part(batch: pa.Table, n_parts: int = _PAIR_PARTITIONS) -> pa.Table:
+    """Route each banded row to a bucket partition: ONE map_groups call per
+    partition (not per bucket) keeps the per-group overhead off the ~N·bands
+    tiny buckets — the shuffle key co-locates whole buckets."""
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        part = ((bh ^ (band * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+    return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+
+def _bucket_pairs_in_part(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """All candidate pairs from every bucket in one partition, vectorized:
+    sort by (band, band_hash, doc_id), find bucket boundaries with diff, and
+    emit triangular pairs only for the (rare) buckets of size >= 2."""
+    g = g.sort_values(["band", "band_hash", "doc_id"]).drop_duplicates(
+        ["band", "band_hash", "doc_id"]
+    )
+    band = g["band"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    n = len(ids)
+    if n == 0:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64"),
                 "truncated": pd.Series([], dtype="int64"),
             }
-        ) if len(ids) <= max_bucket else pd.DataFrame(
-            {"doc_a": [-1], "doc_b": [-1], "truncated": [len(ids)]}
         )
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-    return pd.DataFrame(
-        {"doc_a": list(a), "doc_b": list(b), "truncated": [0] * len(a)}
+    starts = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    ends = np.r_[starts[1:], n]
+    out_a, out_b, truncated = [], [], []
+    for s, e in zip(starts, ends):
+        size = e - s
+        if size < 2:
+            continue
+        if size > max_bucket:
+            truncated.append(int(size))
+            continue
+        ia, ib = np.triu_indices(size, k=1)
+        out_a.append(ids[s:e][ia])
+        out_b.append(ids[s:e][ib])
+    doc_a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    doc_b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    res = pd.DataFrame(
+        {
+            "doc_a": doc_a.astype("int64"),
+            "doc_b": doc_b.astype("int64"),
+            "truncated": np.zeros(len(doc_a), dtype="int64"),
+        }
     )
+    if truncated:
+        res = pd.concat(
+            [res, pd.DataFrame({"doc_a": [-1] * len(truncated), "doc_b": [-1] * len(truncated), "truncated": truncated})],
+            ignore_index=True,
+        )
+    return res
 
 
 def minhash_lsh_pairs(
@@ -173,8 +245,9 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
     pairs = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
+        sigs.map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _bucket_pairs_in_part(g, max_bucket), batch_format="pandas")
         .to_pandas()
     )
     truncated = int(pairs[pairs["truncated"] > 0]["truncated"].sum())
@@ -186,16 +259,17 @@ def minhash_lsh_pairs(
         return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     # exact verification on the candidate docs only
     need = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts: dict[int, set[int]] = {}
+    empty = np.empty(0, dtype=np.uint64)
+    texts: dict[int, np.ndarray] = {}
     for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             if doc_id in need:
                 texts[doc_id] = _shingles(tokenize_plain(text or ""), shingle_k)
     jac = []
     for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = texts.get(a, set()), texts.get(bb, set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
+        sa, sb = texts.get(a, empty), texts.get(bb, empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
         jac.append(inter / union if union else 0.0)
     pairs = pairs.assign(jaccard=jac)
     pairs = pairs[pairs["jaccard"] >= jaccard_threshold]
@@ -215,9 +289,7 @@ class SimHashStage:
             if not counts:
                 out.append(0)
                 continue
-            hashes = np.array(
-                [_hash64_bytes(t.encode()) for t in counts], dtype=np.uint64
-            )
+            hashes = _token_hashes(list(counts.keys()))
             weights = np.fromiter(counts.values(), dtype=np.float64, count=len(counts))
             bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
             v = ((bits * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
@@ -261,23 +333,47 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
 
     banded = sigs.map_batches(emit_bands, batch_format="pyarrow", batch_size=8192)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        hs = rows["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m], "hamming": ham[m]})
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"]).drop_duplicates(
+            ["band", "band_hash", "doc_id"]
+        )
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        n = len(ids)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+        ends = np.r_[starts[1:], n]
+        frames = []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2 or size > max_bucket:
+                continue
+            ia, ib = np.triu_indices(size, k=1)
+            x = hs[s:e][ia] ^ hs[s:e][ib]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            m = ham <= max_hamming
+            if m.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[s:e][ia][m].astype("int64"),
+                            "doc_b": ids[s:e][ib][m].astype("int64"),
+                            "hamming": ham[m].astype("int64"),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        banded.map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
