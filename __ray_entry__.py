@@ -149,6 +149,82 @@ def _q_events_sessionize(sf_dir: str):
     return df.astype({"session_idx": "int64", "n_events": "int64"})
 
 
+def _q_events_json_extract(sf_dir: str):
+    from indexer_ray.pipelines.events import extract_props_key
+
+    return extract_props_key(_events(sf_dir), key="k")
+
+
+def _q_lineitem_pricing_counts(sf_dir: str):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.relational import pricing_counts
+
+    return pricing_counts(rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")))
+
+
+def _q_orders_by_priority(sf_dir: str):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.relational import orders_by_priority
+
+    return orders_by_priority(rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
+
+
+def _q_search_urls(sf_dir: str):
+    """Top-k with url resolution (Q5 docmap join analogue); rows-only."""
+    s = _searcher(sf_dir, "conformance")
+    rows = []
+    for qi, q in enumerate(_SEARCH_QUERIES):
+        for rank, (url, score) in enumerate(s.search_urls(q, k=10, scorer="bm25", algorithm="auto")):
+            rows.append((qi, rank, url, float(score)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "url", "score"]).astype(
+        {"query_id": "int64", "rank": "int64", "score": "float64"}
+    )
+
+
+def _q_incremental_delta(sf_dir: str):
+    """A5 analogue end-to-end: index docs 0..249, then run the freshness
+    filter over the full table — exactly the rows absent from the prior
+    docmap survive.  Rows-only (stateful two-phase op)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.incremental import filter_expired
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(docs)
+    half = t.filter(pa.compute.less(t.column("doc_id"), 250))
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    base = f"/tmp/indexer_ray_entry/{tag}_incr"
+    os.makedirs(base, exist_ok=True)
+    prior_pages = os.path.join(base, "prior.parquet")
+    pq.write_table(_docs_as_pages(half), prior_pages)
+    prior_idx = os.path.join(base, "prior_index")
+    if not os.path.exists(os.path.join(prior_idx, "manifest.json")):
+        build_index([prior_pages], prior_idx, BuildConfig(mode="plain", n_partitions=4))
+    full_pages = os.path.join(base, "full.parquet")
+    pq.write_table(_docs_as_pages(t), full_pages)
+    expired = filter_expired(rd.read_parquet(full_pages), prior_idx, method="broadcast")
+    out = expired.to_pandas()[["url"]].sort_values("url").reset_index(drop=True)
+    return out
+
+
+def _docs_as_pages(t: pa.Table) -> pa.Table:
+    """documents rows -> pages-shaped table (url derived from doc_id)."""
+    n = t.num_rows
+    urls = [f"doc://{i}" for i in t.column("doc_id").to_pylist()]
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+            "html": pa.array([b""] * n, type=pa.binary()),
+            "text": t.column("text").cast(pa.string()),
+            "lang": t.column("lang").cast(pa.string()),
+        }
+    )
+
+
 def _q_index_term_df(sf_dir: str):
     """Global (term, df) read back from the built plain-mode index dict."""
     idx = _index_dir_for(sf_dir, "plain")
@@ -301,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings": _q_index_postings,
         "index_docmap": _q_index_docmap,
         "ann_brute_topk": _q_ann_brute,
+        "events_json_extract": _q_events_json_extract,
+        "lineitem_pricing_counts": _q_lineitem_pricing_counts,
+        "orders_by_priority": _q_orders_by_priority,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -312,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "search_urls_topk": _q_search_urls,
+        "incremental_delta": _q_incremental_delta,
     }
 
 
@@ -369,6 +450,21 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_idx""",
+        "events_json_extract": """SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events""",
+        "lineitem_pricing_counts": """SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_priority": """SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority, o_orderstatus""",
+        "incremental_delta": f"""SELECT 'doc://' || doc_id AS url
+FROM documents
+WHERE doc_id >= 250 OR len({_PLAIN_TOKS}) = 0""",
         "index_term_df": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term""",
         "index_postings": f"""{_TOKS_CTE}

@@ -51,6 +51,30 @@ def tumbling_window_stats(events_ds, window: str = "hour"):
     return agg.map_batches(_fix_unit, batch_format="pyarrow")
 
 
+def extract_props_key(events_ds, key: str = "k"):
+    """Scalar JSON extraction over the `props` column: (event_id, k_value).
+    Vectorized per batch with the C json parser; null-safe (missing key or
+    bad JSON -> null, matching SQL json_extract semantics)."""
+    import json
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = json.loads(p).get(key) if p else None
+            except (ValueError, AttributeError):
+                v = None
+            out.append(int(v) if v is not None else None)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "k_value": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(_extract, batch_format="pyarrow", batch_size=8192)
+
+
 def sessionize(events_ds, gap_minutes: float = 30.0):
     """Session windows per user: events sorted by ts within a user group;
     a gap > `gap_minutes` starts a new session.  Output: one row per session
