@@ -118,6 +118,52 @@ def decode_features(media_ds, decoder: str = "fake", feat_dim: int = 16, batch_s
     )
 
 
+class ResizeStage:
+    """Image-resize plumbing (stub decode): consumes payload bytes, emits a
+    resized payload of deterministic size plus the new dimensions.  A real
+    pipeline swaps `_resize` for a Pillow call; schema, batch sizing and the
+    actor signature stay as-is."""
+
+    def __init__(self, width: int = 32, height: int = 32, decoder: str = "fake"):
+        self.width, self.height = width, height
+        if decoder == "real":
+            raise NotImplementedError(
+                "real resize requires Pillow; replace ResizeStage._resize "
+                "(payload bytes -> resized bytes) and keep the Ray plumbing"
+            )
+
+    def _resize(self, payload: bytes) -> bytes:
+        # deterministic fake: sample payload bytes to width*height "pixels"
+        n = self.width * self.height
+        if not payload:
+            return b"\x00" * n
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        idx = (np.arange(n, dtype=np.int64) * len(arr)) // n
+        return arr[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize(p or b"") for p in batch.column("payload").to_pylist()]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out, type=pa.large_binary()),
+                "width": pa.array([self.width] * n, type=pa.int32()),
+                "height": pa.array([self.height] * n, type=pa.int32()),
+            }
+        )
+
+
+def resize_media(media_ds, width: int = 32, height: int = 32, batch_size: int = 64):
+    return media_ds.map_batches(
+        ResizeStage,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
 class FrameSampleStage:
     """Video frame-sampling plumbing (stub decode): emits `n_frames` evenly
     spaced frame descriptors per video row — the flat_map-shaped stage a real

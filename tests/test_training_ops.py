@@ -256,3 +256,18 @@ def test_multimodal_plumbing(ray_session):
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(decoder="real")
+
+
+def test_media_resize(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import resize_media, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(50, seed=42))
+    out = resize_media(media, width=8, height=8).to_pandas()
+    assert len(out) == 50
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    assert all(len(p) == 64 for p in out["payload"])
+    # deterministic: same input -> same resized bytes
+    out2 = resize_media(rd.from_arrow(synth_media_table(50, seed=42)), width=8, height=8).to_pandas()
+    assert list(out["payload"]) == list(out2["payload"])
