@@ -291,6 +291,12 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from indexer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), shingle_k=3, threshold=0.3)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import simhash_pairs
 
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh,

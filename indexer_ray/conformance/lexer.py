@@ -36,15 +36,11 @@ _cached_stem = lru_cache(maxsize=1 << 18)(stem)
 
 
 def _lex_ascii(text: str) -> list[str]:
-    out = []
-    for num, alpha, single in _ASCII_TOKEN_RE.findall(text):
-        if alpha:
-            out.append(_cached_stem(alpha))
-        elif num:
-            out.append(num)
-        else:
-            out.append(single)
-    return out
+    cs = _cached_stem
+    return [
+        cs(alpha) if alpha else (num or single)
+        for num, alpha, single in _ASCII_TOKEN_RE.findall(text)
+    ]
 
 
 def _lex_unicode(text: str) -> list[str]:

@@ -276,6 +276,38 @@ def minhash_lsh_pairs(
     return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(
+    ds,
+    pairs: pd.DataFrame | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int = 2000,
+) -> pd.DataFrame:
+    """Exact n-gram (k-shingle) Jaccard for given candidate pairs — or, when
+    ``pairs`` is None, for MinHash-LSH candidates (blocking first, so the
+    quadratic step never touches the full corpus).  Output: (doc_a, doc_b,
+    jaccard) with jaccard >= threshold."""
+    if pairs is None:
+        return minhash_lsh_pairs(
+            ds, shingle_k=shingle_k, jaccard_threshold=threshold, max_bucket=max_bucket
+        )
+    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    shingles: dict[int, np.ndarray] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if doc_id in need:
+                shingles[doc_id] = _shingles(tokenize_plain(text or ""), shingle_k)
+    empty = np.empty(0, dtype=np.uint64)
+    jac = []
+    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
+        sa, sb = shingles.get(a, empty), shingles.get(bb, empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac.append(inter / union if union else 0.0)
+    out = pairs.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------- simhash
 
 
