@@ -492,6 +492,7 @@ def build_index(
             num_cpus=encode_cpus,
         ).materialize()
     progress["phase2_sec"] = round(time.monotonic() - t2, 3)
+    save_progress(index_dir, progress)
 
     if cfg.verify_doc_ids and not (cfg.id_assign == "dense" and not cfg.id_column):
         # dense row-number ids are unique by construction; the scan only
