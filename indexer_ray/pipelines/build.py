@@ -78,6 +78,9 @@ class BuildConfig:
     # see stages/tokenize.py:TokenizeFileTask).  "hash": blake2b-64(url)
     # (coordination-free, ~10 B/posting).  id_column overrides both.
     id_assign: str = "dense"
+    # doc-sharded corpora: each shard's dense ids start at its offset so ids
+    # stay globally unique across independently-built shard indexes
+    id_offset: int = 0
     extract: str = "conformance"  # or "visible"
     verify_extract: bool = False
     # skew handling
@@ -414,12 +417,12 @@ def build_index(
         tok_cfg = cfg.tokenizer_config(hot_terms, docmap_dir)
         dense = cfg.id_assign == "dense" and not cfg.id_column
         if dense or cfg.id_column:
-            tok_cfg["id_space"] = n_docs_estimate
+            tok_cfg["id_space"] = cfg.id_offset + n_docs_estimate
         if dense:
             # descriptor per row group, with exact global row offsets from
             # parquet metadata (driver-side, cheap) — see TokenizeFileTask
             descriptors = []
-            offset = 0
+            offset = cfg.id_offset
             for p in paths:
                 md = pq.ParquetFile(p).metadata
                 for rg in range(md.num_row_groups):

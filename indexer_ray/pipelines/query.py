@@ -77,6 +77,13 @@ class IndexSearcher:
         self.m = IndexManifest.load(index_dir)
         self.n_docs = self.m.n_docs
         self.avgdl = self.m.avgdl
+        # effective stats for the CURRENT search: equal to the local index's
+        # by default; a doc-sharded deployment overrides them with gathered
+        # GLOBAL (n_docs, avgdl, per-term df) so every shard scores with the
+        # same idf/norms (ShardedSearcher in pipelines/serve.py)
+        self._eff_n_docs = self.n_docs
+        self._eff_avgdl = self.avgdl
+        self._eff_df: dict[str, int] = {}
         self.mode = self.m.config.get("mode", "conformance")
         if self.m.config.get("stem_tokens", True) and self.m.config.get("stop_filter", True):
             self._tokenize = tokenize if self.mode == "conformance" else tokenize_plain
@@ -208,7 +215,9 @@ class IndexSearcher:
             tb = self._load_term_blocks(t)
             if tb is None:
                 continue
-            idf = tfidf_idf(self.n_docs, tb.df) if scorer == "tfidf" else bm25_idf(self.n_docs, tb.df)
+            df = self._eff_df.get(t, tb.df)
+            n = self._eff_n_docs
+            idf = tfidf_idf(n, df) if scorer == "tfidf" else bm25_idf(n, df)
             out.append((t, idf * mult[t], tb))
         return out
 
@@ -216,14 +225,14 @@ class IndexSearcher:
         if scorer == "tfidf":
             return w * tfs.astype(np.float64)
         tff = tfs.astype(np.float64)
-        norm = tff + K1 * (1.0 - B + B * dls.astype(np.float64) / self.avgdl)
+        norm = tff + K1 * (1.0 - B + B * dls.astype(np.float64) / self._eff_avgdl)
         return w * tff * (K1 + 1.0) / norm
 
     def _block_ub(self, scorer: str, w: float, max_tf: np.ndarray, min_dl: np.ndarray) -> np.ndarray:
         if scorer == "tfidf":
             return w * max_tf.astype(np.float64)
         mt = max_tf.astype(np.float64)
-        norm = mt + K1 * (1.0 - B + B * min_dl.astype(np.float64) / self.avgdl)
+        norm = mt + K1 * (1.0 - B + B * min_dl.astype(np.float64) / self._eff_avgdl)
         return w * mt * (K1 + 1.0) / norm
 
     # ---- public API ----
@@ -234,11 +243,23 @@ class IndexSearcher:
         k: int = 10,
         scorer: str = "tfidf",
         algorithm: str = "exhaustive",
+        global_stats: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Returns [(doc_id, score)] sorted (score desc, doc_id asc), top k.
-        ``k=None`` returns all matches (exhaustive only)."""
+        ``k=None`` returns all matches (exhaustive only).
+
+        ``global_stats`` ({"n_docs", "avgdl", "df": {term: global_df}})
+        overrides the local index statistics — the doc-sharded deployment
+        passes corpus-wide values so every shard scores with identical
+        idf/norms and shard top-ks merge exactly (serve.ShardedSearcher)."""
+        if global_stats is not None:
+            self._eff_n_docs = int(global_stats["n_docs"])
+            self._eff_avgdl = float(global_stats["avgdl"])
+            self._eff_df = dict(global_stats.get("df") or {})
+        else:
+            self._eff_n_docs, self._eff_avgdl, self._eff_df = self.n_docs, self.avgdl, {}
         q_tokens = self._tokenize(query)
-        if not q_tokens or self.n_docs == 0:
+        if not q_tokens or self._eff_n_docs == 0:
             return []
         terms = self._weights(q_tokens, scorer)
         if not terms:

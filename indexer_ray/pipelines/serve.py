@@ -28,6 +28,78 @@ def _merge_topk(partials: list[list[tuple[int, float]]], k: int) -> list[tuple[i
     return allhits[:k]
 
 
+class ShardedSearcher:
+    """Distributed search over a DOC-SHARDED corpus: each shard is a complete
+    term-partitioned index over a disjoint document range (built with
+    ``BuildConfig(id_offset=<shard base>)`` so ids stay globally unique).
+
+    Query protocol (two rounds, both fan-out):
+      1. df-gather: every shard actor reports per-term local df; the driver
+         sums them and computes corpus-global N, avgdl and df.
+      2. score: every shard scores with the SAME global stats (idf + BM25
+         norms override) and returns its top-k; additive scores are complete
+         per doc within its shard, so the merge is sort-and-cut with the
+         engine tie-break.  Results are rank-identical to a single index
+         over the union corpus (tested).
+    """
+
+    def __init__(self, shard_dirs: list[str], num_cpus: float = 1):
+        import ray
+
+        from indexer_ray.pipelines.query import IndexSearcher
+
+        @ray.remote(num_cpus=num_cpus)
+        class _ShardActor:
+            def __init__(self, d: str):
+                self.s = IndexSearcher(d)
+
+            def stats(self) -> tuple[int, float]:
+                return self.s.n_docs, self.s.m.total_doc_len
+
+            def term_dfs(self, terms: list[str]) -> dict[str, int]:
+                return {t: self.s.term_df(t) for t in terms}
+
+            def tokenize(self, query: str) -> list[str]:
+                return self.s._tokenize(query)
+
+            def search(self, query, k, scorer, algorithm, global_stats):
+                return self.s.search(
+                    query, k=k, scorer=scorer, algorithm=algorithm, global_stats=global_stats
+                )
+
+        import ray as _ray
+
+        self._actors = [_ShardActor.remote(d) for d in shard_dirs]
+        stats = _ray.get([a.stats.remote() for a in self._actors])
+        self.n_docs = sum(n for n, _ in stats)
+        total_dl = sum(t for _, t in stats)
+        self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0
+
+    def search(
+        self, query: str, k: int = 10, scorer: str = "bm25", algorithm: str = "auto"
+    ) -> list[tuple[int, float]]:
+        import ray
+
+        terms = ray.get(self._actors[0].tokenize.remote(query))
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        df_maps = ray.get([a.term_dfs.remote(uniq) for a in self._actors])
+        df = {t: sum(m[t] for m in df_maps) for t in uniq}
+        gs = {"n_docs": self.n_docs, "avgdl": self.avgdl, "df": df}
+        partials = ray.get(
+            [a.search.remote(query, k, scorer, algorithm, gs) for a in self._actors]
+        )
+        return _merge_topk(partials, k)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
 class QueryService:
     """Round-robin pool of searcher actors over one index (replication)."""
 
