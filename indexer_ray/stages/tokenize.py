@@ -84,10 +84,8 @@ class TokenizeStage:
         self.docmap_dir = config.get("docmap_dir")
         self.verify_extract = bool(config.get("verify_extract", False))
         # id_column: take doc ids from a native int column (e.g. the driver
-        # testdata `documents.doc_id`) instead of hashing `url`.  NOTE: doc_id
-        # -range salting assumes hash-distributed ids; with small sequential
-        # native ids all postings of a hot term fall into salt 0 (correct but
-        # unbalanced — the web-scale path is url-hash ids).
+        # testdata `documents.doc_id`) instead of hashing `url`; id_space
+        # below keeps range-salting balanced for such dense ids.
         self.id_column = config.get("id_column")
         # id_space: exclusive upper bound of the doc-id range (dense ids /
         # native int ids); None = full 2^64 url-hash space.  Drives salt
