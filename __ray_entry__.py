@@ -306,7 +306,10 @@ def _q_simhash_pairs(sf_dir: str):
 def _q_embedding_dup_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_emb(sf_dir), cosine_threshold=0.9)
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01), so a production 0.9 threshold would return the
+    # (correct) empty set; 0.5 exercises the pipeline with real output
+    return embedding_dup_pairs(_emb(sf_dir), cosine_threshold=0.5, n_planes=6)
 
 
 def _ann_queries(sf_dir: str) -> np.ndarray:
