@@ -307,9 +307,11 @@ def _q_embedding_dup_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import embedding_dup_pairs
 
     # the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51 at sf0.01), so a production 0.9 threshold would return the
-    # (correct) empty set; 0.5 exercises the pipeline with real output
-    return embedding_dup_pairs(_emb(sf_dir), cosine_threshold=0.5, n_planes=6)
+    # ~0.51 at sf0.01): a production 0.9 threshold returns the (correct)
+    # empty set and the LSH scale path can't recall a lone borderline pair,
+    # so the driver query runs the exact brute baseline at 0.5; LSH recall
+    # is covered by tests with injected duplicates
+    return embedding_dup_pairs(_emb(sf_dir), cosine_threshold=0.5, brute=True)
 
 
 def _ann_queries(sf_dir: str) -> np.ndarray:
