@@ -101,3 +101,22 @@ def test_empty_and_stopword_queries(built):
     assert s.search("") == []
     assert s.search("the and of") == []
     assert s.search("zzzzunknownterm") == []
+
+
+def test_rank_identity_at_2k_docs(ray_session, small_pages, tmp_path_factory):
+    """Same invariant at 10x the corpus: multi-batch build, real hot-term
+    salting, dense ids — engine equals the brute-force spec on every
+    reference query, both scorers, WAND included."""
+    index_dir = str(tmp_path_factory.mktemp("idx2k") / "small")
+    build_index([small_pages], index_dir, BuildConfig(n_partitions=8, batch_size=256))
+    t = pq.read_table(small_pages, columns=["text"])
+    corpus = [(i, tokenize(x)) for i, x in enumerate(t.column("text").to_pylist())]
+    s = IndexSearcher(index_dir)
+    for q in reference_queries():
+        toks = tokenize(q["query"])
+        for scorer, brute in (("tfidf", brute_force_tfidf_topk), ("bm25", brute_force_bm25_topk)):
+            expected = brute(corpus, toks, k=10)
+            got = s.search(q["query"], k=10, scorer=scorer, algorithm="auto")
+            assert [d for d, _ in got] == [d for d, _ in expected], (q["query"], scorer)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == pytest.approx(es, rel=1e-12)
