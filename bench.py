@@ -184,18 +184,24 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
         lo, hi = int(pair[0]), int(pair[1])
     corpus = _pages_corpus(SCALING_ROWS)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     runs = []
     for n in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--build-only", str(n)],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir, "GRAFT_SCALING_DIR": corpus},
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(f"scaling run num_cpus={n} failed:\n{proc.stderr[-2000:]}")
-        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        best = None
+        for _ in range(reps):  # best-of-N: damps fs-cache / scheduler noise
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--build-only", str(n)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir, "GRAFT_SCALING_DIR": corpus},
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"scaling run num_cpus={n} failed:\n{proc.stderr[-2000:]}")
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        runs.append(best)
     thr_lo, thr_hi = runs[0]["docs_per_sec"], runs[1]["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {

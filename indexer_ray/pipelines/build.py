@@ -146,19 +146,30 @@ def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -
     """
     tok = _tokenize_fn(cfg)
     extract = extract_text if cfg.extract == "conformance" else extract_visible_text
-    f = pq.ParquetFile(paths[0])
+    # spread the sample across the input list — a single-file sample could
+    # miss distribution drift between shards (e.g. time-ordered crawls)
+    n_files = len(paths)
+    sample_files = sorted({0, n_files // 3, (2 * n_files) // 3, n_files - 1})
+    per_file = -(-cfg.sample_docs // len(sample_files))
+    text_col = "html" if cfg.source == "html" else "text"
     need = cfg.sample_docs
     got = 0
     df: Counter = Counter()
-    for rb in f.iter_batches(batch_size=min(need, 1024), columns=[_input_columns(cfg)[-1]]):
-        col = rb.column(0).to_pylist()
-        for v in col:
-            text = extract(v) if cfg.source == "html" else v
-            if not text:
-                continue
-            df.update(set(tok(text)))
-            got += 1
-            if got >= need:
+    for fi in sample_files:
+        f = pq.ParquetFile(paths[fi])
+        taken = 0
+        for rb in f.iter_batches(batch_size=min(per_file, 1024), columns=[text_col]):
+            col = rb.column(0).to_pylist()
+            for v in col:
+                text = extract(v) if cfg.source == "html" else v
+                if not text:
+                    continue
+                df.update(set(tok(text)))
+                got += 1
+                taken += 1
+                if taken >= per_file or got >= need:
+                    break
+            if taken >= per_file or got >= need:
                 break
         if got >= need:
             break
