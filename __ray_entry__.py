@@ -114,6 +114,18 @@ def _q_doc_token_stats(sf_dir: str):
     )
 
 
+def _q_ws_token_counts(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import token_counts
+
+    return token_counts(_docs(sf_dir), scheme="whitespace")
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import token_counts
+
+    return token_counts(_docs(sf_dir), scheme="bpe_regex")
+
+
 def _q_quality_counts(sf_dir: str):
     from indexer_ray.pipelines.text_analysis import quality_counts
 
@@ -380,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
+        "ws_token_counts": _q_ws_token_counts,
         "exact_duplicates": _q_exact_duplicates,
         "lang_source_stats": _q_lang_source_stats,
         "events_tumbling_hour": _q_events_tumbling,
@@ -401,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "language_id": _q_language_id,
+        "bpe_token_counts": _q_bpe_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "search_urls_topk": _q_search_urls,
@@ -428,6 +442,9 @@ LEFT JOIN (
   SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique
   FROM toks GROUP BY doc_id
 ) t USING (doc_id)""",
+        "ws_token_counts": r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents""",
         "quality_counts": f"""SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len({_PLAIN_TOKS}) AS BIGINT) AS n_tokens,

@@ -232,6 +232,35 @@ def quality_counts(ds):
     return ds.map_batches(_quality_counts_batch, batch_format="pyarrow", batch_size=2048)
 
 
+# ------------------------------------------------------------ token counting
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+# GPT-2-style pre-tokenizer shape (published pattern), ASCII character
+# classes (stdlib `re` lacks \p{L}/\p{N}; documented approximation) and no
+# trailing-space lookahead (keeps it RE2-expressible for parity checks)
+_BPE_TOKEN_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def token_counts(ds, scheme: str = "whitespace"):
+    """Per-doc token counts under a counting scheme:
+    "whitespace" (maximal \\S+ runs — SQL-expressible) or "bpe_regex"
+    (GPT-2-ish pre-tokenization; proxy for LLM token budgeting)."""
+    pat = _WS_TOKEN_RE if scheme == "whitespace" else _BPE_TOKEN_RE
+
+    def _count(batch: pa.Table) -> pa.Table:
+        counts = [len(pat.findall(t or "")) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow", batch_size=2048)
+
+
 # ------------------------------------------------------- doc fingerprinting
 
 _FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
