@@ -76,6 +76,7 @@ def ann_brute_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
             _BruteScoreStage,
             fn_constructor_args=(qref, k),
             batch_format="pyarrow",
+            zero_copy_batch=True,
             batch_size=4096,
             concurrency=(1, 8),
         )
@@ -164,7 +165,8 @@ def ann_lsh_topk(
 
     partials = (
         emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(Stage, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        .map_batches(Stage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8))
         .to_pandas()
     )
     if partials.empty:
@@ -249,7 +251,8 @@ def ann_ivf_topk(
 
     partials = (
         emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(Stage, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        .map_batches(Stage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8))
         .to_pandas()
     )
     if partials.empty:

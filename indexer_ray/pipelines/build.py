@@ -6,7 +6,8 @@ Two phases, both resumable (state/manifest.py):
 
 Phase 1 — tokenize + route (narrow, streaming):
     ray.data.read_parquet(pages, columns=pruned)
-      -> map_batches(TokenizeStage, batch_format="pyarrow", actor pool)
+      -> map_batches(TokenizeStage, batch_format="pyarrow",
+        zero_copy_batch=True, actor pool)
       -> write_parquet(<index>/raw/, partition_cols=["part_id"])
     The partitioned write IS the groupby-term shuffle, materialized to
     storage: every posting lands in the partition dir owned by its term
@@ -479,6 +480,7 @@ def build_index(
                 TokenizeStage,
                 fn_constructor_args=(tok_cfg,),
                 batch_format="pyarrow",
+                zero_copy_batch=True,
                 batch_size=eff_batch,
                 concurrency=concurrency,
                 num_cpus=actor_cpus,

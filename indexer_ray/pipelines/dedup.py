@@ -67,7 +67,8 @@ def exact_duplicates(ds, key: str = "text"):
     from ray.data.aggregate import Count, Min
 
     hashed = ds.map_batches(
-        lambda b: _content_hash_batch(b, key), batch_format="pyarrow", batch_size=4096
+        lambda b: _content_hash_batch(b, key), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096
     )
     return hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
@@ -241,6 +242,7 @@ def minhash_lsh_pairs(
         MinHashStage,
         fn_constructor_args=(num_perm, bands, shingle_k),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=2048,
         concurrency=(1, 8),
     )
@@ -336,7 +338,8 @@ class SimHashStage:
 
 
 def simhash_signatures(ds):
-    return ds.map_batches(SimHashStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+    return ds.map_batches(SimHashStage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048, concurrency=(1, 8))
 
 
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFrame:
@@ -363,7 +366,8 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
             }
         )
 
-    banded = sigs.map_batches(emit_bands, batch_format="pyarrow", batch_size=8192)
+    banded = sigs.map_batches(emit_bands, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["band", "band_hash", "doc_id"]).drop_duplicates(
@@ -478,6 +482,7 @@ def embedding_dup_pairs(
         SignStage,
         fn_constructor_args=(planes,),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
         concurrency=(1, 8),
     )

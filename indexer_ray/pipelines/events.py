@@ -36,7 +36,8 @@ def tumbling_window_stats(events_ds, window: str = "hour"):
     from ray.data.aggregate import Sum
 
     partial = events_ds.map_batches(
-        lambda b: _tumble_batch(b, window), batch_format="pyarrow", batch_size=8192
+        lambda b: _tumble_batch(b, window), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192
     )
     agg = partial.groupby(["window_start", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
@@ -72,7 +73,8 @@ def extract_props_key(events_ds, key: str = "k"):
             }
         )
 
-    return events_ds.map_batches(_extract, batch_format="pyarrow", batch_size=8192)
+    return events_ds.map_batches(_extract, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
 
 
 def sessionize(events_ds, gap_minutes: float = 30.0):

@@ -101,6 +101,7 @@ def _filter_broadcast(pages_ds, prior_index_dir: str):
         _Filter,
         fn_constructor_args=(lookup_ref,),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
         concurrency=(1, 8),
     )

@@ -113,6 +113,7 @@ def decode_features(media_ds, decoder: str = "fake", feat_dim: int = 16, batch_s
         MediaDecodeStage,
         fn_constructor_args=(decoder, feat_dim),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=(1, 8),
     )
@@ -159,6 +160,7 @@ def resize_media(media_ds, width: int = 32, height: int = 32, batch_size: int = 
         ResizeStage,
         fn_constructor_args=(width, height),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=(1, 8),
     )
@@ -196,6 +198,7 @@ def sample_frames(media_ds, n_frames: int = 4, batch_size: int = 32):
         FrameSampleStage,
         fn_constructor_args=(n_frames,),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=(1, 8),
     )

@@ -57,6 +57,7 @@ def doc_token_stats(ds, mode: str = "plain"):
         DocTokenStats,
         fn_constructor_args=(mode,),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=1024,
         concurrency=(1, 8),
     )
@@ -97,6 +98,7 @@ def term_stats(ds, mode: str = "plain"):
         _PartialTermStats,
         fn_constructor_args=(mode,),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=1024,
         concurrency=(1, 8),
     )
@@ -157,7 +159,8 @@ class LangIdStage:
 
 
 def language_id(ds):
-    return ds.map_batches(LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048, concurrency=(1, 8))
 
 
 # ---------------------------------------------------------- quality scoring
@@ -198,7 +201,8 @@ def _quality_batch(batch: pa.Table) -> pa.Table:
 
 def quality_scores(ds):
     """Per-doc quality heuristics (length, stopword/punct/digit/alpha ratios)."""
-    return ds.map_batches(_quality_batch, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_quality_batch, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
 
 
 _ASCII_DIGITS = frozenset("0123456789")
@@ -229,7 +233,8 @@ def _quality_counts_batch(batch: pa.Table) -> pa.Table:
 
 def quality_counts(ds):
     """SQL-expressible integer quality counts per doc."""
-    return ds.map_batches(_quality_counts_batch, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_quality_counts_batch, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
 
 
 # ------------------------------------------------------------ token counting
@@ -258,7 +263,8 @@ def token_counts(ds, scheme: str = "whitespace"):
             }
         )
 
-    return ds.map_batches(_count, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_count, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
 
 
 # ------------------------------------------------------- doc fingerprinting
@@ -287,7 +293,8 @@ def _fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprints(ds):
-    return ds.map_batches(_fingerprint_batch, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_fingerprint_batch, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
 
 
 # --------------------------------------------------------- grouped rollups
