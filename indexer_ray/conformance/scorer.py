@@ -1,14 +1,21 @@
 """Brute-force (spec) scorers.  These are the oracles the distributed engine
 must match rank-identically (SURVEY.md §5.3).
 
-Conformance scorer = the reference formula exactly (tree.rs:419-451):
+Conformance scorer = the reference formula exactly (tree.rs:388-465):
     N   = number of documents with >= 1 token (empty docs are never added;
           tree.rs:333-335)
     df  = number of documents containing the term (global)
-    idf = |ln(N / df)|              (tree.rs:426 — note the abs())
-    score(d) = sum over query TOKENS (in order, duplicates counted twice —
-               the reference iterates the raw token list, tree.rs:418) of
-               tf(t, d) * idf(t)
+    Duplicate query tokens: the reference iterates the RAW token list in
+    BOTH passes.  Pass 1 (tree.rs:406-415) adds metadata.df to global_dfs
+    and pushes a postings-cache copy once per OCCURRENCE, so a token with
+    multiplicity m sees global_df = m*df and m cached copies; pass 2
+    (tree.rs:419-449) then runs once per occurrence over all m copies.
+    Net effect per distinct token t with multiplicity m:
+        idf(t)   = |ln(N / (m * df))|        (tree.rs:426 — note the abs())
+        score(d) += m^2 * tf(t, d) * idf(t)
+    (m=1 reduces to the familiar tf*|ln(N/df)|.  A duplicated token whose
+    m*df reaches N scores exactly 0 — e.g. 'cat cat' over a corpus where
+    df(cat) = N/2 returns EMPTY; verified against the reference binary.)
     documents with score == 0.0 dropped (tree.rs:457); sort by score desc.
     Tie-break (score desc, doc_id asc) replaces the reference's
     nondeterministic HashMap order (SURVEY.md quirk Q7).
@@ -57,16 +64,25 @@ def brute_force_tfidf_topk(
     k: int | None = 10,
 ) -> list[tuple[int, float]]:
     """Exhaustive reference-formula scoring.  Accumulation order is fixed:
-    query-token order, then doc_id order (pins float associativity)."""
+    first-occurrence token order, then doc_id order (pins float
+    associativity).  Duplicate tokens: m^2 * tf * |ln(N/(m*df))| — see the
+    module docstring for the reference's two-pass df inflation."""
     n_docs, df, tf_by_term, _ = _corpus_stats(corpus)
-    scores: dict[int, float] = {}
+    mult: dict[str, int] = {}
+    order: list[str] = []
     for tok in q_tokens:
+        if tok not in mult:
+            order.append(tok)
+        mult[tok] = mult.get(tok, 0) + 1
+    scores: dict[int, float] = {}
+    for tok in order:
         d = df.get(tok, 0)
         if d == 0:
             continue
-        idf = tfidf_idf(n_docs, d)
+        m = mult[tok]
+        w = (m * m) * tfidf_idf(n_docs, m * d)
         for doc_id in sorted(tf_by_term[tok]):
-            scores[doc_id] = scores.get(doc_id, 0.0) + tf_by_term[tok][doc_id] * idf
+            scores[doc_id] = scores.get(doc_id, 0.0) + w * tf_by_term[tok][doc_id]
     results = [(doc, s) for doc, s in scores.items() if s != 0.0]
     results.sort(key=lambda x: (-x[1], x[0]))
     return results if k is None else results[:k]

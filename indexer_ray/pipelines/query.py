@@ -5,8 +5,10 @@ Two scorers sharing one decode path:
   * conformance TF-IDF — the reference formula exactly: idf = |ln(N/df)|,
     score += tf*idf accumulated in query-token order then doc_id order,
     score==0.0 dropped, ties broken (score desc, doc_id asc).  Duplicate
-    query tokens accumulate once PER OCCURRENCE (the reference iterates the
-    raw token list, tree.rs:418).
+    query tokens: the reference's raw-token-list iteration in BOTH search
+    passes (tree.rs:406-415, 419-449) inflates global_df to m*df and
+    accumulates m^2 times — replicated in `_weights` (and in the spec
+    scorer, conformance/scorer.py).
   * BM25 (k1=1.2, b=0.75, Lucene-style positive idf) — the engine-mode
     scorer named by the north rule; doc length comes from the posting
     payload (inlined norms), avgdl/N from the manifest.
@@ -202,8 +204,16 @@ class IndexSearcher:
     # ---- scoring kernels ----
 
     def _weights(self, q_tokens: list[str], scorer: str) -> list[tuple[str, float, _TermBlocks]]:
-        """Per unique term: weight = idf * multiplicity (duplicates in the
-        token list accumulate per occurrence) + its blocks."""
+        """Per unique term: (term, weight, blocks) in first-occurrence order.
+
+        Duplicate query tokens (multiplicity m):
+          * tfidf (conformance) — the reference iterates the RAW token list
+            in both search passes (tree.rs:406-415 + 419-449), inflating
+            global_df to m*df and accumulating each of its m cached copies
+            once per occurrence: weight = m^2 * |ln(N/(m*df))| (so 'cat cat'
+            over a corpus with df(cat)=N/2 returns EMPTY — idf hits 0).
+          * bm25 (engine mode, no reference analogue) — per-occurrence
+            accumulation without df inflation: weight = m * idf(df)."""
         mult: dict[str, int] = {}
         order: list[str] = []
         for t in q_tokens:
@@ -217,8 +227,12 @@ class IndexSearcher:
                 continue
             df = self._eff_df.get(t, tb.df)
             n = self._eff_n_docs
-            idf = tfidf_idf(n, df) if scorer == "tfidf" else bm25_idf(n, df)
-            out.append((t, idf * mult[t], tb))
+            m = mult[t]
+            if scorer == "tfidf":
+                w = (m * m) * tfidf_idf(n, m * df)
+            else:
+                w = m * bm25_idf(n, df)
+            out.append((t, w, tb))
         return out
 
     def _contrib(self, scorer: str, w: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:

@@ -121,9 +121,16 @@ def test_brute_force_tfidf():
     # df == N -> idf 0 -> zero score dropped entirely (quirk Q5)
     corpus2 = [(1, ["x"]), (2, ["x"]), (3, ["x", "y"])]
     assert brute_force_tfidf_topk(corpus2, ["x"], k=10) == []
-    # duplicate query tokens accumulate twice (reference iterates raw list)
+    # duplicate query tokens: the reference's two-pass raw-list iteration
+    # inflates global_df to m*df and accumulates m^2 times ->
+    # m^2 * tf * |ln(N/(m*df))| (tree.rs:406-415 + 419-449)
     res1 = brute_force_tfidf_topk(corpus, ["apple", "apple"], k=10)
-    assert res1[0][1] == pytest.approx(2 * res[0][1])
+    assert res1[0][1] == pytest.approx(4 * 2 * abs(math.log(n / 2)))
+    # df inflation can zero the idf: df(c)=2, N=4, m=2 -> |ln(4/4)| = 0 ->
+    # every score is 0.0 -> dropped -> EMPTY (the 'cat cat' reference quirk)
+    corpus4 = [(1, ["c", "p1"]), (2, ["c", "p2"]), (3, ["p3"]), (4, ["p4"])]
+    assert brute_force_tfidf_topk(corpus4, ["c", "c"], k=10) == []
+    assert brute_force_tfidf_topk(corpus4, ["c"], k=10) != []
     # tie-break: score desc then doc_id asc
     corpus3 = [(5, ["z"]), (2, ["z"]), (9, ["z", "w"]), (7, ["w"])]
     r = brute_force_tfidf_topk(corpus3, ["z"], k=10)
