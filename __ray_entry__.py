@@ -43,6 +43,13 @@ import pyarrow.parquet as pq
 _PROBE_TERMS = ["batch", "customer", "join", "window", "vector"]
 # Fixed reference query set for the search engines (rows-only checks).
 _SEARCH_QUERIES = ["batch window", "customer join fast", "data stream sort table"]
+# Plain-mode search queries get a FULL DuckDB oracle (hash-checked): plain
+# tokenization is regexp_extract_all in SQL, and both scoring formulas are
+# SQL-expressible.  The last query pins the reference's duplicate-token
+# semantics (m^2 * tf * |ln(N/(m*df))|, conformance/scorer.py) in the oracle.
+_PLAIN_SEARCH_QUERIES = _SEARCH_QUERIES + ["batch batch window"]
+_SEARCH_K = 10
+_SCORE_QUANT = 1e6  # scores are ranked/compared as floor(score*1e6 + 0.5)
 _ANN_NQ = 5
 _ANN_K = 10
 
@@ -289,6 +296,54 @@ def _topk_frame(s, scorer: str, algorithm: str) -> pd.DataFrame:
     )
 
 
+def _plain_query_terms() -> list[tuple[int, str, int]]:
+    """(query_id, term, multiplicity) rows for the plain search queries, in
+    first-occurrence order — shared by the Ray path and the SQL oracle."""
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    rows = []
+    for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
+        mult: dict[str, int] = {}
+        order: list[str] = []
+        for t in tokenize_plain(q):
+            if t not in mult:
+                order.append(t)
+            mult[t] = mult.get(t, 0) + 1
+        rows.extend((qi, t, mult[t]) for t in order)
+    return rows
+
+
+def _quant(score: float) -> int:
+    import math
+
+    return int(math.floor(score * _SCORE_QUANT + 0.5))
+
+
+def _plain_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
+    """Oracle-checked top-k over the plain-mode index: scores quantized to
+    integers (floor(s*1e6+0.5)) BEFORE ranking so last-ulp float-sum-order
+    differences between the engine and DuckDB can't flip tie order."""
+    s = _searcher(sf_dir, "plain")
+    rows = []
+    for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
+        hits = s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
+        ranked = sorted(((-_quant(sc), d) for d, sc in hits))[:_SEARCH_K]
+        rows.extend(
+            (qi, rank, int(d), int(-negq)) for rank, (negq, d) in enumerate(ranked)
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"]).astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"}
+    )
+
+
+def _q_search_tfidf_plain(sf_dir: str):
+    return _plain_search_frame(sf_dir, "tfidf")
+
+
+def _q_search_bm25_plain(sf_dir: str):
+    return _plain_search_frame(sf_dir, "bm25")
+
+
 def _q_search_tfidf(sf_dir: str):
     return _topk_frame(_searcher(sf_dir, "conformance"), "tfidf", "exhaustive")
 
@@ -404,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": _q_events_json_extract,
         "lineitem_pricing_counts": _q_lineitem_pricing_counts,
         "orders_by_priority": _q_orders_by_priority,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "search_tfidf_topk_plain": _q_search_tfidf_plain,
+        "search_bm25_topk_plain": _q_search_bm25_plain,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -414,7 +472,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "language_id": _q_language_id,
-        "bpe_token_counts": _q_bpe_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "search_urls_topk": _q_search_urls,
@@ -427,9 +484,65 @@ _TOKS_CTE = f"""WITH toks AS (
 )"""
 
 
+def _search_oracle_sql(scorer: str) -> str:
+    """DuckDB oracle for the plain-mode search engines (reference
+    tree.rs:388-465 re-expressed in SQL): N/df/tf/dl recomputed from the
+    documents table, scores quantized (floor(s*1e6+0.5)) BEFORE ranking —
+    the same quantization the Ray side applies."""
+    values = ", ".join(f"({qi}, '{t}', {m})" for qi, t, m in _plain_query_terms())
+    if scorer == "tfidf":
+        # conformance formula incl. duplicate-token df inflation:
+        # m^2 * tf * |ln(N / (m*df))|
+        contrib = (
+            "q.m * q.m * tf.tf * "
+            "abs(ln(CAST(nn.n_docs AS DOUBLE) / (q.m * df.df)))"
+        )
+        dl_join = ""
+    else:
+        # engine BM25 (k1=1.2, b=0.75, Lucene positive idf), weight m*idf
+        contrib = (
+            "q.m * ln(1.0 + (nn.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * 2.2 "
+            "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / nn.avgdl))"
+        )
+        dl_join = " JOIN dl ON dl.doc_id = tf.doc_id"
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+  FROM toks
+), q(query_id, term, m) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, tf.doc_id, sum({contrib}) AS score
+  FROM q JOIN df ON q.term = df.term
+         JOIN tf ON tf.term = q.term{dl_join}
+         CROSS JOIN nn
+  GROUP BY q.query_id, tf.doc_id
+), r AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * {_SCORE_QUANT} + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score * {_SCORE_QUANT} + 0.5) AS BIGINT) DESC,
+                    doc_id) - 1 AS rank
+  FROM sc WHERE score <> 0
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
+FROM r WHERE rank < {_SEARCH_K}"""
+
+
 def oracle_sql() -> dict[str, str]:
     probe = ", ".join(f"'{t}'" for t in _PROBE_TERMS)
     return {
+        "search_tfidf_topk_plain": _search_oracle_sql("tfidf"),
+        "search_bm25_topk_plain": _search_oracle_sql("bm25"),
         "term_stats_plain": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM toks GROUP BY term""",
@@ -444,6 +557,13 @@ LEFT JOIN (
 ) t USING (doc_id)""",
         "ws_token_counts": r"""SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents""",
+        # the BPE pre-tokenizer pattern is deliberately RE2-expressible
+        # (text_analysis._BPE_TOKEN_RE); '' = escaped quote in SQL
+        "bpe_token_counts": r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'
+       )) AS BIGINT) AS n_tokens
 FROM documents""",
         "quality_counts": f"""SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
