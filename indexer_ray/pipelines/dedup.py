@@ -42,27 +42,28 @@ def _hash64_bytes(b: bytes) -> int:
 
 
 def _content_hash_batch(batch: pa.Table, key: str) -> pa.Table:
-    # int64 (signed view of the 64-bit digest): uint64 keys above 2^63 force
-    # Ray's groupby key handling into a pickled-object fallback path
-    hashes = [
-        int.from_bytes(
-            hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest(),
-            "big",
-            signed=True,
-        )
-        for v in batch.column(key).to_pylist()
-    ]
+    # 128-bit digest as two int64 columns: a 64-bit key has ~N^2/2^65
+    # expected birthday collisions (~10^4 silent false merges at 10^12
+    # docs); 128 bits pushes that to ~10^-15.  Signed int64 halves (not
+    # uint64): keys above 2^63 force Ray's groupby key handling into a
+    # pickled-object fallback path.
+    his, los = [], []
+    for v in batch.column(key).to_pylist():
+        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=16).digest()
+        his.append(int.from_bytes(d[:8], "big", signed=True))
+        los.append(int.from_bytes(d[8:], "big", signed=True))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "content_hash": pa.array(hashes, type=pa.int64()),
+            "hash_hi": pa.array(his, type=pa.int64()),
+            "hash_lo": pa.array(los, type=pa.int64()),
         }
     )
 
 
 def exact_duplicates(ds, key: str = "text"):
     """(keep_doc_id, dup_count) per distinct content: hash-partition the
-    64-bit content hash, keep the smallest doc_id per group (first-wins,
+    128-bit content hash, keep the smallest doc_id per group (first-wins,
     deterministic).  Returns one row per distinct content value."""
     from ray.data.aggregate import Count, Min
 
@@ -70,7 +71,7 @@ def exact_duplicates(ds, key: str = "text"):
         lambda b: _content_hash_batch(b, key), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=4096
     )
-    return hashed.groupby("content_hash").aggregate(
+    return hashed.groupby(["hash_hi", "hash_lo"]).aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
     )
 
@@ -222,6 +223,105 @@ def _bucket_pairs_in_part(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     return res
 
 
+def _pairwise_jaccard_distributed(
+    ds, pairs: pd.DataFrame, shingle_k: int, n_parts: int = _PAIR_PARTITIONS
+) -> pd.DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, with NO driver-side
+    corpus iteration (the round-1 scale-killer): the corpus STREAMS through
+    a shingle stage that drops every non-candidate doc (candidate-id routing
+    table broadcast once via ray.put), each surviving doc's shingle set is
+    routed to every pair-partition that references it, and one vectorized
+    verify pass runs per partition.  Driver-side state is only the candidate
+    pair list itself — the blocking OUTPUT, not the corpus.
+
+    Returns (doc_a, doc_b, jaccard) for every input pair.
+    """
+    import ray
+
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series([], dtype="float64"))
+    pairs = pairs[["doc_a", "doc_b"]].drop_duplicates().reset_index(drop=True)
+    part_of_pair = (
+        (pairs["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ pairs["doc_b"].to_numpy(np.uint64)
+    ) % np.uint64(n_parts)
+    pairs_by_part: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    doc_parts: dict[int, list[int]] = {}
+    for p in np.unique(part_of_pair):
+        sel = part_of_pair == p
+        a = pairs["doc_a"].to_numpy()[sel]
+        b = pairs["doc_b"].to_numpy()[sel]
+        pairs_by_part[int(p)] = (a, b)
+        for d in np.unique(np.concatenate([a, b])):
+            doc_parts.setdefault(int(d), []).append(int(p))
+    doc_parts_ref = ray.put(doc_parts)
+    pairs_ref = ray.put(pairs_by_part)
+
+    class _ShingleStage:
+        def __init__(self, ref, k):
+            self.doc_parts = ray.get(ref)  # one fetch per actor
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_part, out_doc, out_sh = [], [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                parts = self.doc_parts.get(doc_id)
+                if not parts:
+                    continue
+                sh = _shingles(tokenize_plain(text or ""), self.k)
+                for p in parts:
+                    out_part.append(p)
+                    out_doc.append(doc_id)
+                    out_sh.append(sh)
+            return pa.table(
+                {
+                    "part": pa.array(out_part, type=pa.int32()),
+                    "doc_id": pa.array(out_doc, type=pa.int64()),
+                    "shingles": pa.array(
+                        [s.tolist() for s in out_sh], type=pa.list_(pa.uint64())
+                    ),
+                }
+            )
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        a_ids, b_ids = ray.get(pairs_ref)[part]
+        sh = {
+            int(d): np.asarray(s, dtype=np.uint64)
+            for d, s in zip(g["doc_id"], g["shingles"])
+        }
+        empty = np.empty(0, dtype=np.uint64)
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+            sa, sb = sh.get(int(a), empty), sh.get(int(b), empty)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        return pd.DataFrame(
+            {
+                "doc_a": a_ids.astype("int64"),
+                "doc_b": b_ids.astype("int64"),
+                "jaccard": jac,
+            }
+        )
+
+    return (
+        ds.map_batches(
+            _ShingleStage,
+            fn_constructor_args=(doc_parts_ref, shingle_k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 64,
@@ -234,9 +334,9 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash + banded LSH.
 
     Returns a pandas DataFrame (doc_a, doc_b, jaccard) with doc_a < doc_b,
-    verified against exact shingle-set Jaccard when `verify`.  The candidate
-    set is assumed driver-small (it is the blocking OUTPUT, not the corpus);
-    verification re-reads only the candidate docs' texts.
+    verified against exact shingle-set Jaccard when `verify`.  Verification
+    is fully distributed (`_pairwise_jaccard_distributed`): the corpus is
+    never iterated on the driver.
     """
     sigs = ds.map_batches(
         MinHashStage,
@@ -259,23 +359,9 @@ def minhash_lsh_pairs(
     if not verify or pairs.empty:
         pairs["jaccard"] = np.nan
         return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    # exact verification on the candidate docs only
-    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    empty = np.empty(0, dtype=np.uint64)
-    texts: dict[int, np.ndarray] = {}
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if doc_id in need:
-                texts[doc_id] = _shingles(tokenize_plain(text or ""), shingle_k)
-    jac = []
-    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = texts.get(a, empty), texts.get(bb, empty)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac.append(inter / union if union else 0.0)
-    pairs = pairs.assign(jaccard=jac)
-    pairs = pairs[pairs["jaccard"] >= jaccard_threshold]
-    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
+    out = out[out["jaccard"] >= jaccard_threshold]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
@@ -288,25 +374,13 @@ def ngram_jaccard_pairs(
     """Exact n-gram (k-shingle) Jaccard for given candidate pairs — or, when
     ``pairs`` is None, for MinHash-LSH candidates (blocking first, so the
     quadratic step never touches the full corpus).  Output: (doc_a, doc_b,
-    jaccard) with jaccard >= threshold."""
+    jaccard) with jaccard >= threshold.  Distributed verify, no driver-side
+    corpus iteration."""
     if pairs is None:
         return minhash_lsh_pairs(
             ds, shingle_k=shingle_k, jaccard_threshold=threshold, max_bucket=max_bucket
         )
-    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    shingles: dict[int, np.ndarray] = {}
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for doc_id, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if doc_id in need:
-                shingles[doc_id] = _shingles(tokenize_plain(text or ""), shingle_k)
-    empty = np.empty(0, dtype=np.uint64)
-    jac = []
-    for a, bb in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = shingles.get(a, empty), shingles.get(bb, empty)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac.append(inter / union if union else 0.0)
-    out = pairs.assign(jaccard=jac)
+    out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
     return out[out["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -378,17 +452,24 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.uint64)
         n = len(ids)
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "hamming": [], "truncated": []}
+        ).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64", "truncated": "int64"}
         )
         if n == 0:
             return empty
         starts = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
         ends = np.r_[starts[1:], n]
         frames = []
+        truncated = []
         for s, e in zip(starts, ends):
             size = e - s
-            if size < 2 or size > max_bucket:
+            if size < 2:
+                continue
+            if size > max_bucket:
+                # no-silent-caps: surface skipped buckets as counter rows
+                truncated.append(int(size))
                 continue
             ia, ib = np.triu_indices(size, k=1)
             x = hs[s:e][ia] ^ hs[s:e][ib]
@@ -401,9 +482,21 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
                             "doc_a": ids[s:e][ia][m].astype("int64"),
                             "doc_b": ids[s:e][ib][m].astype("int64"),
                             "hamming": ham[m].astype("int64"),
+                            "truncated": np.zeros(int(m.sum()), dtype="int64"),
                         }
                     )
                 )
+        if truncated:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": [-1] * len(truncated),
+                        "doc_b": [-1] * len(truncated),
+                        "hamming": [-1] * len(truncated),
+                        "truncated": truncated,
+                    }
+                )
+            )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = (
@@ -413,7 +506,13 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
         .to_pandas()
     )
     if pairs.empty:
-        return pairs
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+    n_trunc = int(pairs.loc[pairs["truncated"] > 0, "truncated"].sum())
+    if n_trunc:
+        print(f"[simhash_pairs] WARNING: skipped buckets covering {n_trunc} docs (> max_bucket)")
+    pairs = pairs[pairs["truncated"] == 0].drop(columns=["truncated"])
     return (
         pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
@@ -489,20 +588,43 @@ def embedding_dup_pairs(
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "cosine": [], "truncated": []}
+        ).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64", "truncated": "int64"}
+        )
+        if len(ids) < 2:
+            return empty
+        if len(ids) > max_bucket:
+            # no-silent-caps: one counter row per skipped oversized bucket
+            return pd.DataFrame(
+                {"vec_a": [-1], "vec_b": [-1], "cosine": [0.0], "truncated": [len(ids)]}
+            ).astype(empty.dtypes)
         X = np.stack(g["embedding"].to_numpy())
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = Xn @ Xn.T
         ia, ib = np.triu_indices(len(ids), k=1)
         m = sims[ia, ib] >= cosine_threshold
-        return pd.DataFrame({"vec_a": ids[ia][m], "vec_b": ids[ib][m], "cosine": sims[ia, ib][m]})
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][m],
+                "vec_b": ids[ib][m],
+                "cosine": sims[ia, ib][m],
+                "truncated": np.zeros(int(m.sum()), dtype="int64"),
+            }
+        )
 
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
     if pairs.empty:
-        return pairs
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+    n_trunc = int(pairs.loc[pairs["truncated"] > 0, "truncated"].sum())
+    if n_trunc:
+        print(
+            f"[embedding_dup_pairs] WARNING: skipped buckets covering {n_trunc} vectors (> max_bucket)"
+        )
+    pairs = pairs[pairs["truncated"] == 0]
     a = np.minimum(pairs["vec_a"], pairs["vec_b"])
     b = np.maximum(pairs["vec_a"], pairs["vec_b"])
     return (
