@@ -48,8 +48,6 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from indexer_ray.conformance.extract import extract_text, extract_visible_text
@@ -68,7 +66,9 @@ from indexer_ray.state.manifest import (
 
 @dataclasses.dataclass
 class BuildConfig:
-    n_partitions: int = 32
+    # None -> auto-sized from estimated total postings so one partition
+    # always fits a phase-2 encode task (see _auto_partitions)
+    n_partitions: int | None = 32
     block_size: int = BLOCK_SIZE
     mode: str = "conformance"  # or "plain"
     stem_tokens: bool = True  # tokenizer-config surface (SURVEY.md §2.7)
@@ -85,10 +85,19 @@ class BuildConfig:
     extract: str = "conformance"  # or "visible"
     verify_extract: bool = False
     # skew handling
+    # sample_docs is a FLOOR: the effective sample grows with the corpus
+    # (n_docs_estimate/250, capped at 8192) so mid-head ratios stay
+    # resolvable at scale
     sample_docs: int = 400
-    hot_df_ratio: float = 0.25  # sample df fraction above which a term is "hot"
+    # UPPER clamp on the hot threshold; the effective threshold is
+    # min(hot_df_ratio, target_run_postings/n_docs_estimate) — a term whose
+    # expected df exceeds one run's budget gets salted no matter how small
+    # its ratio (clamped below by what the sample can resolve)
+    hot_df_ratio: float = 0.25
     target_run_postings: int = 1 << 20  # max postings per (term, salt) run
     max_salts: int = 64
+    # phase-2 encode reads one whole partition; this bounds its size
+    target_partition_postings: int = 4 << 20
     # execution
     batch_size: int = 8192  # upper clamp; builds target ~4 map tasks/cpu
     tokenize_actors: tuple[int, int] | int | None = None  # None -> autoscale
@@ -138,12 +147,43 @@ def _tokenize_fn(cfg: BuildConfig):
     )
 
 
-def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -> dict[str, int]:
+def _effective_sample_docs(cfg: BuildConfig, n_docs_estimate: int) -> int:
+    """Corpus-scaled sample size: cfg.sample_docs is the floor; larger
+    corpora sample more docs so mid-head df-ratios stay resolvable."""
+    return int(np.clip(n_docs_estimate // 250, cfg.sample_docs, 8192))
+
+
+def _effective_hot_threshold(cfg: BuildConfig, n_docs_estimate: int, got: int) -> float:
+    """Sample-df-ratio above which a term is salted.
+
+    A (term, salt) run must fit ~target_run_postings, so any term with
+    expected df > target_run_postings — ratio > target/N — needs salting,
+    however small its ratio (at 10^12 docs a df-ratio-0.1 term is 10^11
+    postings, 10^5 runs).  cfg.hot_df_ratio is only an upper clamp;
+    the floor is what `got` sampled docs can resolve (>=8 hits)."""
+    scale_thresh = cfg.target_run_postings / max(n_docs_estimate, 1)
+    min_resolvable = 8.0 / max(got, 1)
+    return max(min(cfg.hot_df_ratio, scale_thresh), min_resolvable)
+
+
+def _auto_partitions(est_postings: int, target_partition_postings: int) -> int:
+    """Partition count sized so one partition's raw postings fit a single
+    phase-2 encode task's memory, growing linearly with the corpus."""
+    return int(np.clip(-(-est_postings // max(target_partition_postings, 1)), 8, 65536))
+
+
+def sample_hot_terms(
+    paths: list[str], cfg: BuildConfig, n_docs_estimate: int
+) -> tuple[dict[str, int], dict[str, float]]:
     """Driver-side sample of the term-frequency head (SURVEY.md §2.8).
 
-    Reads the first `sample_docs` rows of the first input file, tokenizes
-    them, and marks terms whose sample df-ratio exceeds `hot_df_ratio` as
-    hot.  n_salts sizes each run to ~target_run_postings expected postings.
+    Reads a corpus-scaled sample spread across the input files, tokenizes
+    it, and marks terms whose sample df-ratio exceeds the scale-aware hot
+    threshold (`_effective_hot_threshold`).  n_salts sizes each run to
+    ~target_run_postings expected postings.
+
+    Returns (hot_terms, sample_stats) where sample_stats carries the
+    sampled avg distinct-terms/doc — the input to partition autosizing.
     """
     tok = _tokenize_fn(cfg)
     extract = extract_text if cfg.extract == "conformance" else extract_visible_text
@@ -151,10 +191,11 @@ def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -
     # miss distribution drift between shards (e.g. time-ordered crawls)
     n_files = len(paths)
     sample_files = sorted({0, n_files // 3, (2 * n_files) // 3, n_files - 1})
-    per_file = -(-cfg.sample_docs // len(sample_files))
+    need = _effective_sample_docs(cfg, n_docs_estimate)
+    per_file = -(-need // len(sample_files))
     text_col = "html" if cfg.source == "html" else "text"
-    need = cfg.sample_docs
     got = 0
+    sum_unique = 0
     df: Counter = Counter()
     for fi in sample_files:
         f = pq.ParquetFile(paths[fi])
@@ -165,7 +206,9 @@ def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -
                 text = extract(v) if cfg.source == "html" else v
                 if not text:
                     continue
-                df.update(set(tok(text)))
+                uniq = set(tok(text))
+                df.update(uniq)
+                sum_unique += len(uniq)
                 got += 1
                 taken += 1
                 if taken >= per_file or got >= need:
@@ -174,17 +217,22 @@ def sample_hot_terms(paths: list[str], cfg: BuildConfig, n_docs_estimate: int) -
                 break
         if got >= need:
             break
+    stats = {
+        "sampled_docs": float(got),
+        "avg_unique_terms": (sum_unique / got) if got else 0.0,
+    }
     if got == 0:
-        return {}
+        return {}, stats
+    thresh = _effective_hot_threshold(cfg, n_docs_estimate, got)
     hot: dict[str, int] = {}
     for term, d in df.items():
         ratio = d / got
-        if ratio >= cfg.hot_df_ratio:
+        if ratio >= thresh:
             expected = ratio * max(n_docs_estimate, got)
             n_salts = int(np.ceil(expected / cfg.target_run_postings))
             n_salts = max(2, min(cfg.max_salts, n_salts))  # >=2 so salting is real
             hot[term] = n_salts
-    return hot
+    return hot, stats
 
 
 _TERM_HASH_MEMO: dict[str, int] = {}
@@ -365,27 +413,45 @@ def _encode_partition_batch(
     }
 
 
-def _docmap_stats(docmap_dir: str) -> tuple[int, int]:
-    """(n_docs, total_doc_len) from the docmap fragments.
+def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
+    """(n_docs, total_doc_len, max_rows_per_doc_id) — fully distributed.
 
-    Fragment files are idempotent per batch (content-hash names), so rows are
-    unique; a streaming per-fragment scan suffices — no shuffle.
-    """
-    ds = pads.dataset(docmap_dir, format="parquet")
-    t = ds.to_table(columns=["doc_len"])
-    return t.num_rows, int(pc.sum(t.column("doc_len")).as_py() or 0)
+    Deduplicates by doc_id per the manifest contract (docmap fragments may
+    hold duplicate doc_ids after task retries with shifted batch
+    boundaries; readers dedup): the stats count DISTINCT doc_ids and sum
+    one doc_len per id.  The groupby shuffles only (doc_id, doc_len) pairs;
+    the driver reduces one tiny partial row per output block — driver
+    memory is independent of corpus size (the round-1 version pulled every
+    doc_id into one numpy array).  max_rows_per_doc_id > 1 reports
+    duplicates to the caller (an ERROR for hash/native ids: collision or
+    duplicate url; benign retry artifact for dense ids)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
 
+    if not glob.glob(os.path.join(docmap_dir, "*.parquet")):
+        return 0, 0, 0
+    per_doc = (
+        rd.read_parquet(docmap_dir, columns=["doc_id", "doc_len"])
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="c"), Min("doc_len", alias_name="doc_len"))
+    )
 
-def _verify_doc_ids_unique(docmap_dir: str) -> None:
-    ds = pads.dataset(docmap_dir, format="parquet")
-    t = ds.to_table(columns=["doc_id"])
-    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-    uniq = len(np.unique(ids))
-    if uniq != len(ids):
-        raise RuntimeError(
-            f"doc_id collision or duplicate url: {len(ids) - uniq} duplicates; "
-            "widen the digest or dedup the input by url"
+    def _partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        dl = b.column("doc_len").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(c)], type=pa.int64()),
+                "sum_dl": pa.array([int(dl.sum()) if len(dl) else 0], type=pa.int64()),
+                "max_c": pa.array([int(c.max()) if len(c) else 0], type=pa.int64()),
+            }
         )
+
+    parts = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    total_dl = sum(r["sum_dl"] for r in parts)
+    max_c = max((r["max_c"] for r in parts), default=0)
+    return n_docs, total_dl, max_c
 
 
 def build_index(
@@ -416,12 +482,30 @@ def build_index(
 
     n_docs_estimate = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
-    # hot-term set must be identical across resumes (it determines routing)
+    # hot-term set AND partition count must be identical across resumes
+    # (both determine routing)
     if "hot_terms" in progress:
         hot_terms = progress["hot_terms"]
+        if progress.get("n_partitions"):
+            cfg = dataclasses.replace(cfg, n_partitions=int(progress["n_partitions"]))
     else:
-        hot_terms = sample_hot_terms(paths, cfg, n_docs_estimate)
-        progress = {"hot_terms": hot_terms, "input_files": paths, "config": dataclasses.asdict(cfg)}
+        hot_terms, sample_stats = sample_hot_terms(paths, cfg, n_docs_estimate)
+        if cfg.n_partitions is None:
+            est_postings = int(
+                n_docs_estimate * max(sample_stats["avg_unique_terms"], 1.0)
+            )
+            cfg = dataclasses.replace(
+                cfg,
+                n_partitions=_auto_partitions(
+                    est_postings, cfg.target_partition_postings
+                ),
+            )
+        progress = {
+            "hot_terms": hot_terms,
+            "n_partitions": cfg.n_partitions,
+            "input_files": paths,
+            "config": dataclasses.asdict(cfg),
+        }
         save_progress(index_dir, progress)
 
     t_build0 = time.monotonic()
@@ -510,12 +594,18 @@ def build_index(
     progress["phase2_sec"] = round(time.monotonic() - t2, 3)
     save_progress(index_dir, progress)
 
-    if cfg.verify_doc_ids and not (cfg.id_assign == "dense" and not cfg.id_column):
-        # dense row-number ids are unique by construction; the scan only
-        # guards hash/native id modes against collisions/duplicate urls
-        _verify_doc_ids_unique(docmap_dir)
-
-    n_docs, total_dl = _docmap_stats(docmap_dir)
+    n_docs, total_dl, max_rows_per_id = _docmap_stats(docmap_dir)
+    if max_rows_per_id > 1 and cfg.verify_doc_ids and not (
+        cfg.id_assign == "dense" and not cfg.id_column
+    ):
+        # dense row-number ids are unique by construction (duplicates there
+        # are retry artifacts the stats already deduplicated); for
+        # hash/native ids a duplicate means a collision or duplicate url
+        raise RuntimeError(
+            "doc_id collision or duplicate url in docmap "
+            f"(max {max_rows_per_id} rows per doc_id); "
+            "widen the digest or dedup the input by url"
+        )
     part_metas = {}
     for p in all_parts:
         import json
