@@ -24,6 +24,25 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> / fixed_size_list<float>
+    Arrow column with no per-row Python objects: one flat values-buffer
+    view + reshape (the round-1 `np.stack(col.to_pylist())` built n Python
+    lists per batch in the hottest numeric stages)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+    widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(widths) and not (widths == widths[0]).all():
+        raise ValueError("ragged embedding column: rows have unequal dims")
+    dim = int(widths[0]) if len(widths) else 0
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+
+
 class _BruteScoreStage:
     """Per-batch cosine vs the broadcast query matrix; emits local top-k."""
 
@@ -35,8 +54,8 @@ class _BruteScoreStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _normalize(_embedding_matrix(batch.column("embedding")))
         sims = X @ self.Q.T  # (n, nq)
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
@@ -137,8 +156,8 @@ def ann_lsh_topk(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            X = _normalize(_embedding_matrix(batch.column("embedding")))
             keys = sig(X)
             out_q, out_id, out_s = [], [], []
             # group rows of this batch by bucket, score only probed queries
@@ -224,8 +243,8 @@ def ann_ivf_topk(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            X = _normalize(_embedding_matrix(batch.column("embedding")))
             cell = np.argmax(X @ self.C.T, axis=1)
             out_q, out_id, out_s = [], [], []
             for c in np.unique(cell):

@@ -559,10 +559,11 @@ def embedding_dup_pairs(
             self.planes = planes  # (n_planes, dim) — broadcast once
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            from indexer_ray.pipelines.ann import _embedding_matrix, _normalize
+
+            Xn = _normalize(_embedding_matrix(batch.column("embedding")))
             bits = (Xn @ self.planes.T) > 0
-            key = np.zeros(len(X), dtype=np.uint64)
+            key = np.zeros(len(Xn), dtype=np.uint64)
             for j in range(bits.shape[1]):
                 key |= bits[:, j].astype(np.uint64) << np.uint64(j)
             return pa.table(

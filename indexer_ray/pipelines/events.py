@@ -77,29 +77,78 @@ def extract_props_key(events_ds, key: str = "k"):
         zero_copy_batch=True, batch_size=8192)
 
 
-def sessionize(events_ds, gap_minutes: float = 30.0):
-    """Session windows per user: events sorted by ts within a user group;
+_SESS_PARTITIONS = 64
+
+
+def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTITIONS):
+    """Session windows per user: events sorted by ts within a user;
     a gap > `gap_minutes` starts a new session.  Output: one row per session
     (user_id, session_idx, session_start, session_end, n_events).
 
-    Partitioning assumption: one user's events fit one group (true for any
-    realistic user; pathological users would need the salting treatment)."""
+    Users are hash-routed into `n_parts` partitions and each partition runs
+    ONE vectorized sort+diff+cumsum pass over all of its users — not one
+    pandas call per user (per-group map_groups overhead dominates at
+    millions of tiny user groups; same blocking pattern as dedup's
+    `_add_bucket_part`).  Partitioning assumption: one PARTITION's events
+    fit one task (tune n_parts upward with event volume); no single user
+    ever spans partitions."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(0.0) / 60.0
-        session_idx = (gap > gap_minutes).cumsum()
-        out = (
-            g.assign(session_idx=session_idx)
-            .groupby("session_idx", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("event_id", "size"),
+    def _route(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
+                n_parts
             )
-            .reset_index()
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int32), type=pa.int32()),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+            }
         )
-        return out[["user_id", "session_idx", "session_start", "session_end", "n_events"]]
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_idx": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        uchg = np.r_[True, uid[1:] != uid[:-1]]
+        gap_min = np.empty(n, dtype=np.float64)
+        gap_min[0] = 0.0
+        gap_min[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s") / 60.0
+        new_sess = uchg | (gap_min > gap_minutes)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], n]
+        # session_idx restarts at 0 per user: global session number minus
+        # the user's first session number
+        sess_uid = uid[starts]
+        first_of_user = np.r_[True, sess_uid[1:] != sess_uid[:-1]]
+        sess_no = np.arange(len(starts))
+        base = np.maximum.accumulate(np.where(first_of_user, sess_no, 0))
+        return pd.DataFrame(
+            {
+                "user_id": sess_uid,
+                "session_idx": (sess_no - base).astype("int64"),
+                "session_start": ts[starts],
+                "session_end": ts[ends - 1],
+                "n_events": (ends - starts).astype("int64"),
+            }
+        )
+
+    return (
+        events_ds.map_batches(_route, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

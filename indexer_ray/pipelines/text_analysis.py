@@ -269,23 +269,34 @@ def token_counts(ds, scheme: str = "whitespace"):
 
 # ------------------------------------------------------- doc fingerprinting
 
-_FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FP_B = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
 
 
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     """64-bit polynomial rolling hash over the plain token stream (order-
-    sensitive document fingerprint; equal texts => equal fingerprints)."""
+    sensitive document fingerprint; equal texts => equal fingerprints).
+
+    Vectorized: per-token 64-bit hashes come from the shared Zipf-cached
+    token-hash table (dedup._token_hashes), and the roll is one
+    power-weighted dot product per doc — h = seed*B^n + sum(th[i] *
+    B^(n-1-i)) mod 2^64 — instead of the round-1 per-byte Python loop
+    (the slowest stage body in the repo per the round-1 review)."""
+    from indexer_ray.pipelines.dedup import _token_hashes
+
     fps = []
-    B = np.uint64(1099511628211)
     for t in batch.column("text").to_pylist():
-        h = np.uint64(14695981039346656037)
+        th = _token_hashes(tokenize_plain(t or ""))
+        n = len(th)
+        if n == 0:
+            fps.append(int(_FP_SEED))
+            continue
         with np.errstate(over="ignore"):
-            for tok in tokenize_plain(t or ""):
-                for b in tok.encode("utf-8"):
-                    h = (h * B) & _FP_MOD
-                    h ^= np.uint64(b)
-                h = (h * B) & _FP_MOD
-                h ^= np.uint64(0x20)
+            pw = np.empty(n, dtype=np.uint64)
+            pw[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, _FP_B, dtype=np.uint64), out=pw[1:])
+            h = _FP_SEED * pw[n - 1] * _FP_B + (th * pw[::-1]).sum(dtype=np.uint64)
         fps.append(int(h))
     return pa.table(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.uint64())}
