@@ -408,6 +408,20 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
 
 
+def _q_ann_index_lsh(sf_dir: str):
+    """Persisted-index ANN: build once (bucket-partitioned parquet under
+    /tmp), query reading only probed partitions — the standing-index scale
+    path; rows-only (LSH recall is approximate by construction)."""
+    from indexer_ray.pipelines.ann import ann_index_build, ann_index_query
+
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    idx = f"/tmp/indexer_ray_entry/{tag}_ann_lsh"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ann_index_build(_emb(sf_dir), idx, method="lsh", n_planes=8, seed=11)
+    out = ann_index_query(idx, _ann_queries(sf_dir), k=_ANN_K, multiprobe=1)
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 def _q_language_id(sf_dir: str):
     from indexer_ray.pipelines.text_analysis import language_id
 
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_index_lsh_topk": _q_ann_index_lsh,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "media_features": _q_media_features,

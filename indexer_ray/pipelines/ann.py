@@ -11,9 +11,19 @@
   * ann_ivf_topk   — scale path B: IVF — k-means centroids fit on a driver
     sample, broadcast once; vectors score only against queries probing
     their centroid's cell (nprobe nearest cells per query).
+  * ann_index_build / ann_index_query — the PERSISTED scale path: bucket
+    (LSH) or cell (IVF) assignments are written once as parquet
+    partitioned by bucket; queries then read ONLY the probed partitions,
+    so per-query scan cost is sublinear in corpus size (the streaming
+    variants above re-stream the full corpus per call — fine for batch
+    scoring, wrong for a standing index).
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -41,6 +51,35 @@ def _embedding_matrix(col) -> np.ndarray:
     dim = int(widths[0]) if len(widths) else 0
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+
+
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes — regenerable from (dim, n_planes, seed),
+    so the persisted index stores only the three scalars."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_sig(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (X @ planes.T) > 0
+    key = np.zeros(len(X), dtype=np.uint64)
+    for j in range(planes.shape[0]):
+        key |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return key
+
+
+def _probe_set(s: int, n_planes: int, multiprobe: int) -> set[int]:
+    """Own bucket + all signatures within `multiprobe` bit flips."""
+    out = {s}
+    frontier = {s}
+    for _ in range(multiprobe):
+        nxt = set()
+        for v in frontier:
+            for j in range(n_planes):
+                nxt.add(v ^ (1 << j))
+        out |= nxt
+        frontier = nxt
+    return out
 
 
 class _BruteScoreStage:
@@ -118,33 +157,15 @@ def ann_lsh_topk(
     import ray
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, Q.shape[1]))
+    planes = _lsh_planes(Q.shape[1], n_planes, seed)
 
     def sig(X: np.ndarray) -> np.ndarray:
-        bits = (X @ planes.T) > 0
-        key = np.zeros(len(X), dtype=np.uint64)
-        for j in range(n_planes):
-            key |= bits[:, j].astype(np.uint64) << np.uint64(j)
-        return key
+        return _bucket_sig(X, planes)
 
     q_sigs = sig(Q)
-    # probe set per query: own bucket + all 1..multiprobe bit flips
-    def probes(s: int) -> set[int]:
-        out = {s}
-        frontier = {s}
-        for _ in range(multiprobe):
-            nxt = set()
-            for v in frontier:
-                for j in range(n_planes):
-                    nxt.add(v ^ (1 << j))
-            out |= nxt
-            frontier = nxt
-        return out
-
     wanted: dict[int, list[int]] = {}
     for qi, s in enumerate(q_sigs):
-        for b in probes(int(s)):
+        for b in _probe_set(int(s), n_planes, multiprobe):
             wanted.setdefault(b, []).append(qi)
     wanted_ref = ray.put(wanted)
     qref = ray.put(Q)
@@ -277,3 +298,221 @@ def ann_ivf_topk(
     if partials.empty:
         return partials.assign(rank=pd.Series([], dtype="int64"))
     return _final_topk(partials, k)
+
+
+# ------------------------------------------------- persisted ANN index
+
+def ann_index_build(
+    emb_ds,
+    index_dir: str,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    seed: int = 11,
+    sample_size: int = 2000,
+    iters: int = 10,
+) -> dict:
+    """Build a persisted bucketed ANN index under `index_dir`.
+
+    Vectors are written as parquet PARTITIONED BY their LSH bucket (or IVF
+    cell): `<index_dir>/vectors/bucket=<b>/...`.  meta.json stores the
+    bucketing parameters (LSH planes are regenerated from (dim, n_planes,
+    seed); IVF centroids are stored explicitly — they depend on the fitted
+    sample).  `ann_index_query` then reads only probed partitions, making
+    per-query scan cost sublinear in corpus size; partitioned output also
+    means a failed build can re-run per partition (resumable-output rule).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    first = emb_ds.take(1)[0]
+    dim = len(first["embedding"])
+    if method == "lsh":
+        meta = {"method": "lsh", "dim": dim, "n_planes": n_planes, "seed": seed}
+
+        class Assign:
+            def __init__(self):
+                self.planes = _lsh_planes(dim, n_planes, seed)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+                b = _bucket_sig(Xn, self.planes).astype(np.int64)
+                return pa.table(
+                    {
+                        "vec_id": batch.column("vec_id"),
+                        "embedding": batch.column("embedding"),
+                        "bucket": pa.array(b, type=pa.int64()),
+                    }
+                )
+
+    elif method == "ivf":
+        sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
+        Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
+        C = _kmeans(Xs, n_centroids, iters, seed)
+        meta = {"method": "ivf", "dim": dim, "centroids": C.tolist(), "seed": seed}
+        import ray
+
+        cref = ray.put(C)
+
+        class Assign:
+            def __init__(self):
+                import ray as _ray
+
+                self.C = _ray.get(cref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+                cell = np.argmax(Xn @ self.C.T, axis=1).astype(np.int64)
+                return pa.table(
+                    {
+                        "vec_id": batch.column("vec_id"),
+                        "embedding": batch.column("embedding"),
+                        "bucket": pa.array(cell, type=pa.int64()),
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown ANN index method: {method}")
+
+    emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Assign,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    ).write_parquet(os.path.join(index_dir, "vectors"), partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_index_query(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+    nprobe: int = 4,
+    return_stats: bool = False,
+):
+    """Top-k over a persisted ANN index, reading ONLY probed bucket
+    partitions.  Output shape matches the streaming variants; with equal
+    parameters the results are identical to ann_lsh_topk / ann_ivf_topk
+    (same planes/centroids, same probe sets — tested).  `return_stats`
+    additionally returns {partitions_read, partitions_total, files_read,
+    files_total} so callers (and tests) can assert sublinear scan."""
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    if meta["method"] == "lsh":
+        planes = _lsh_planes(meta["dim"], meta["n_planes"], meta["seed"])
+        q_sigs = _bucket_sig(Q, planes)
+        wanted: dict[int, list[int]] = {}
+        for qi, s in enumerate(q_sigs):
+            for b in _probe_set(int(s), meta["n_planes"], multiprobe):
+                wanted.setdefault(b, []).append(qi)
+    else:
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+        wanted = {}
+        for qi in range(len(Q)):
+            for c in order[qi]:
+                wanted.setdefault(int(c), []).append(qi)
+
+    vec_root = os.path.join(index_dir, "vectors")
+    part_dirs = {
+        int(os.path.basename(d).split("=")[1]): d
+        for d in glob.glob(os.path.join(vec_root, "bucket=*"))
+    }
+    probed = sorted(b for b in wanted if b in part_dirs)
+    stats = {
+        "partitions_read": len(probed),
+        "partitions_total": len(part_dirs),
+        "files_read": sum(
+            len(glob.glob(os.path.join(part_dirs[b], "*.parquet"))) for b in probed
+        ),
+        "files_total": len(glob.glob(os.path.join(vec_root, "*", "*.parquet"))),
+    }
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int64"),
+        }
+    )
+    if not probed:
+        return (empty, stats) if return_stats else empty
+
+    wref, qref = ray.put(wanted), ray.put(Q)
+    if meta["method"] == "lsh":
+        n_planes, dim, seed = meta["n_planes"], meta["dim"], meta["seed"]
+
+        class Score:
+            def __init__(self):
+                self.planes = _lsh_planes(dim, n_planes, seed)
+                self.wanted = ray.get(wref)
+                self.Q = ray.get(qref)
+
+            def _keys(self, Xn):
+                return _bucket_sig(Xn, self.planes)
+
+    else:
+        cref2 = ray.put(np.asarray(meta["centroids"], dtype=np.float64))
+
+        class Score:
+            def __init__(self):
+                self.C = ray.get(cref2)
+                self.wanted = ray.get(wref)
+                self.Q = ray.get(qref)
+
+            def _keys(self, Xn):
+                return np.argmax(Xn @ self.C.T, axis=1)
+
+    def _call(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+        keys = self._keys(Xn)
+        out_q, out_id, out_s = [], [], []
+        for b in np.unique(keys):
+            qis = self.wanted.get(int(b))
+            if not qis:
+                continue
+            rows = np.flatnonzero(keys == b)
+            sims = Xn[rows] @ self.Q[qis].T
+            kk = min(k, len(rows))
+            for ci, qi in enumerate(qis):
+                col = sims[:, ci]
+                top = (
+                    np.argpartition(-col, kk - 1)[:kk]
+                    if kk < len(rows)
+                    else np.arange(len(rows))
+                )
+                out_q.extend([qi] * len(top))
+                out_id.extend(ids[rows[top]].tolist())
+                out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    Score.__call__ = _call
+    probed_files = [
+        f for b in probed for f in sorted(glob.glob(os.path.join(part_dirs[b], "*.parquet")))
+    ]
+    partials = (
+        rd.read_parquet(probed_files)
+        .map_batches(
+            Score,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    out = _final_topk(partials, k) if not partials.empty else empty
+    return (out, stats) if return_stats else out

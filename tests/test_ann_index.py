@@ -1,0 +1,84 @@
+"""Persisted ANN index: bucket-partitioned parquet + probed-partition-only
+reads.  The key scale property: per-query scan is SUBLINEAR in corpus size
+(partitions_read << partitions_total), while results equal the streaming
+LSH/IVF variants at identical parameters."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from indexer_ray.pipelines.ann import (
+    ann_index_build,
+    ann_index_query,
+    ann_ivf_topk,
+    ann_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_setup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 16)) * 3
+    X = np.concatenate([c + rng.standard_normal((80, 16)) * 0.3 for c in centers])
+    ids = np.arange(len(X))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([row.tolist() for row in X], type=pa.list_(pa.float64())),
+        }
+    )
+    Q = X[[0, 85, 170]] + rng.standard_normal((3, 16)) * 0.05
+    return rd.from_arrow(t), Q
+
+
+def _frame_key(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[["query_id", "vec_id", "rank"]]
+        .astype("int64")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_lsh_persisted_equals_streaming(emb_setup, tmp_path):
+    ds, Q = emb_setup
+    idx = str(tmp_path / "lsh_idx")
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    persisted, stats = ann_index_query(idx, Q, k=10, multiprobe=1, return_stats=True)
+    streaming = ann_lsh_topk(ds, Q, k=10, n_planes=8, seed=11, multiprobe=1)
+    pd.testing.assert_frame_equal(_frame_key(persisted), _frame_key(streaming))
+    # the scale property: only probed buckets were read
+    assert stats["partitions_read"] < stats["partitions_total"]
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["partitions_read"] <= 3 * 9  # <= nq * (1 + n_planes) probes
+
+
+def test_ivf_persisted_equals_streaming(emb_setup, tmp_path):
+    ds, Q = emb_setup
+    idx = str(tmp_path / "ivf_idx")
+    ann_index_build(ds, idx, method="ivf", n_centroids=8, seed=13, sample_size=480)
+    persisted, stats = ann_index_query(idx, Q, k=10, nprobe=2, return_stats=True)
+    streaming = ann_ivf_topk(
+        ds, Q, k=10, n_centroids=8, nprobe=2, seed=13, sample_size=480
+    )
+    pd.testing.assert_frame_equal(_frame_key(persisted), _frame_key(streaming))
+    assert stats["partitions_read"] < stats["partitions_total"]
+
+
+def test_persisted_recall_vs_brute(emb_setup, tmp_path):
+    from indexer_ray.pipelines.ann import ann_brute_topk
+
+    ds, Q = emb_setup
+    idx = str(tmp_path / "lsh_idx2")
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    persisted = ann_index_query(idx, Q, k=10, multiprobe=2)
+    brute = ann_brute_topk(ds, Q, k=10)
+    hits = 0
+    for qi in range(len(Q)):
+        got = set(persisted[persisted["query_id"] == qi]["vec_id"])
+        want = set(brute[brute["query_id"] == qi]["vec_id"])
+        hits += len(got & want) / max(len(want), 1)
+    assert hits / len(Q) >= 0.6  # multiprobe-2 recall on clustered data
