@@ -93,18 +93,48 @@ def extract_csv(data: bytes | str) -> str | None:
 def extract_xml(data: bytes | str) -> str | None:
     """xml: text-node payloads only, document order, space-joined
     (token-equivalent to the reference's per-event tokenization,
-    parsers.rs:128-173)."""
+    parsers.rs:128-173).
+
+    expat reports ONE logical text node as several CharacterData callbacks
+    (split at entity/char-ref boundaries: 'ab&#99;d' arrives as
+    'ab','c','d'), where xml-rs delivers a single coalesced Characters
+    event — so consecutive callbacks are buffered and flushed only at
+    structural events (element open/close, comment, PI).  CDATA content is
+    excluded: xml-rs emits it as a separate CData event that the
+    reference's `XmlEvent::Characters` match arm skips."""
     s = _decode(data)
     if s is None:
         return None
     chunks: list[str] = []
+    buf: list[str] = []
+    in_cdata = [False]
     p = xml.parsers.expat.ParserCreate()
 
+    def _flush(*_args) -> None:
+        if buf:
+            text = "".join(buf)
+            buf.clear()
+            if text.strip():  # whitespace-only node = Whitespace event: skip
+                chunks.append(text)
+
     def _chars(text: str) -> None:
-        if text.strip():  # inter-element whitespace = Whitespace event: skip
-            chunks.append(text)
+        if not in_cdata[0]:
+            buf.append(text)
+
+    def _cdata_start() -> None:
+        _flush()
+        in_cdata[0] = True
+
+    def _cdata_end() -> None:
+        in_cdata[0] = False
 
     p.CharacterDataHandler = _chars
+    p.StartElementHandler = _flush
+    p.EndElementHandler = _flush
+    p.CommentHandler = _flush
+    p.ProcessingInstructionHandler = _flush
+    p.StartCdataSectionHandler = _cdata_start
+    p.EndCdataSectionHandler = _cdata_end
     try:
         p.Parse(s, True)
     except xml.parsers.expat.ExpatError:
@@ -112,6 +142,7 @@ def extract_xml(data: bytes | str) -> str | None:
         # tokens (parsers.rs:163-168); expat stops at the first error, so we
         # keep what was parsed up to that point
         pass
+    _flush()
     return " ".join(chunks)
 
 

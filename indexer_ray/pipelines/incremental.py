@@ -113,12 +113,20 @@ def build_delta_index(
     delta_index_dir: str,
     config=None,
     method: str = "broadcast",
+    resume: bool = False,
 ):
     """Build a fresh index over only the pages `filter_expired` keeps.
 
     Materializes the expired subset to parquet first (the build pipeline's
     resume/lineage contract is per input file), then runs the normal build.
-    Returns (manifest, n_expired)."""
+    Returns (manifest, n_expired).
+
+    Re-runnable: the subset lives in a SIBLING dir of the index (a fresh
+    build_index wipes delta_index_dir — the subset must survive that) and
+    is cleared before each non-resume write so a rerun can't append
+    duplicate files.  ``resume=True`` flows through to build_index's
+    checkpoint contract, reusing both the already-written subset and any
+    completed encode partitions."""
     import glob as _glob
 
     from indexer_ray.pipelines.build import build_index
@@ -129,20 +137,23 @@ def build_delta_index(
             if os.path.isdir(paths)
             else [paths]
         )
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    pages = rd.read_parquet(paths)
-    expired = filter_expired(pages, prior_index_dir, method=method)
-    subset_dir = os.path.join(delta_index_dir, "_input")
-    expired.write_parquet(subset_dir)
-    n = sum(
-        1 for _ in ()
-    )  # count from the written files' metadata (no second pass over data)
-    import pyarrow.parquet as pq
+    subset_dir = delta_index_dir.rstrip("/") + "_input"
+    import shutil
 
+    if resume and _glob.glob(os.path.join(subset_dir, "*.parquet")):
+        pass  # reuse the checkpointed subset (rewriting would shift ids)
+    else:
+        shutil.rmtree(subset_dir, ignore_errors=True)
+        pages = rd.read_parquet(paths)
+        expired = filter_expired(pages, prior_index_dir, method=method)
+        expired.write_parquet(subset_dir)
     files = sorted(_glob.glob(os.path.join(subset_dir, "*.parquet")))
+    # count from the written files' metadata (no second pass over data)
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if n == 0:
         return None, 0
-    manifest = build_index(files, delta_index_dir, config)
+    manifest = build_index(files, delta_index_dir, config, resume=resume)
     return manifest, n

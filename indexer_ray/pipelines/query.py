@@ -419,10 +419,55 @@ class IndexSearcher:
 
     # ---- resolution (Q5 analogue: doc_id -> url via docmap) ----
 
+    def _docmap_catalog(self):
+        """Per-fragment (min_doc_id, max_doc_id) ranges from parquet footer
+        stats, read ONCE per searcher.  Dense-id builds write fragments
+        covering contiguous disjoint ranges, so a k=10 resolve touches ~1
+        fragment instead of scanning every footer per query (the round-1
+        behavior); hash-id fragments have wide ranges and degrade gracefully
+        to the full scan."""
+        if getattr(self, "_docmap_cat", None) is None:
+            import glob as _glob
+
+            files = sorted(
+                _glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
+            )
+            lows, highs = [], []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                names = [md.schema.column(j).name for j in range(md.num_columns)]
+                j = names.index("doc_id")
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = 0, (1 << 64) - 1  # no stats: never prune
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                lows.append(lo if lo is not None else 0)
+                highs.append(hi if hi is not None else (1 << 64) - 1)
+            self._docmap_cat = (
+                files,
+                np.array(lows, dtype=np.uint64),
+                np.array(highs, dtype=np.uint64),
+            )
+        return self._docmap_cat
+
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
         if not doc_ids:
             return {}
-        ds = pads.dataset(os.path.join(self.index_dir, "docmap"), format="parquet")
+        files, lows, highs = self._docmap_catalog()
+        ids = np.array(sorted(doc_ids), dtype=np.uint64)
+        # fragment needed iff any requested id falls inside its range
+        pos = np.searchsorted(ids, lows, side="left")
+        need = (pos < len(ids)) & np.array(
+            [ids[min(p, len(ids) - 1)] <= h for p, h in zip(pos, highs)]
+        )
+        sel = [f for f, n in zip(files, need) if n]
+        if not sel:
+            return {}
+        ds = pads.dataset(sel, format="parquet")
         t = ds.to_table(
             columns=["doc_id", "url"],
             filter=pads.field("doc_id").isin(pa.array(doc_ids, type=pa.uint64())),

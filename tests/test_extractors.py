@@ -56,6 +56,21 @@ class TestXml:
         data = "<r><a>kept</a><broken</r>"
         assert "kept" in (extract_xml(data) or "")
 
+    def test_entity_refs_do_not_split_text_nodes(self):
+        # expat splits at entity/char-ref boundaries; xml-rs delivers one
+        # coalesced Characters event ('abcd', not 'ab c d')
+        assert extract_xml("<r>ab&#99;d</r>") == "abcd"
+        assert extract_xml("<r>ab&amp;cd</r>") == "ab&cd"
+
+    def test_cdata_excluded(self):
+        # xml-rs emits CData as its own event; the reference's Characters
+        # match arm skips it
+        assert extract_xml("<r>x<![CDATA[hidden]]>y</r>") == "x y"
+
+    def test_comment_splits_text_nodes(self):
+        # a comment ends the text node on both parsers -> two events
+        assert extract_xml("<r>a<!--c-->b</r>") == "a b"
+
 
 class TestRegistry:
     def test_registered_types(self):

@@ -75,6 +75,27 @@ def test_build_delta_index(prior_index, ray_session, tmp_path):
     assert len(hits) >= 1
 
 
+def test_build_delta_index_rerunnable(prior_index, ray_session, tmp_path):
+    """A second build_delta_index over the same inputs must neither crash
+    (round-1: the fresh build wiped its own _input) nor double-index."""
+    root, pages, idx = prior_index
+    pages2 = _second_batch(root, pages)
+    delta_dir = str(tmp_path / "delta_rerun")
+    m1, n1 = build_delta_index(
+        [pages2], idx, delta_dir, BuildConfig(n_partitions=4), method="broadcast"
+    )
+    m2, n2 = build_delta_index(
+        [pages2], idx, delta_dir, BuildConfig(n_partitions=4), method="broadcast"
+    )
+    assert (n1, m1.n_docs) == (n2, m2.n_docs) == (110, 110)
+    # resume path also works and reuses the checkpointed subset
+    m3, n3 = build_delta_index(
+        [pages2], idx, delta_dir, BuildConfig(n_partitions=4),
+        method="broadcast", resume=True,
+    )
+    assert (n3, m3.n_docs) == (110, 110)
+
+
 def test_no_changes_returns_zero(prior_index, ray_session, tmp_path):
     root, pages, idx = prior_index
     manifest, n = build_delta_index(
