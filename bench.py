@@ -184,10 +184,12 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
         lo, hi = int(pair[0]), int(pair[1])
     corpus = _pages_corpus(SCALING_ROWS)
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     runs = []
+    spreads = {}
     for n in (lo, hi):
         best = None
+        thrs = []
         for _ in range(reps):  # best-of-N: damps fs-cache / scheduler noise
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-only", str(n)],
@@ -199,11 +201,19 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
             if proc.returncode != 0:
                 raise RuntimeError(f"scaling run num_cpus={n} failed:\n{proc.stderr[-2000:]}")
             r = json.loads(proc.stdout.strip().splitlines()[-1])
+            thrs.append(r["docs_per_sec"])
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         runs.append(best)
+        spreads[n] = thrs
     thr_lo, thr_hi = runs[0]["docs_per_sec"], runs[1]["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # spread across reps, reported so the headline number's stability is
+    # visible (round-1 review: single runs ranged 0.71-0.87)
+    per_rep_eff = [
+        round((th / tl) / (hi / lo), 4)
+        for tl, th in zip(sorted(spreads[lo]), sorted(spreads[hi]))
+    ]
     return {
         "metric": "index-build scaling efficiency (fresh processes, same input)",
         "value": round(eff, 4),
@@ -213,6 +223,9 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
             f"build_docs_per_sec_cpus{hi}": thr_hi,
             f"build_sec_cpus{lo}": runs[0]["elapsed_sec"],
             f"build_sec_cpus{hi}": runs[1]["elapsed_sec"],
+            f"reps_docs_per_sec_cpus{lo}": spreads[lo],
+            f"reps_docs_per_sec_cpus{hi}": spreads[hi],
+            "per_rep_eff_sorted": per_rep_eff,
         },
         "sf": _sf_label(sf_dir),
         "num_cpus": hi,

@@ -414,22 +414,63 @@ def _encode_partition_batch(
 
 
 def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
-    """(n_docs, total_doc_len, max_rows_per_doc_id) — fully distributed.
+    """(n_docs, total_doc_len, max_rows_per_doc_id) — distributed, driver
+    memory O(#fragments) regardless of corpus size (the round-1 version
+    pulled every doc_id into one driver numpy array).
 
-    Deduplicates by doc_id per the manifest contract (docmap fragments may
-    hold duplicate doc_ids after task retries with shifted batch
-    boundaries; readers dedup): the stats count DISTINCT doc_ids and sum
-    one doc_len per id.  The groupby shuffles only (doc_id, doc_len) pairs;
-    the driver reduces one tiny partial row per output block — driver
-    memory is independent of corpus size (the round-1 version pulled every
-    doc_id into one numpy array).  max_rows_per_doc_id > 1 reports
-    duplicates to the caller (an ERROR for hash/native ids: collision or
-    duplicate url; benign retry artifact for dense ids)."""
+    Fast path (no shuffle): stateless Ray tasks scan one fragment each,
+    returning (rows, sum_dl, min/max doc_id, within-file uniqueness).  If
+    every fragment is internally unique AND fragment id-ranges are pairwise
+    disjoint — the dense-id layout by construction — global uniqueness is
+    proven and the raw sums are exact.  Overlapping ranges (hash/native
+    ids span the whole 64-bit space) fall back to a groupby(doc_id) dedup
+    pass per the manifest retry contract (readers dedup by doc_id)."""
     import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(docmap_dir, "*.parquet")))
+    if not files:
+        return 0, 0, 0
+
+    def _per_file(batch: dict) -> dict:
+        ns, sums, los, his, uniq = [], [], [], [], []
+        for path in batch["path"]:
+            t = pq.read_table(path, columns=["doc_id", "doc_len"])
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            dl = t.column("doc_len").to_numpy(zero_copy_only=False)
+            ns.append(len(ids))
+            sums.append(int(dl.sum()) if len(dl) else 0)
+            los.append(int(ids.min()) if len(ids) else 0)
+            his.append(int(ids.max()) if len(ids) else 0)
+            uniq.append(bool(len(np.unique(ids)) == len(ids)))
+        return {
+            "n": np.array(ns, dtype=np.int64),
+            "sum_dl": np.array(sums, dtype=np.int64),
+            "lo": np.array(los, dtype=np.uint64),
+            "hi": np.array(his, dtype=np.uint64),
+            "uniq": np.array(uniq, dtype=np.bool_),
+        }
+
+    parts = (
+        rd.from_items([{"path": f} for f in files])
+        .map_batches(_per_file, batch_size=8)
+        .take_all()
+    )
+    order = sorted(range(len(parts)), key=lambda i: parts[i]["lo"])
+    disjoint = all(bool(p["uniq"]) for p in parts) and all(
+        parts[order[i]]["hi"] < parts[order[i + 1]]["lo"]
+        for i in range(len(order) - 1)
+        if parts[order[i]]["n"] and parts[order[i + 1]]["n"]
+    )
+    if disjoint:
+        return (
+            int(sum(p["n"] for p in parts)),
+            int(sum(p["sum_dl"] for p in parts)),
+            1 if any(p["n"] for p in parts) else 0,
+        )
+
+    # overlap: dedup by doc_id (shuffle moves only (doc_id, doc_len) pairs)
     from ray.data.aggregate import Count, Min
 
-    if not glob.glob(os.path.join(docmap_dir, "*.parquet")):
-        return 0, 0, 0
     per_doc = (
         rd.read_parquet(docmap_dir, columns=["doc_id", "doc_len"])
         .groupby("doc_id")
@@ -447,11 +488,12 @@ def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
             }
         )
 
-    parts = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
-    n_docs = sum(r["n_docs"] for r in parts)
-    total_dl = sum(r["sum_dl"] for r in parts)
-    max_c = max((r["max_c"] for r in parts), default=0)
-    return n_docs, total_dl, max_c
+    out = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
+    return (
+        sum(r["n_docs"] for r in out),
+        sum(r["sum_dl"] for r in out),
+        max((r["max_c"] for r in out), default=0),
+    )
 
 
 def build_index(

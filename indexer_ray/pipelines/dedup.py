@@ -241,6 +241,9 @@ def _pairwise_jaccard_distributed(
     if pairs.empty:
         return pairs.assign(jaccard=pd.Series([], dtype="float64"))
     pairs = pairs[["doc_a", "doc_b"]].drop_duplicates().reset_index(drop=True)
+    # partition count tracks the pair count (>=64 pairs per part target):
+    # tiny candidate sets shouldn't pay a 64-way shuffle's scheduling toll
+    n_parts = int(np.clip(len(pairs) // 64, 4, n_parts))
     part_of_pair = (
         (pairs["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
         ^ pairs["doc_b"].to_numpy(np.uint64)
