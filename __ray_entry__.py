@@ -168,6 +168,14 @@ def _q_events_sessionize(sf_dir: str):
     return df.astype({"session_idx": "int64", "n_events": "int64"})
 
 
+def _q_events_hopping(sf_dir: str):
+    from indexer_ray.pipelines.events import hopping_window_stats
+
+    return hopping_window_stats(
+        _events(sf_dir), size_minutes=60, hop_minutes=15
+    ).select_columns(["window_start", "event_type", "n_events"])
+
+
 def _q_events_json_extract(sf_dir: str):
     from indexer_ray.pipelines.events import extract_props_key
 
@@ -465,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_duplicates": _q_exact_duplicates,
         "lang_source_stats": _q_lang_source_stats,
         "events_tumbling_hour": _q_events_tumbling,
+        "events_hopping_60_15": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
         "index_term_df": _q_index_term_df,
         "index_postings": _q_index_postings,
@@ -597,6 +606,16 @@ FROM documents GROUP BY lang, source""",
         "events_tumbling_hour": """SELECT date_trunc('hour', ts) AS window_start,
        event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2""",
+        # hopping windows: window i covers [i*15min, i*15min + 60min), so
+        # each event lands in exactly 4 windows (unnested ks) — unix-epoch
+        # aligned on both sides (time_bucket's default origin is 15-min
+        # aligned to the unix epoch)
+        "events_hopping_60_15": """SELECT
+       time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+         AS window_start,
+       event_type, count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+GROUP BY 1, 2""",
         "events_sessionize": """WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL THEN 0

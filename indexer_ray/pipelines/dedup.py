@@ -531,13 +531,17 @@ def embedding_dup_pairs(
     seed: int = 11,
     brute: bool = False,
     max_bucket: int = 4000,
+    n_tables: int = 4,
 ) -> pd.DataFrame:
     """Near-duplicate embedding pairs (vec_a < vec_b, cosine >= threshold).
 
-    Scale path: random-hyperplane LSH — vectors agreeing on all `n_planes`
-    sign bits land in one bucket; exact cosine verifies inside buckets.
-    (Recall < 1 by construction; `brute=True` is the exact baseline used by
-    tests to measure it.)"""
+    Scale path: multi-table random-hyperplane LSH — `n_tables` independent
+    hash tables of `n_planes` sign bits each; vectors agreeing on ALL bits
+    of ANY table become candidates (recall 1-(1-p^k)^L instead of the
+    single-table p^k cliff at the threshold), exact cosine verifies inside
+    buckets, pairs dedup across tables.  Each vector emits n_tables rows,
+    so the shuffle grows L-fold — the standard LSH recall/cost trade.
+    (`brute=True` is the exact baseline used by tests to measure recall.)"""
     import ray
 
     if brute:
@@ -555,32 +559,42 @@ def embedding_dup_pairs(
         )
 
     rng = np.random.default_rng(seed)
-    planes_ref = None
 
     class SignStage:
         def __init__(self, planes):
-            self.planes = planes  # (n_planes, dim) — broadcast once
+            self.planes = planes  # (n_tables, n_planes, dim) — broadcast once
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             from indexer_ray.pipelines.ann import _embedding_matrix, _normalize
 
             Xn = _normalize(_embedding_matrix(batch.column("embedding")))
-            bits = (Xn @ self.planes.T) > 0
-            key = np.zeros(len(Xn), dtype=np.uint64)
-            for j in range(bits.shape[1]):
-                key |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            n = len(Xn)
+            keys = []
+            for ti in range(len(self.planes)):
+                bits = (Xn @ self.planes[ti].T) > 0
+                key = np.full(n, np.uint64(ti) << np.uint64(56), dtype=np.uint64)
+                for j in range(bits.shape[1]):
+                    key |= bits[:, j].astype(np.uint64) << np.uint64(j)
+                keys.append(key)
             return pa.table(
                 {
-                    "vec_id": batch.column("vec_id"),
-                    "bucket": pa.array(key, type=pa.uint64()),
-                    "embedding": batch.column("embedding"),
+                    "vec_id": pa.array(
+                        np.tile(
+                            batch.column("vec_id").to_numpy(zero_copy_only=False),
+                            len(self.planes),
+                        )
+                    ),
+                    "bucket": pa.array(np.concatenate(keys), type=pa.uint64()),
+                    "embedding": pa.concat_arrays(
+                        [batch.column("embedding").combine_chunks()] * len(self.planes)
+                    ),
                 }
             )
 
     # peek dim from schema/first row
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     bucketed = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
         SignStage,
         fn_constructor_args=(planes,),

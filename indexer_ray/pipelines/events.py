@@ -52,6 +52,60 @@ def tumbling_window_stats(events_ds, window: str = "hour"):
     return agg.map_batches(_fix_unit, batch_format="pyarrow")
 
 
+def hopping_window_stats(events_ds, size_minutes: int = 60, hop_minutes: int = 15):
+    """(window_start, event_type, n_events) over HOPPING (sliding) windows:
+    window i covers [i*hop, i*hop + size), so each event lands in exactly
+    size/hop windows (size must be a multiple of hop — then no boundary
+    filter is needed).  The size/hop-fold fan-out happens inside
+    map_batches and is immediately pre-aggregated to one row per
+    (window, type) per batch, so the shuffle moves aggregates, not the
+    multiplied events."""
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    from ray.data.aggregate import Sum
+
+    hop_us = hop_minutes * 60 * 1_000_000
+    n_k = size_minutes // hop_minutes
+
+    def _hop_batch(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts - (ts % hop_us)
+        et = batch.column("event_type").to_pandas()
+        frames = []
+        for k in range(n_k):
+            frames.append(
+                pd.DataFrame({"window_start": base - k * hop_us, "event_type": et})
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(g["window_start"], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n_events": pa.array(g["n_events"], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(_hop_batch, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def _fix_unit(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start", b.column("window_start").cast(pa.timestamp("us")))
+
+    return agg.map_batches(_fix_unit, batch_format="pyarrow")
+
+
 def extract_props_key(events_ds, key: str = "k"):
     """Scalar JSON extraction over the `props` column: (event_id, k_value).
     Vectorized per batch with the C json parser; null-safe (missing key or

@@ -107,6 +107,41 @@ def test_embedding_dup_pairs_brute_vs_lsh(emb_ds, ray_session):
         assert len(lset) / len(bset) >= 0.3  # sane recall on this data
 
 
+def test_embedding_lsh_multitable_recall(ray_session):
+    """Multi-table LSH fixes the single-table recall cliff at the
+    threshold: recall 1-(1-p^k)^L vs p^k.  Measured on injected near-dups
+    (cos ~0.95): 1 table ~0.7, 4 tables >=0.9."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((300, 32))
+    dup = np.array([X[i] + rng.standard_normal(32) * 0.12 for i in range(40)])
+    X = np.vstack([X, dup])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X)), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X], type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    brute = embedding_dup_pairs(ds, cosine_threshold=0.9, brute=True)
+    bset = set(zip(brute["vec_a"], brute["vec_b"]))
+    assert len(bset) >= 30
+
+    def recall(n_tables):
+        lsh = embedding_dup_pairs(ds, cosine_threshold=0.9, n_planes=12, n_tables=n_tables)
+        lset = set(zip(lsh["vec_a"], lsh["vec_b"])) if len(lsh) else set()
+        assert lset <= bset  # verify step: no false positives
+        return len(lset & bset) / len(bset)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.9
+
+
 def test_ann_brute_topk(emb_ds, ray_session):
     import pyarrow.parquet as pq
 
