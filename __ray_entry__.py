@@ -176,6 +176,23 @@ def _q_events_hopping(sf_dir: str):
     ).select_columns(["window_start", "event_type", "n_events"])
 
 
+def _q_events_asof_click(sf_dir: str):
+    """As-of join: every event annotated with the latest click at-or-before
+    it by the same user (-1 when none) — the custom join operator Ray
+    Data's Dataset API lacks, checked against DuckDB's native ASOF JOIN."""
+    import pyarrow.compute as pc
+
+    from indexer_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir)
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return asof_join(ev, right)
+
+
 def _q_events_json_extract(sf_dir: str):
     from indexer_ray.pipelines.events import extract_props_key
 
@@ -474,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_stats": _q_lang_source_stats,
         "events_tumbling_hour": _q_events_tumbling,
         "events_hopping_60_15": _q_events_hopping,
+        "events_asof_click": _q_events_asof_click,
         "events_sessionize": _q_events_sessionize,
         "index_term_df": _q_index_term_df,
         "index_postings": _q_index_postings,
@@ -616,6 +634,15 @@ FROM events GROUP BY 1, 2""",
        event_type, count(*) AS n_events
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
 GROUP BY 1, 2""",
+        # right side deduped per (user_id, ts) keeping max event_id — the
+        # same equal-ts resolution the engine's last-wins sort applies
+        "events_asof_click": """SELECT l.event_id,
+       CAST(coalesce(r.event_id, -1) AS BIGINT) AS matched_event_id
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "events_sessionize": """WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL THEN 0

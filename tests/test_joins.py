@@ -1,0 +1,87 @@
+"""asof_join edge cases: equality match, no-match sentinel, per-user
+isolation, equal-ts right rows resolving to max event_id."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from indexer_ray.pipelines.joins import asof_join
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[2], "us") for r in rows], type=pa.timestamp("us")
+            ),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_asof_join_semantics(ray_session):
+    # user 1: clicks at t=10, t=20 (two rows at t=20 -> max event_id wins)
+    # user 2: no clicks at all
+    left = _ds(
+        [
+            (100, 1, "2024-01-01T00:00:05"),  # before any click -> -1
+            (101, 1, "2024-01-01T00:00:10"),  # equal ts -> matches click@10
+            (102, 1, "2024-01-01T00:00:15"),  # -> click@10
+            (103, 1, "2024-01-01T00:00:25"),  # -> max-id click@20
+            (104, 2, "2024-01-01T00:00:30"),  # other user -> -1
+        ]
+    )
+    right = _ds(
+        [
+            (7, 1, "2024-01-01T00:00:10"),
+            (8, 1, "2024-01-01T00:00:20"),
+            (9, 1, "2024-01-01T00:00:20"),  # same (user, ts): 9 > 8 wins
+        ]
+    )
+    out = (
+        asof_join(left, right)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "event_id": [100, 101, 102, 103, 104],
+            "matched_event_id": [-1, 7, 7, 9, -1],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_asof_join_vs_pandas_merge_asof(ray_session):
+    """Random case diffed against pandas.merge_asof per user."""
+    rng = np.random.default_rng(4)
+    n_users = 7
+    lrows, rrows = [], []
+    eid = 0
+    for u in range(n_users):
+        for _ in range(rng.integers(3, 30)):
+            ts = f"2024-01-01T{rng.integers(0,24):02d}:{rng.integers(0,60):02d}:{rng.integers(0,60):02d}"
+            lrows.append((eid, u, ts))
+            eid += 1
+        for _ in range(rng.integers(0, 10)):
+            ts = f"2024-01-01T{rng.integers(0,24):02d}:{rng.integers(0,60):02d}:{rng.integers(0,60):02d}"
+            rrows.append((eid, u, ts))
+            eid += 1
+    out = asof_join(_ds(lrows), _ds(rrows)).to_pandas()
+    got = dict(zip(out["event_id"], out["matched_event_id"]))
+    # spec: per left row, right row with max ts <= left.ts, ties -> max id
+    for le, lu, lts in lrows:
+        lts = np.datetime64(lts, "us")
+        cands = [
+            (np.datetime64(rts, "us"), re)
+            for re, ru, rts in rrows
+            if ru == lu and np.datetime64(rts, "us") <= lts
+        ]
+        want = max(cands)[1] if cands else -1
+        assert got[le] == want, (le, got[le], want)
