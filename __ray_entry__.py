@@ -145,6 +145,21 @@ def _q_exact_duplicates(sf_dir: str):
     return exact_duplicates(_docs(sf_dir)).select_columns(["keep_doc_id", "dup_count"])
 
 
+def _q_top_terms_per_lang(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import top_terms_per_group
+
+    return top_terms_per_group(_docs(sf_dir), group_col="lang", k=10, mode="plain")
+
+
+def _q_quality_filter(sf_dir: str):
+    from indexer_ray.pipelines.text_analysis import quality_filter
+
+    # thresholds chosen to actually discriminate on the synthetic corpus
+    # (min_tokens drops ~55%, alpha pct a further slice) so the oracle would
+    # catch an inverted or off-by-one predicate
+    return quality_filter(_docs(sf_dir), min_tokens=60, max_digit_pct=30, min_alpha_pct=82)
+
+
 def _q_lang_source_stats(sf_dir: str):
     from indexer_ray.pipelines.text_analysis import lang_source_stats
 
@@ -489,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_token_counts": _q_ws_token_counts,
         "exact_duplicates": _q_exact_duplicates,
         "lang_source_stats": _q_lang_source_stats,
+        "top_terms_per_lang": _q_top_terms_per_lang,
+        "quality_filter": _q_quality_filter,
         "events_tumbling_hour": _q_events_tumbling,
         "events_hopping_60_15": _q_events_hopping,
         "events_asof_click": _q_events_asof_click,
@@ -616,6 +633,22 @@ FROM documents""",
         "exact_duplicates": """SELECT min(doc_id) AS keep_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY text""",
+        "top_terms_per_lang": f"""WITH toks AS (
+  SELECT lang, unnest({_PLAIN_TOKS}) AS term FROM documents
+), c AS (
+  SELECT lang, term, count(*) AS cnt FROM toks GROUP BY lang, term
+), r AS (
+  SELECT lang, term, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) - 1 AS rank
+  FROM c
+)
+SELECT lang, term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < 10""",
+        # integer cross-multiplied thresholds (float-free, exact)
+        "quality_filter": f"""SELECT doc_id FROM documents
+WHERE len({_PLAIN_TOKS}) >= 60
+  AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 100 <= length(text) * 30
+  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 82""",
         "lang_source_stats": """SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -323,3 +323,81 @@ def lang_source_stats(ds):
         Mean("n_chars", alias_name="avg_chars"),
         Max("n_chars", alias_name="max_chars"),
     )
+
+
+# ----------------------------------------------------- grouped top-k terms
+
+
+def top_terms_per_group(ds, group_col: str = "lang", k: int = 10, mode: str = "plain"):
+    """Most frequent terms per group, deterministic (count desc, term asc)
+    ranking: per-batch partial (group, term, cnt) counts -> groupby-sum
+    (the shuffle moves per-batch distinct pairs, not tokens) -> tiny
+    per-group top-k.  Output: (group_col, term, cnt, rank), rank < k."""
+    from ray.data.aggregate import Sum
+
+    tok = tokenize_plain if mode == "plain" else tokenize
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for g, t in zip(
+            batch.column(group_col).to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term in tok(t or ""):
+                counts[(g, term)] += 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                group_col: pa.array([g for g, _ in keys], type=pa.string()),
+                "term": pa.array([t for _, t in keys], type=pa.string()),
+                "cnt": pa.array([counts[k_] for k_ in keys], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=1024)
+        .groupby([group_col, "term"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[[group_col, "term", "cnt", "rank"]]
+
+    return agg.groupby(group_col).map_groups(_topk, batch_format="pandas")
+
+
+# ------------------------------------------------------- quality filtering
+
+
+def quality_filter(
+    ds,
+    min_tokens: int = 5,
+    max_digit_pct: int = 30,
+    min_alpha_pct: int = 50,
+):
+    """Training-data admission filter: doc_ids whose text has at least
+    `min_tokens` plain tokens, at most `max_digit_pct`% ASCII digits and
+    at least `min_alpha_pct`% ASCII letters.  Thresholds are integer
+    percentages compared by cross-multiplication (n_digit*100 <=
+    n_chars*pct) so the DuckDB oracle is float-free and exact."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            n = len(t)
+            if len(tokenize_plain(t)) < min_tokens or n == 0:
+                continue
+            n_digit = sum(1 for c in t if c in _ASCII_DIGITS)
+            n_alpha = sum(1 for c in t if c in _ASCII_ALPHA)
+            if n_digit * 100 <= n * max_digit_pct and n_alpha * 100 >= n * min_alpha_pct:
+                keep.append(doc_id)
+        return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
