@@ -404,6 +404,12 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), shingle_k=3, threshold=0.3)
 
 
+def _q_winnow_pairs(sf_dir: str):
+    from indexer_ray.pipelines.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs(sf_dir), k=5, w=4, min_shared=2)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import simhash_pairs
 
@@ -526,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash_pairs,
+        "winnow_dup_pairs": _q_winnow_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,

@@ -8,8 +8,12 @@ only exact path-keyed identity, SURVEY.md §2.7/A4):
                           candidate pairs -> exact Jaccard verification
   * simhash_pairs       — 64-bit simhash, 4x16-bit band blocking, Hamming
                           verification
-  * embedding_dup_pairs — random-hyperplane LSH over an embedding column,
-                          cosine verification (brute mode for small inputs)
+  * embedding_dup_pairs — multi-table random-hyperplane LSH over an
+                          embedding column, cosine verification (brute
+                          mode for small inputs)
+  * winnow_dup_pairs    — winnowing fingerprints (Schleimer et al. 2003):
+                          substring-overlap detection — any shared token
+                          run >= w+k-1 yields a shared fingerprint
 
 Shuffle discipline: every operator pre-reduces inside `map_batches` (one
 signature/hash row per doc) before its single groupby; candidate pair sets
@@ -97,9 +101,9 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     return out
 
 
-def _shingles(tokens: list[str], k: int) -> np.ndarray:
-    """Sorted unique uint64 k-shingle hashes (vectorized rolling polynomial
-    over per-token hashes: k vector ops per doc, no per-shingle hashing)."""
+def _kgram_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """POSITIONAL uint64 k-gram hashes (vectorized rolling polynomial over
+    per-token hashes: k vector ops per doc, no per-shingle hashing)."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -110,7 +114,27 @@ def _shingles(tokens: list[str], k: int) -> np.ndarray:
         acc = np.zeros(n - k + 1, dtype=np.uint64)
         for j in range(k):
             acc = (acc * _SHINGLE_B + th[j : n - k + 1 + j]) & _M64
-    return np.unique(acc)
+    return acc
+
+
+def _shingles(tokens: list[str], k: int) -> np.ndarray:
+    """Sorted unique uint64 k-shingle hashes."""
+    return np.unique(_kgram_hashes(tokens, k))
+
+
+def _winnow(kgrams: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    published algorithm): the minimum k-gram hash of every window of w
+    consecutive k-grams, deduplicated.  Guarantees every run of w k-grams
+    contributes at least one fingerprint, so any shared substring of
+    length >= w+k-1 tokens yields at least one shared fingerprint."""
+    n = len(kgrams)
+    if n == 0:
+        return kgrams
+    if n <= w:
+        return np.unique(kgrams.min(keepdims=True))
+    wins = np.lib.stride_tricks.sliding_window_view(kgrams, w)
+    return np.unique(wins.min(axis=1))
 
 
 class MinHashStage:
@@ -649,5 +673,128 @@ def embedding_dup_pairs(
         pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": pairs["cosine"]})
         .drop_duplicates(["vec_a", "vec_b"])
         .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------------------- winnowing
+
+def winnow_fingerprints(ds, k: int = 5, w: int = 4):
+    """(doc_id, fp) rows: winnowing fingerprints of each doc's plain token
+    stream (one row per distinct selected k-gram hash).  Winnowing
+    guarantees any shared token run of length >= w+k-1 produces at least
+    one shared fp — the substring-overlap detector MinHash (a whole-doc
+    similarity sketch) is not."""
+
+    def _fp_batch(batch: pa.Table) -> pa.Table:
+        doc_ids, fps = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sel = _winnow(_kgram_hashes(tokenize_plain(text or ""), k), w)
+            doc_ids.extend([doc_id] * len(sel))
+            fps.extend(sel.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(_fp_batch, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
+
+
+def winnow_dup_pairs(
+    ds,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 2000,
+    n_parts: int = _PAIR_PARTITIONS,
+) -> pd.DataFrame:
+    """Overlap-duplicate pairs: docs sharing >= `min_shared` winnowing
+    fingerprints (doc_a < doc_b, n_shared desc-agnostic).  Blocking is the
+    LSH-bucket pattern: fps hash-route to partitions, each partition emits
+    per-bucket pairs WITH per-part shared-counts (one vectorized pass), a
+    final groupby sums counts across partitions.  Oversized fp buckets
+    (boilerplate runs shared by >max_bucket docs) are dropped with a
+    counter — no silent caps."""
+    from ray.data.aggregate import Sum
+
+    fps = winnow_fingerprints(ds, k=k, w=w)
+
+    def _route(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((fp * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+                n_parts
+            )
+        return batch.append_column("part", pa.array(part.astype(np.int32), type=pa.int32()))
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"]).drop_duplicates(["fp", "doc_id"])
+        fp = g["fp"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "n_shared": [], "truncated": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "n_shared": "int64", "truncated": "int64"}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_a, out_b, truncated = [], [], []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2:
+                continue
+            if size > max_bucket:
+                truncated.append(int(size))
+                continue
+            ia, ib = np.triu_indices(size, k=1)
+            out_a.append(ids[s:e][ia])
+            out_b.append(ids[s:e][ib])
+        frames = []
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            pairs = pd.DataFrame({"doc_a": a.astype("int64"), "doc_b": b.astype("int64")})
+            agg = pairs.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="n_shared")
+            agg["truncated"] = np.int64(0)
+            frames.append(agg)
+        if truncated:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": [-1] * len(truncated),
+                        "doc_b": [-1] * len(truncated),
+                        "n_shared": [0] * len(truncated),
+                        "truncated": truncated,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    counted = (
+        fps.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"), Sum("truncated", alias_name="truncated"))
+        .to_pandas()
+    )
+    if counted.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "n_shared": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"}
+        )
+    n_trunc = int(counted.loc[counted["truncated"] > 0, "truncated"].sum())
+    if n_trunc:
+        print(f"[winnow_dup_pairs] WARNING: skipped fp buckets covering {n_trunc} docs (> max_bucket)")
+    out = counted[(counted["truncated"] == 0) & (counted["n_shared"] >= min_shared)]
+    return (
+        out[["doc_a", "doc_b", "n_shared"]]
+        .astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
+        .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )

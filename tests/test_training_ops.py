@@ -306,3 +306,53 @@ def test_media_resize(ray_session):
     # deterministic: same input -> same resized bytes
     out2 = resize_media(rd.from_arrow(synth_media_table(50, seed=42)), width=8, height=8).to_pandas()
     assert list(out["payload"]) == list(out2["payload"])
+
+
+def test_winnow_spec_and_guarantee():
+    """Vectorized winnowing equals the loop spec; the substring guarantee
+    (shared run of >= w+k-1 tokens -> >= 1 shared fingerprint) holds."""
+    from indexer_ray.pipelines.dedup import _kgram_hashes, _winnow
+
+    rng = np.random.default_rng(9)
+    toks = [f"t{v}" for v in rng.integers(0, 50, size=200)]
+    k, w = 5, 4
+    kg = _kgram_hashes(toks, k)
+    got = _winnow(kg, w)
+    brute = set()
+    for s in range(len(kg) - w + 1):
+        brute.add(int(kg[s : s + w].min()))
+    assert set(int(x) for x in got) == brute
+    # guarantee: doc B embeds a (w+k-1)-token run of doc A
+    run = toks[50 : 50 + w + k - 1]
+    other = [f"z{i}" for i in range(60)]
+    b_toks = other[:30] + run + other[30:]
+    fa = set(int(x) for x in _winnow(_kgram_hashes(toks, k), w))
+    fb = set(int(x) for x in _winnow(_kgram_hashes(b_toks, k), w))
+    assert fa & fb
+
+
+def test_winnow_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import winnow_dup_pairs
+
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(rng.choice(vocab, size=80)))
+    # doc 60 copies a 30-token run from doc 3; doc 61 is unrelated
+    run = texts[3].split()[10:40]
+    texts.append(" ".join(list(rng.choice(vocab, size=40)) + run))
+    texts.append(" ".join(rng.choice(vocab, size=80)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pairs = winnow_dup_pairs(rd.from_arrow(t), k=5, w=4, min_shared=2)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (3, 60) in got
+    assert not any(61 in p for p in got)
