@@ -208,6 +208,31 @@ def _q_events_asof_click(sf_dir: str):
     return asof_join(ev, right)
 
 
+def _q_events_session_join(sf_dir: str):
+    """Range join: every event matched to the session interval containing
+    it (sessionize output as the intervals side) — interval_id encodes
+    (user_id, session_idx)."""
+    from indexer_ray.pipelines.events import sessionize
+    from indexer_ray.pipelines.joins import interval_join
+
+    sess = sessionize(_events(sf_dir), gap_minutes=30.0)
+
+    def _as_intervals(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        sidx = b.column("session_idx").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "interval_id": pa.array(uid * 100000 + sidx, type=pa.int64()),
+                "start_ts": b.column("session_start"),
+                "end_ts": b.column("session_end"),
+            }
+        )
+
+    intervals = sess.map_batches(_as_intervals, batch_format="pyarrow")
+    return interval_join(_events(sf_dir), intervals)
+
+
 def _q_events_json_extract(sf_dir: str):
     from indexer_ray.pipelines.events import extract_props_key
 
@@ -515,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hour": _q_events_tumbling,
         "events_hopping_60_15": _q_events_hopping,
         "events_asof_click": _q_events_asof_click,
+        "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "index_term_df": _q_index_term_df,
         "index_postings": _q_index_postings,
@@ -683,6 +709,30 @@ ASOF LEFT JOIN (
   SELECT user_id, ts, max(event_id) AS event_id
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # range join vs the sessionize intervals: every event falls in
+        # exactly one session (sessions partition a user's timeline)
+        "events_session_join": """WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+), sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT e.event_id,
+       CAST(sess.user_id * 100000 + sess.session_idx AS BIGINT) AS interval_id
+FROM events e
+JOIN sess ON e.user_id = sess.user_id
+         AND e.ts BETWEEN sess.session_start AND sess.session_end""",
         "events_sessionize": """WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL THEN 0

@@ -105,3 +105,89 @@ def asof_join(left_ds, right_ds, n_parts: int = _JOIN_PARTITIONS):
         )
 
     return tagged.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def interval_join(left_ds, intervals_ds, n_parts: int = _JOIN_PARTITIONS):
+    """Range join: (event_id, interval_id) — each left event matched to the
+    interval [start_ts, end_ts] containing it for the same user_id (-1 if
+    none).  Intervals must be non-overlapping per user (sessions are).
+
+    Same partition-routed vectorized shape as asof_join: route both sides
+    by user, sort (user, ts) with interval-starts BEFORE events at equal
+    ts, forward-fill the latest interval start, then a single vectorized
+    end-bound check decides containment."""
+
+    def route_left(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(n_parts)
+        n = len(uid)
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int32), type=pa.int32()),
+                "side": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
+                "user_id": batch.column("user_id"),
+                "row_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "end_ts": batch.column("ts"),  # unused for left rows
+            }
+        )
+
+    def route_intervals(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(n_parts)
+        n = len(uid)
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int32), type=pa.int32()),
+                "side": pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
+                "user_id": batch.column("user_id"),
+                "row_id": batch.column("interval_id"),
+                "ts": batch.column("start_ts"),
+                "end_ts": batch.column("end_ts"),
+            }
+        )
+
+    tagged = left_ds.map_batches(
+        route_left, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+    ).union(
+        intervals_ds.map_batches(
+            route_intervals, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+        )
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "side", "row_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        side = g["side"].to_numpy()
+        rid = g["row_id"].to_numpy()
+        ends = g["end_ts"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "interval_id": pd.Series([], dtype="int64"),
+                }
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        ucode = np.cumsum(new_user) - 1
+        idx = np.arange(n, dtype=np.int64)
+        enc = ucode * np.int64(n + 1) + np.where(side == 0, idx + 1, 0)
+        run = np.maximum.accumulate(enc)
+        pos = run % np.int64(n + 1)
+        valid = (run // np.int64(n + 1)) == ucode
+        li = np.flatnonzero(side == 1)
+        cand = np.where(valid[li] & (pos[li] > 0), pos[li] - 1, -1)
+        safe = np.maximum(cand, 0)
+        inside = (cand >= 0) & (ts[li] <= ends[safe])
+        return pd.DataFrame(
+            {
+                "event_id": rid[li].astype("int64"),
+                "interval_id": np.where(inside, rid[safe], -1).astype("int64"),
+            }
+        )
+
+    return tagged.groupby("part").map_groups(per_part, batch_format="pandas")

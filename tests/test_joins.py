@@ -85,3 +85,44 @@ def test_asof_join_vs_pandas_merge_asof(ray_session):
         ]
         want = max(cands)[1] if cands else -1
         assert got[le] == want, (le, got[le], want)
+
+
+def test_interval_join_semantics(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.joins import interval_join
+
+    left = _ds(
+        [
+            (1, 1, "2024-01-01T00:00:05"),  # before any interval -> -1
+            (2, 1, "2024-01-01T00:00:10"),  # == start -> inside
+            (3, 1, "2024-01-01T00:00:20"),  # == end -> inside
+            (4, 1, "2024-01-01T00:00:25"),  # in the gap -> -1
+            (5, 1, "2024-01-01T00:00:35"),  # second interval
+            (6, 2, "2024-01-01T00:00:15"),  # other user, no intervals -> -1
+        ]
+    )
+    iv = pa.table(
+        {
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "interval_id": pa.array([100, 200], type=pa.int64()),
+            "start_ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:10", "us"), np.datetime64("2024-01-01T00:00:30", "us")],
+                type=pa.timestamp("us"),
+            ),
+            "end_ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:20", "us"), np.datetime64("2024-01-01T00:00:40", "us")],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        interval_join(left, rd.from_arrow(iv))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4, 5, 6], "interval_id": [-1, 100, 100, -1, 200, -1]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, expect)
