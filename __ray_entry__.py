@@ -483,12 +483,27 @@ def _q_ann_index_lsh(sf_dir: str):
     """Persisted-index ANN: build once (bucket-partitioned parquet under
     /tmp), query reading only probed partitions — the standing-index scale
     path; rows-only (LSH recall is approximate by construction)."""
+    import json
+
     from indexer_ray.pipelines.ann import ann_index_build, ann_index_query
 
     tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
     idx = f"/tmp/indexer_ray_entry/{tag}_ann_lsh"
-    if not os.path.exists(os.path.join(idx, "meta.json")):
+    # cache keyed on the SOURCE file identity, not just dir basename: a
+    # regenerated corpus (or another checkout with the same basename) must
+    # rebuild, not silently serve stale neighbors
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    sig = {"path": os.path.abspath(src), "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    sig_path = os.path.join(idx, "source.json")
+    fresh = False
+    if os.path.exists(os.path.join(idx, "meta.json")) and os.path.exists(sig_path):
+        with open(sig_path) as f:
+            fresh = json.load(f) == sig
+    if not fresh:
         ann_index_build(_emb(sf_dir), idx, method="lsh", n_planes=8, seed=11)
+        with open(sig_path, "w") as f:
+            json.dump(sig, f)
     out = ann_index_query(idx, _ann_queries(sf_dir), k=_ANN_K, multiprobe=1)
     return out[["query_id", "vec_id", "rank"]].astype("int64")
 

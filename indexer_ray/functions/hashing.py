@@ -62,3 +62,17 @@ def salt_of_doc(doc_ids: np.ndarray, n_salts: int, id_space: int | None = None) 
         return ((hi * np.uint64(n_salts)) >> np.uint64(32)).astype(np.uint32)
     width = max(1, -(-int(id_space) // n_salts))
     return np.minimum(d // np.uint64(width), np.uint64(n_salts - 1)).astype(np.uint32)
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_partition(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    """int32 partition per uint64 key: golden-ratio multiply + high-bits
+    mix.  THE shared routing hash for every partition-routed blocking
+    operator (sessionize, joins, winnowing) — one definition so a fix
+    lands everywhere."""
+    with np.errstate(over="ignore"):
+        return (
+            ((keys.astype(np.uint64) * _GOLDEN) >> np.uint64(32)) % np.uint64(n_parts)
+        ).astype(np.int32)

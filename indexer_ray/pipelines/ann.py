@@ -43,7 +43,9 @@ def _embedding_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
-        flat = col.values.to_numpy(zero_copy_only=False)
+        # flatten(), not .values: a SLICED array's .values spans the whole
+        # parent buffer and the reshape would see the wrong row count
+        flat = col.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(len(col), dim).astype(np.float64, copy=False)
     widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
     if len(widths) and not (widths == widths[0]).all():
@@ -319,10 +321,20 @@ def ann_index_build(
     bucketing parameters (LSH planes are regenerated from (dim, n_planes,
     seed); IVF centroids are stored explicitly — they depend on the fitted
     sample).  `ann_index_query` then reads only probed partitions, making
-    per-query scan cost sublinear in corpus size; partitioned output also
-    means a failed build can re-run per partition (resumable-output rule).
+    per-query scan cost sublinear in corpus size.
+
+    Commit protocol is meta.json-LAST over a wiped vectors dir: a crashed
+    build leaves no meta.json, and the rebuild clears any orphaned vector
+    files first — a rebuild can never append a second copy of the corpus
+    into the bucket partitions.
     """
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    shutil.rmtree(os.path.join(index_dir, "vectors"), ignore_errors=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
     if method == "lsh":

@@ -455,11 +455,14 @@ def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
         .map_batches(_per_file, batch_size=8)
         .take_all()
     )
-    order = sorted(range(len(parts)), key=lambda i: parts[i]["lo"])
-    disjoint = all(bool(p["uniq"]) for p in parts) and all(
-        parts[order[i]]["hi"] < parts[order[i + 1]]["lo"]
+    # empty fragments carry no ids: drop them BEFORE the adjacency check
+    # (an empty file sorted between two overlapping fragments must not
+    # break the chain and hide the overlap)
+    filled = [p for p in parts if p["n"]]
+    order = sorted(range(len(filled)), key=lambda i: filled[i]["lo"])
+    disjoint = all(bool(p["uniq"]) for p in filled) and all(
+        filled[order[i]]["hi"] < filled[order[i + 1]]["lo"]
         for i in range(len(order) - 1)
-        if parts[order[i]]["n"] and parts[order[i + 1]]["n"]
     )
     if disjoint:
         return (

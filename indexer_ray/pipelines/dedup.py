@@ -725,12 +725,10 @@ def winnow_dup_pairs(
     fps = winnow_fingerprints(ds, k=k, w=w)
 
     def _route(batch: pa.Table) -> pa.Table:
-        fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part = ((fp * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
-                n_parts
-            )
-        return batch.append_column("part", pa.array(part.astype(np.int32), type=pa.int32()))
+        from indexer_ray.functions.hashing import key_partition
+
+        part = key_partition(batch.column("fp").to_numpy(zero_copy_only=False), n_parts)
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["fp", "doc_id"]).drop_duplicates(["fp", "doc_id"])

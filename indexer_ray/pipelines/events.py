@@ -148,14 +148,14 @@ def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTIT
     ever spans partitions."""
 
     def _route(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
-                n_parts
-            )
+        from indexer_ray.functions.hashing import key_partition
+
+        part = key_partition(
+            batch.column("user_id").to_numpy(zero_copy_only=False), n_parts
+        )
         return pa.table(
             {
-                "part": pa.array(part.astype(np.int32), type=pa.int32()),
+                "part": pa.array(part, type=pa.int32()),
                 "user_id": batch.column("user_id"),
                 "event_id": batch.column("event_id"),
                 "ts": batch.column("ts"),

@@ -19,25 +19,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from indexer_ray.functions.hashing import key_partition
+
 _JOIN_PARTITIONS = 64
 
 
-def _route(n_parts: int, side: int):
+def _route(n_parts: int, side: int, columns: dict[str, str], extra: dict[str, str] | None = None):
+    """Routing-stage factory: hash user_id -> part, tag the side, rename
+    `columns` (out_name <- in_name).  One definition for asof left/right
+    and interval left/intervals sides."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part = (
-                (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            ) % np.uint64(n_parts)
-        return pa.table(
-            {
-                "part": pa.array(part.astype(np.int32), type=pa.int32()),
-                "side": pa.array(np.full(len(uid), side, dtype=np.int8), type=pa.int8()),
-                "user_id": batch.column("user_id"),
-                "event_id": batch.column("event_id"),
-                "ts": batch.column("ts"),
-            }
-        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = key_partition(uid, n_parts)
+        cols = {
+            "part": pa.array(part, type=pa.int32()),
+            "side": pa.array(np.full(len(uid), side, dtype=np.int8), type=pa.int8()),
+            "user_id": batch.column("user_id"),
+        }
+        for out_name, in_name in columns.items():
+            cols[out_name] = batch.column(in_name)
+        return pa.table(cols)
 
     return fn
 
@@ -55,13 +57,12 @@ def asof_join(left_ds, right_ds, n_parts: int = _JOIN_PARTITIONS):
     rows first at equal ts (ASOF allows equality), then one segmented
     maximum-accumulate forward-fills the latest right row index within
     each user run — O(n log n) per partition, no per-key loop."""
-    import ray.data as rd  # noqa: F401  (callers pass Datasets in)
-
+    cols = {"event_id": "event_id", "ts": "ts"}
     tagged = left_ds.map_batches(
-        _route(n_parts, 1), batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+        _route(n_parts, 1, cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
     ).union(
         right_ds.map_batches(
-            _route(n_parts, 0), batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+            _route(n_parts, 0, cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
         )
     )
 
@@ -117,43 +118,14 @@ def interval_join(left_ds, intervals_ds, n_parts: int = _JOIN_PARTITIONS):
     ts, forward-fill the latest interval start, then a single vectorized
     end-bound check decides containment."""
 
-    def route_left(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(n_parts)
-        n = len(uid)
-        return pa.table(
-            {
-                "part": pa.array(part.astype(np.int32), type=pa.int32()),
-                "side": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
-                "user_id": batch.column("user_id"),
-                "row_id": batch.column("event_id"),
-                "ts": batch.column("ts"),
-                "end_ts": batch.column("ts"),  # unused for left rows
-            }
-        )
-
-    def route_intervals(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(n_parts)
-        n = len(uid)
-        return pa.table(
-            {
-                "part": pa.array(part.astype(np.int32), type=pa.int32()),
-                "side": pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
-                "user_id": batch.column("user_id"),
-                "row_id": batch.column("interval_id"),
-                "ts": batch.column("start_ts"),
-                "end_ts": batch.column("end_ts"),
-            }
-        )
-
     tagged = left_ds.map_batches(
-        route_left, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+        # end_ts <- ts on left rows: unused placeholder, keeps schemas equal
+        _route(n_parts, 1, {"row_id": "event_id", "ts": "ts", "end_ts": "ts"}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=8192,
     ).union(
         intervals_ds.map_batches(
-            route_intervals, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+            _route(n_parts, 0, {"row_id": "interval_id", "ts": "start_ts", "end_ts": "end_ts"}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=8192,
         )
     )
 

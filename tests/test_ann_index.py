@@ -82,3 +82,32 @@ def test_persisted_recall_vs_brute(emb_setup, tmp_path):
         want = set(brute[brute["query_id"] == qi]["vec_id"])
         hits += len(got & want) / max(len(want), 1)
     assert hits / len(Q) >= 0.6  # multiprobe-2 recall on clustered data
+
+
+def test_rebuild_does_not_duplicate(emb_setup, tmp_path):
+    """A rebuild into the same index_dir wipes orphaned vector files; a
+    second build must NOT append a second copy of the corpus (round-2
+    review finding: duplicate (query_id, vec_id) rows filled top-k)."""
+    ds, Q = emb_setup
+    idx = str(tmp_path / "lsh_rebuild")
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    out = ann_index_query(idx, Q, k=10, multiprobe=1)
+    assert not out.duplicated(["query_id", "vec_id"]).any()
+    streaming = ann_lsh_topk(ds, Q, k=10, n_planes=8, seed=11, multiprobe=1)
+    pd.testing.assert_frame_equal(_frame_key(out), _frame_key(streaming))
+
+
+def test_embedding_matrix_sliced_fixed_size_list():
+    import numpy as np
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.ann import _embedding_matrix
+
+    full = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(24, dtype=np.float64)), 4
+    )
+    sl = full.slice(2, 3)  # rows 2..4 of 6
+    M = _embedding_matrix(sl)
+    assert M.shape == (3, 4)
+    assert M[0, 0] == 8.0 and M[-1, -1] == 19.0
