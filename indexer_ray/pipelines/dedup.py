@@ -137,6 +137,19 @@ def _winnow(kgrams: np.ndarray, w: int) -> np.ndarray:
     return np.unique(wins.min(axis=1))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit-parallel via unpackbits
+    on the byte view — replaces the per-pair Python bin().count loop)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 class MinHashStage:
     """Per-doc minhash signature + banded emission (actor pool: permutation
     coefficients generated once per actor from the fixed seed)."""
@@ -160,24 +173,46 @@ class MinHashStage:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes = [], [], []
+        doc_ids, sigs = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             sig = self.signature(text)
             if sig is None:
                 continue
+            doc_ids.append(doc_id)
+            sigs.append(sig)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.uint64()),
+                }
+            )
+        # band hashing vectorized across the whole batch: a polynomial roll
+        # over each band's `rows` signature values (equal band-slices still
+        # collide identically — the LSH property — without the round-1
+        # bands-per-doc Python loop of blake2b calls)
+        S = np.stack(sigs)  # (n, num_perm) uint64
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                bh = _hash64_bytes(chunk.tobytes())
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(bh)
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(self.rows):
+                    acc = acc * _SHINGLE_B + S[:, band * self.rows + j]
+                bh[:, band] = acc
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), self.bands),
+                    type=pa.int64(),
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), type=pa.int32()
+                ),
+                "band_hash": pa.array(bh.ravel(), type=pa.uint64()),
             }
         )
 
@@ -500,7 +535,7 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
                 continue
             ia, ib = np.triu_indices(size, k=1)
             x = hs[s:e][ia] ^ hs[s:e][ib]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             m = ham <= max_hamming
             if m.any():
                 frames.append(
