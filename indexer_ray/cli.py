@@ -4,10 +4,12 @@ Mirrors the reference's CLI surface (main.rs:38-89) where it still makes
 sense for a parquet-corpus engine:
 
   index   — reference `index --path --output --hidden --skip-paths`
-            (main.rs:41-64): here the corpus is parquet files/dirs, so
-            `--path` takes parquet paths; `--skip-paths` filters input
-            files by basename; hidden-file semantics don't apply to a
-            columnar corpus and are dropped (SURVEY.md Q10: n/a).
+            (main.rs:41-64): `--corpus parquet` (default) indexes
+            pages/documents parquet; `--corpus files` is the reference's
+            own input mode — a directory tree of txt/md/csv/html/xml/pdf
+            files with recursive discovery, extension dispatch, hidden
+            skip and `--skip-paths` (sources/files.py; the exec-bit rule
+            is quirk Q10, consciously excluded).
   search  — reference `search --index --query --output --count`
             (main.rs:66-79): prints "score: url" lines (main.rs:200-207);
             `--output` writes one result per LINE — the reference's
@@ -49,18 +51,36 @@ def _resolve_inputs(path: str, skip: list[str]) -> list[str]:
 def cmd_index(args) -> int:
     from indexer_ray.pipelines.build import BuildConfig, build_index
 
-    files = _resolve_inputs(args.path, args.skip_paths)
-    if not files:
-        print("no parquet inputs found", file=sys.stderr)
-        return 1
-    _init_ray()
     cfg = BuildConfig(
         mode=args.mode,
         source=args.source,
         n_partitions=args.partitions,
         id_column=args.id_column,
     )
-    m = build_index(files, args.output, cfg, resume=args.resume)
+    if args.corpus == "files":
+        # reference-CLI mode: a directory of txt/md/csv/html/xml/pdf files
+        # (recursive discovery + extension dispatch, lib.rs:150-258)
+        from indexer_ray.sources.files import index_file_corpus
+
+        _init_ray()
+        m, n_files = index_file_corpus(
+            args.path,
+            args.output,
+            cfg,
+            include_hidden=args.hidden,
+            skip_paths=args.skip_paths,
+            resume=args.resume,
+        )
+        if m is None:
+            print("no indexable files found", file=sys.stderr)
+            return 1
+    else:
+        files = _resolve_inputs(args.path, args.skip_paths)
+        if not files:
+            print("no parquet inputs found", file=sys.stderr)
+            return 1
+        _init_ray()
+        m = build_index(files, args.output, cfg, resume=args.resume)
     total_postings = sum(p["n_postings"] for p in m.partitions.values())
     print(f"Indexed {m.n_docs} docs, {total_postings} postings, {m.n_partitions} partitions -> {args.output}")
     return 0
@@ -136,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-p", "--path", required=True, help="parquet file or directory")
     p.add_argument("-o", "--output", required=True, help="index output directory")
     p.add_argument("-s", "--skip-paths", nargs="*", default=[], help="skip input files by basename")
+    p.add_argument(
+        "--corpus",
+        default="parquet",
+        choices=["parquet", "files"],
+        help="'parquet' = pages/documents tables; 'files' = a directory of "
+        "txt/md/csv/html/xml/pdf files (the reference CLI's input mode)",
+    )
+    p.add_argument("--hidden", action="store_true", help="files corpus: include hidden files")
     p.add_argument("--mode", default="conformance", choices=["conformance", "plain"])
     p.add_argument("--source", default="text", choices=["text", "html"])
     p.add_argument("--id-column", default=None, help="native integer doc-id column")

@@ -146,13 +146,136 @@ def extract_xml(data: bytes | str) -> str | None:
     return " ".join(chunks)
 
 
+def _pdf_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at b[i] == '('; returns
+    (content bytes, index past the closing paren).  Handles the escape
+    table, octal escapes, nested parens and line continuations
+    (PDF 32000-1:2008 §7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(b)
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+    while i < n and depth:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if e in esc:
+                out.append(esc[e])
+            elif e in (0x28, 0x29, 0x5C):
+                out.append(e)
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                digits = [e]
+                while len(digits) < 3 and i + 1 < n and 0x30 <= b[i + 1] <= 0x37:
+                    i += 1
+                    digits.append(b[i])
+                out.append(int(bytes(digits), 8) & 0xFF)
+            elif e in (10, 13):  # escaped EOL: line continuation
+                if e == 13 and i + 1 < n and b[i + 1] == 10:
+                    i += 1
+            else:
+                out.append(e)
+            i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+_PDF_STREAM_RE = None  # compiled lazily (binary regex)
+_PDF_SHOW_OPS = {b"Tj", b"TJ", b"'", b'"'}
+
+
+def _pdf_stream_text(stream: bytes) -> list[str]:
+    """Shown-text chunks from one decoded content stream: literal/hex
+    strings are buffered and emitted when a text-showing operator
+    (Tj ' \" TJ, §9.4.3) consumes them; any other alphabetic operator
+    discards the buffer (its string operands are not shown text)."""
+    chunks: list[str] = []
+    pending: list[bytes] = []
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c == 0x28:  # (
+            s, i = _pdf_literal_string(stream, i)
+            pending.append(s)
+            continue
+        if c == 0x3C and stream.startswith(b"<<", i):  # dict: not a string
+            i += 2
+            continue
+        if c == 0x3C:  # hex string
+            j = stream.find(b">", i + 1)
+            if j == -1:
+                break
+            hexpart = bytes(ch for ch in stream[i + 1 : j] if not chr(ch).isspace())
+            if len(hexpart) % 2:
+                hexpart += b"0"
+            try:
+                pending.append(bytes.fromhex(hexpart.decode("ascii")))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        if (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22):
+            j = i
+            while j < n and (
+                (0x41 <= stream[j] <= 0x5A)
+                or (0x61 <= stream[j] <= 0x7A)
+                or stream[j] in (0x27, 0x22, 0x2A)
+            ):
+                j += 1
+            op = stream[i:j]
+            if op in _PDF_SHOW_OPS:
+                if pending:
+                    chunks.append(b"".join(pending).decode("latin-1"))
+            pending.clear()
+            i = j
+            continue
+        i += 1
+    return [c for c in chunks if c.strip()]
+
+
 def extract_pdf(data: bytes | str) -> str | None:
-    raise NotImplementedError(
-        "PDF text extraction needs a PDF library (the reference uses lopdf, "
-        "parsers.rs:186-219); none is installed in this environment. "
-        "Integrate by registering a replacement: "
-        "register_extractor('pdf', my_pdf_to_text)."
-    )
+    """Minimal from-scratch PDF text extraction (PDF 32000-1:2008 subset;
+    reference: lopdf per-page extract_text, parsers.rs:186-219, which
+    returns no tokens on load failure — we return None, same skip).
+
+    Supported: FlateDecode (zlib) and uncompressed content streams,
+    literal + hex strings, Tj / ' / \" / TJ show operators, single-byte
+    encodings (latin-1 view).  NOT supported — like simple uses of the
+    reference tool — are encrypted documents (None), multi-byte CID
+    fonts (garbled there too without ToUnicode CMaps), and exotic stream
+    filters (skipped).  Replace wholesale for full fidelity:
+    ``register_extractor('pdf', my_pdf_to_text)``."""
+    import re as _re
+    import zlib
+
+    if isinstance(data, str):
+        data = data.encode("latin-1", errors="ignore")
+    if not data or not data.lstrip()[:5].startswith(b"%PDF"):
+        return None
+    if b"/Encrypt" in data:
+        return None  # encrypted: lopdf load fails -> doc skipped
+    chunks: list[str] = []
+    for m in _re.finditer(rb"stream\r?\n(.*?)endstream", data, _re.DOTALL):
+        raw = m.group(1)
+        try:
+            decoded = zlib.decompress(raw)
+        except zlib.error:
+            decoded = raw
+        chunks.extend(_pdf_stream_text(decoded))
+    return " ".join(chunks)
 
 
 _EXTRACTORS: dict[str, Extractor] = {

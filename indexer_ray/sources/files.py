@@ -1,0 +1,148 @@
+"""File-corpus ingestion — the reference's primary input mode
+(`indexer index --path ./docs`: recursive discovery lib.rs:150-193,
+extension dispatch to parsers lib.rs:226-258; SURVEY.md S1-S4).
+
+`read_file_corpus` walks a directory tree on the driver (names + stat
+only — cheap even for millions of files), then extracts file contents in
+parallel Ray tasks via the extension->parser registry
+(functions/extractors.py).  The output is a pages-shaped Dataset
+(url, warc_ts, html, text, lang) that feeds the normal parquet build:
+`index_file_corpus` materializes it (the build's per-file resume/lineage
+contract) and runs `build_index`.
+
+Reference semantics kept: unregistered extensions are DROPPED (S4);
+hidden files (dot-prefixed) are skipped unless `include_hidden`
+(lib.rs:150-193; the exec-bit rule is Q10, consciously excluded);
+undecodable/unparseable files yield no text and are skipped by the
+build's empty-doc rule (Q9).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from indexer_ray.functions.extractors import get_extractor
+
+
+def discover_files(
+    root: str,
+    include_hidden: bool = False,
+    skip_paths: list[str] | None = None,
+) -> list[dict]:
+    """Driver-side recursive walk: [{path, ext, mtime_us}] for files whose
+    extension has a registered extractor.  Deterministic (sorted)."""
+    skipset = set(skip_paths or [])
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        if not include_hidden:
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not include_hidden and name.startswith("."):
+                continue
+            if name in skipset:
+                continue
+            ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            if get_extractor(ext) is None:
+                continue  # S4: unregistered extension -> dropped
+            p = os.path.join(dirpath, name)
+            out.append(
+                {"path": p, "ext": ext, "mtime_us": int(os.stat(p).st_mtime * 1e6)}
+            )
+    return out
+
+
+def _extract_batch(batch: dict) -> pa.Table:
+    """Stateless task body: read + extract one descriptor batch.  Returns
+    pages-shaped rows; extraction failure -> empty text (Q9 skip)."""
+    urls, tss, texts = [], [], []
+    for path, ext, mtime in zip(batch["path"], batch["ext"], batch["mtime_us"]):
+        extractor = get_extractor(str(ext))
+        try:
+            with open(path, "rb") as f:
+                raw = f.read()
+            text = extractor(raw)
+        except (OSError, ValueError):
+            text = None
+        urls.append(str(path))
+        tss.append(int(mtime))
+        texts.append(text or "")
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array([b""] * n, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array([""] * n, type=pa.string()),
+        }
+    )
+
+
+def read_file_corpus(
+    root: str,
+    include_hidden: bool = False,
+    skip_paths: list[str] | None = None,
+    batch_size: int = 64,
+):
+    """Pages-shaped Dataset over a directory of txt/md/csv/html/xml/pdf
+    files (plus any runtime-registered types).  url = file path,
+    warc_ts = mtime (the incremental pipeline's freshness key — so
+    `filter_expired` gives the reference's mtime-skip re-index behavior
+    on file corpora too)."""
+    import ray.data as rd
+
+    descriptors = discover_files(root, include_hidden, skip_paths)
+    if not descriptors:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "warc_ts": pa.array([], type=pa.timestamp("us")),
+                    "html": pa.array([], type=pa.binary()),
+                    "text": pa.array([], type=pa.string()),
+                    "lang": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    return rd.from_items(descriptors).map_batches(
+        _extract_batch, batch_size=batch_size
+    )
+
+
+def index_file_corpus(
+    root: str,
+    index_dir: str,
+    config=None,
+    include_hidden: bool = False,
+    skip_paths: list[str] | None = None,
+    resume: bool = False,
+):
+    """End-to-end reference-CLI analogue: discover -> extract -> build.
+
+    The extracted pages are materialized to parquet next to the index
+    (sibling dir, same pattern as build_delta_index: the build's
+    resume/lineage contract is per input file), then `build_index` runs
+    with its full checkpoint/resume machinery.  Returns (manifest, n_files).
+    """
+    import glob as _glob
+    import shutil
+
+    from indexer_ray.pipelines.build import build_index
+
+    pages_dir = index_dir.rstrip("/") + "_pages"
+    if resume and _glob.glob(os.path.join(pages_dir, "*.parquet")):
+        pass  # reuse the materialized extraction (ids must stay stable)
+    else:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        read_file_corpus(root, include_hidden, skip_paths).write_parquet(pages_dir)
+    files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not files:
+        return None, 0
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    manifest = build_index(files, index_dir, config, resume=resume)
+    return manifest, n

@@ -33,3 +33,52 @@ def test_search_cli_over_prebuilt_index(tmp_path, ray_session, tiny_pages, capsy
     rc = main(["search", "-i", idx, "-q", "needle17", "-o", str(out_file)])
     assert rc == 0
     assert out_file.read_text().strip().splitlines()[0].split(": ")[1].endswith("17")
+
+
+def test_file_corpus_end_to_end(tmp_path, ray_session, capsys):
+    """The reference's primary input mode: a directory of mixed-type files
+    -> discover -> extension-dispatch extract -> index -> search (S1-S4 +
+    P1-P5 live in one pipeline)."""
+    import zlib
+
+    from indexer_ray.pipelines.build import BuildConfig
+    from indexer_ray.pipelines.query import IndexSearcher
+    from indexer_ray.sources.files import index_file_corpus
+
+    root = tmp_path / "corpus"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("zebrahide in plain text")
+    (root / "sub" / "b.md").write_text("markdown zebrahide again")
+    (root / "c.csv").write_text("h1,h2\ncsvzebra,hide\n")
+    (root / "d.html").write_bytes(b"<p>htmlzebra</p>")
+    (root / "e.xml").write_text("<r>xmlzebra</r>")
+    (root / ".hidden.txt").write_text("hiddenzebra")
+    (root / "f.bin").write_bytes(b"unregistered extension")
+    body = zlib.compress(b"BT (pdfzebra shows) Tj ET")
+    (root / "g.pdf").write_bytes(
+        b"%PDF-1.4\n4 0 obj <</Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b">>\nstream\n"
+        + body
+        + b"endstream endobj\n%%EOF"
+    )
+
+    idx = str(tmp_path / "fidx")
+    m, n_files = index_file_corpus(root=str(root), index_dir=idx, config=BuildConfig(n_partitions=4))
+    assert n_files == 6  # hidden + unregistered dropped
+    assert m.n_docs == 6
+
+    s = IndexSearcher(idx)
+    for term, fname in [
+        ("zebrahide", "a.txt"),
+        # quirk Q1: csv fields fuse separator-less -> the fused run is the
+        # ONLY token; "csvzebra" alone must NOT match
+        ("csvzebrahide", "c.csv"),
+        ("htmlzebra", "d.html"),
+        ("xmlzebra", "e.xml"),
+        ("pdfzebra", "g.pdf"),
+    ]:
+        hits = s.search_urls(term, k=3)
+        assert hits and any(fname in u for u, _ in hits), (term, hits)
+    assert s.search_urls("csvzebra", k=3) == []
+    assert s.search_urls("hiddenzebra", k=3) == []

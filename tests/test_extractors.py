@@ -89,9 +89,50 @@ class TestRegistry:
         assert extract_txt("Hello".encode()) == "Hello"
         assert extract_txt(b"\xff\xfe") is None
 
-    def test_pdf_slot_documents_integration_point(self):
-        with pytest.raises(NotImplementedError):
-            extract_pdf(b"%PDF-1.4")
+    def test_pdf_not_a_pdf(self):
+        assert extract_pdf(b"plain text") is None
+        assert extract_pdf(b"") is None
+
+    def test_pdf_no_text(self):
+        assert extract_pdf(b"%PDF-1.4\n%%EOF") == ""
+
+    def test_pdf_encrypted_skipped(self):
+        assert extract_pdf(b"%PDF-1.4\n1 0 obj <</Encrypt 2 0 R>> endobj") is None
+
+    @staticmethod
+    def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
+        import zlib
+
+        if flate:
+            body = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        else:
+            body, filt = content, b""
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj <</Type /Catalog /Pages 2 0 R>> endobj\n"
+            b"2 0 obj <</Type /Pages /Kids [3 0 R] /Count 1>> endobj\n"
+            b"3 0 obj <</Type /Page /Parent 2 0 R /Contents 4 0 R>> endobj\n"
+            b"4 0 obj <<" + filt + b"/Length " + str(len(body)).encode() + b">>\n"
+            b"stream\n" + body + b"endstream endobj\n"
+            b"%%EOF"
+        )
+
+    def test_pdf_plain_stream(self):
+        content = b"BT /F1 12 Tf 72 712 Td (Hello) Tj (World) Tj ET"
+        out = extract_pdf(self._mini_pdf(content))
+        assert out.split() == ["Hello", "World"]
+
+    def test_pdf_flate_stream_and_tj_array(self):
+        content = b"BT [(Fla)(te)] TJ (ok \\(escaped\\)) Tj <48695F21> Tj ET"
+        out = extract_pdf(self._mini_pdf(content, flate=True))
+        # TJ concatenates its array; hex string decodes to Hi_!
+        assert out.split() == ["Flate", "ok", "(escaped)", "Hi_!"]
+
+    def test_pdf_non_show_string_operands_dropped(self):
+        # strings consumed by a non-show operator must not leak into text
+        content = b"BT (shown) Tj (dropped) Td ET"
+        assert extract_pdf(self._mini_pdf(content)).split() == ["shown"]
 
     def test_html_is_markup_serialization(self):
         # quirk Q2: html "text" is the serialized markup, tags included
