@@ -255,6 +255,20 @@ def _q_orders_by_priority(sf_dir: str):
     return orders_by_priority(rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
 
 
+def _q_customers_by_region(sf_dir: str):
+    """Broadcast dimension join (nation+region are tiny at every scale):
+    the fact side never shuffles for the join."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.relational import customers_by_region
+
+    return customers_by_region(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet")),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+        pq.read_table(os.path.join(sf_dir, "region.parquet")),
+    ).select_columns(["r_name", "n_name", "n_customers", "max_acctbal_cents"])
+
+
 def _q_search_urls(sf_dir: str):
     """Top-k with url resolution (Q5 docmap join analogue); rows-only."""
     s = _searcher(sf_dir, "conformance")
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": _q_events_json_extract,
         "lineitem_pricing_counts": _q_lineitem_pricing_counts,
         "orders_by_priority": _q_orders_by_priority,
+        "customers_by_region": _q_customers_by_region,
         "bpe_token_counts": _q_bpe_token_counts,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -777,6 +792,13 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
        count(*) AS n_orders,
        max(o_totalprice) AS max_price
 FROM orders GROUP BY o_orderpriority, o_orderstatus""",
+        "customers_by_region": """SELECT r.r_name, n.n_name,
+       count(*) AS n_customers,
+       max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS max_acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name""",
         "incremental_delta": f"""SELECT 'doc://' || doc_id AS url
 FROM documents
 WHERE doc_id >= 250 OR len({_PLAIN_TOKS}) = 0""",

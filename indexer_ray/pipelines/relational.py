@@ -29,3 +29,84 @@ def orders_by_priority(orders_ds):
         Count(alias_name="n_orders"),
         Max("o_totalprice", alias_name="max_price"),
     )
+
+
+def customers_by_region(customer_ds, nation_tbl, region_tbl):
+    """Customer counts per (region, nation) via BROADCAST join: nation and
+    region are dimension tables (25 / 5 rows at any TPC-H scale), so the
+    custkey->name mapping is a ray.put dict read once per actor — the big
+    side never shuffles for the join, only the tiny per-batch partial
+    aggregate does (ray_guide: broadcast small sides).
+
+    `nation_tbl` / `region_tbl` are pyarrow Tables (driver-small).
+    Output: (r_name, n_name, n_customers, max_acctbal_cents)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    r_names = dict(
+        zip(
+            region_tbl.column("r_regionkey").to_pylist(),
+            region_tbl.column("r_name").to_pylist(),
+        )
+    )
+    lookup = {
+        int(nk): (r_names[rk], nn)
+        for nk, nn, rk in zip(
+            nation_tbl.column("n_nationkey").to_pylist(),
+            nation_tbl.column("n_name").to_pylist(),
+            nation_tbl.column("n_regionkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(lookup)
+
+    class _Annotate:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_pylist()
+            # acctbal in exact integer cents: float max is bit-stable, but
+            # keep the oracle compare integer anyway
+            bal = np.round(
+                batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+            ).astype("int64")
+            pairs = [self.lookup[int(k)] for k in nk]
+            df = pd.DataFrame(
+                {
+                    "r_name": [p[0] for p in pairs],
+                    "n_name": [p[1] for p in pairs],
+                    "bal_cents": bal,
+                }
+            )
+            g = (
+                df.groupby(["r_name", "n_name"], sort=False)
+                .agg(n_customers=("bal_cents", "size"), max_bal=("bal_cents", "max"))
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "r_name": pa.array(g["r_name"], type=pa.string()),
+                    "n_name": pa.array(g["n_name"], type=pa.string()),
+                    "n_customers": pa.array(g["n_customers"], type=pa.int64()),
+                    "max_bal": pa.array(g["max_bal"], type=pa.int64()),
+                }
+            )
+
+    return (
+        customer_ds.select_columns(["c_nationkey", "c_acctbal"])
+        .map_batches(
+            _Annotate,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=8192,
+            concurrency=(1, 8),
+        )
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Max("max_bal", alias_name="max_acctbal_cents"),
+        )
+    )
