@@ -9,10 +9,14 @@ Layout:
   conformance/ — the executable spec (no Ray): tokenizer chain, stemmer,
                  stop words, text extraction, brute-force scorers.  Everything
                  distributed is judged against this package.
-  sources/     — deterministic synthetic `pages` table generator + read helpers.
+  sources/     — synthetic `pages` generator + file-corpus ingestion
+                 (the reference CLI's directory-of-files input mode).
   stages/      — map_batches stage bodies (tokenize actor, codecs).
-  pipelines/   — build (index construction), query (search engines), dedup,
-                 ann, text_analysis, multimodal.
+  pipelines/   — build (index construction), query (search engines), dedup
+                 (exact/MinHash/SimHash/embedding/winnowing), ann (streaming
+                 + persisted index), text_analysis, events (windows,
+                 sessionize), joins (as-of, interval), relational,
+                 incremental, serve, multimodal.
   state/       — index manifest, checkpoint/resume bookkeeping, metrics.
   functions/   — vectorized scalar helpers shared across stages.
 """
