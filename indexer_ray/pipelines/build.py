@@ -413,6 +413,57 @@ def _encode_partition_batch(
     }
 
 
+def _reduce_fragment_stats(parts: list[dict], files: list[str]) -> tuple[int, int, int]:
+    """Reduce per-fragment stats rows (n, sum_dl, lo, hi, uniq): if all
+    fragments are internally unique and their id-ranges pairwise disjoint
+    (the dense layout), sums are exact with no shuffle; otherwise fall
+    back to a distributed groupby(doc_id) dedup pass."""
+    import ray.data as rd
+
+    # empty fragments carry no ids: drop them BEFORE the adjacency check
+    # (an empty file sorted between two overlapping fragments must not
+    # break the chain and hide the overlap)
+    filled = [p for p in parts if p["n"]]
+    order = sorted(range(len(filled)), key=lambda i: filled[i]["lo"])
+    disjoint = all(bool(p["uniq"]) for p in filled) and all(
+        filled[order[i]]["hi"] < filled[order[i + 1]]["lo"]
+        for i in range(len(order) - 1)
+    )
+    if disjoint:
+        return (
+            int(sum(p["n"] for p in parts)),
+            int(sum(p["sum_dl"] for p in parts)),
+            1 if any(p["n"] for p in parts) else 0,
+        )
+
+    # overlap: dedup by doc_id (shuffle moves only (doc_id, doc_len) pairs)
+    from ray.data.aggregate import Count, Min
+
+    per_doc = (
+        rd.read_parquet(files, columns=["doc_id", "doc_len"])
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="c"), Min("doc_len", alias_name="doc_len"))
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        dl = b.column("doc_len").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(c)], type=pa.int64()),
+                "sum_dl": pa.array([int(dl.sum()) if len(dl) else 0], type=pa.int64()),
+                "max_c": pa.array([int(c.max()) if len(c) else 0], type=pa.int64()),
+            }
+        )
+
+    out = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
+    return (
+        sum(r["n_docs"] for r in out),
+        sum(r["sum_dl"] for r in out),
+        max((r["max_c"] for r in out), default=0),
+    )
+
+
 def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
     """(n_docs, total_doc_len, max_rows_per_doc_id) — distributed, driver
     memory O(#fragments) regardless of corpus size (the round-1 version
@@ -430,6 +481,23 @@ def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
     files = sorted(glob.glob(os.path.join(docmap_dir, "*.parquet")))
     if not files:
         return 0, 0, 0
+
+    # fastest path: the tokenize actors side-write one tiny stats sidecar
+    # per fragment at extract time (stages/tokenize.py) — commit then only
+    # reads #fragments small jsons, no data scan at all.  Sidecars are
+    # optional (older indexes / external docmaps fall through).
+    sidecars = []
+    for f in files:
+        mp = f[: -len(".parquet")] + ".meta.json"
+        if not os.path.exists(mp):
+            sidecars = None
+            break
+        import json as _json
+
+        with open(mp) as fh:
+            sidecars.append(_json.load(fh))
+    if sidecars is not None:
+        return _reduce_fragment_stats(sidecars, files)
 
     def _per_file(batch: dict) -> dict:
         ns, sums, los, his, uniq = [], [], [], [], []
@@ -455,48 +523,7 @@ def _docmap_stats(docmap_dir: str) -> tuple[int, int, int]:
         .map_batches(_per_file, batch_size=8)
         .take_all()
     )
-    # empty fragments carry no ids: drop them BEFORE the adjacency check
-    # (an empty file sorted between two overlapping fragments must not
-    # break the chain and hide the overlap)
-    filled = [p for p in parts if p["n"]]
-    order = sorted(range(len(filled)), key=lambda i: filled[i]["lo"])
-    disjoint = all(bool(p["uniq"]) for p in filled) and all(
-        filled[order[i]]["hi"] < filled[order[i + 1]]["lo"]
-        for i in range(len(order) - 1)
-    )
-    if disjoint:
-        return (
-            int(sum(p["n"] for p in parts)),
-            int(sum(p["sum_dl"] for p in parts)),
-            1 if any(p["n"] for p in parts) else 0,
-        )
-
-    # overlap: dedup by doc_id (shuffle moves only (doc_id, doc_len) pairs)
-    from ray.data.aggregate import Count, Min
-
-    per_doc = (
-        rd.read_parquet(docmap_dir, columns=["doc_id", "doc_len"])
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="c"), Min("doc_len", alias_name="doc_len"))
-    )
-
-    def _partial(b: pa.Table) -> pa.Table:
-        c = b.column("c").to_numpy(zero_copy_only=False)
-        dl = b.column("doc_len").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "n_docs": pa.array([len(c)], type=pa.int64()),
-                "sum_dl": pa.array([int(dl.sum()) if len(dl) else 0], type=pa.int64()),
-                "max_c": pa.array([int(c.max()) if len(c) else 0], type=pa.int64()),
-            }
-        )
-
-    out = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
-    return (
-        sum(r["n_docs"] for r in out),
-        sum(r["sum_dl"] for r in out),
-        max((r["max_c"] for r in out), default=0),
-    )
+    return _reduce_fragment_stats(parts, files)
 
 
 def build_index(

@@ -29,11 +29,14 @@ import pyarrow.compute as pc
 
 
 def _docmap_ds(prior_index_dir: str):
+    import glob as _glob
+
     import ray.data as rd
 
-    return rd.read_parquet(
-        os.path.join(prior_index_dir, "docmap"), columns=["url", "warc_ts"]
-    )
+    # explicit *.parquet list: the docmap dir also holds per-fragment
+    # stats sidecars (*.meta.json) a dir-level read would choke on
+    files = sorted(_glob.glob(os.path.join(prior_index_dir, "docmap", "*.parquet")))
+    return rd.read_parquet(files, columns=["url", "warc_ts"])
 
 
 def filter_expired(

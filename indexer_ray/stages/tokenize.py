@@ -197,6 +197,24 @@ class TokenizeStage:
             tmp = os.path.join(self.docmap_dir, f".{name}.tmp")
             pq.write_table(frag, tmp)
             os.replace(tmp, os.path.join(self.docmap_dir, f"{name}.parquet"))
+            # sidecar stats written AT EXTRACT TIME (atomic, content-hash
+            # name -> idempotent like the fragment): commit-time docmap
+            # stats then reduce tiny sidecars instead of re-reading
+            # fragment data (pipelines/build._docmap_stats fast path)
+            import json as _json
+
+            ids_arr = np.asarray(dm_doc, dtype=np.uint64)
+            meta = {
+                "n": len(dm_doc),
+                "sum_dl": int(sum(dm_len)),
+                "lo": int(ids_arr.min()),
+                "hi": int(ids_arr.max()),
+                "uniq": bool(len(np.unique(ids_arr)) == len(ids_arr)),
+            }
+            mtmp = os.path.join(self.docmap_dir, f".{name}.meta.tmp")
+            with open(mtmp, "w") as f:
+                _json.dump(meta, f)
+            os.replace(mtmp, os.path.join(self.docmap_dir, f"{name}.meta.json"))
 
         return pa.table(
             {
