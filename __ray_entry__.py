@@ -233,6 +233,16 @@ def _q_events_session_join(sf_dir: str):
     return interval_join(_events(sf_dir), intervals)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct users per event_type (rows-only: approximate
+    by construction; accuracy vs exact is pinned in tests/test_sketches)."""
+    from indexer_ray.pipelines.sketches import hyperloglog_distinct
+
+    return hyperloglog_distinct(
+        _events(sf_dir), key="user_id", group_col="event_type", p=12
+    )
+
+
 def _q_events_json_extract(sf_dir: str):
     from indexer_ray.pipelines.events import extract_props_key
 
@@ -595,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_index_lsh_topk": _q_ann_index_lsh,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
+        "approx_distinct_users": _q_approx_distinct_users,
         "media_features": _q_media_features,
         "search_urls_topk": _q_search_urls,
         "incremental_delta": _q_incremental_delta,

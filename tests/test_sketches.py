@@ -1,0 +1,58 @@
+"""HyperLogLog distinct-count sketch: accuracy vs exact counts, merge
+associativity (partial states from different batch splits agree)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from indexer_ray.pipelines.sketches import (
+    _hll_estimate,
+    _hll_hash64,
+    _hll_registers,
+    hyperloglog_distinct,
+)
+
+
+def test_hll_core_accuracy():
+    rng = np.random.default_rng(7)
+    for true_n in (50, 1000, 20_000):
+        vals = [f"user{v}" for v in rng.choice(10**9, size=true_n, replace=False)]
+        regs = _hll_registers(_hll_hash64(vals), p=12)
+        est = _hll_estimate(regs)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_single_pass():
+    vals = [f"u{i}" for i in range(5000)]
+    whole = _hll_registers(_hll_hash64(vals), p=10)
+    a = _hll_registers(_hll_hash64(vals[:2000]), p=10)
+    b = _hll_registers(_hll_hash64(vals[1500:]), p=10)  # overlap on purpose
+    assert (np.maximum(a, b) == whole).all()
+
+
+def test_hyperloglog_distinct_grouped(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    groups = rng.choice(["a", "b", "c"], size=n)
+    # group-specific user universes of very different sizes
+    universe = {"a": 300, "b": 4000, "c": 15_000}
+    users = np.array([rng.integers(0, universe[g]) for g in groups])
+    t = pa.table(
+        {
+            "event_type": pa.array(groups.tolist(), type=pa.string()),
+            "user_id": pa.array(users, type=pa.int64()),
+        }
+    )
+    out = (
+        hyperloglog_distinct(rd.from_arrow(t), key="user_id", group_col="event_type", p=12)
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": groups, "u": users}).groupby("g")["u"].nunique()
+    for g in ("a", "b", "c"):
+        rel = abs(out[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, out[g], exact[g])
