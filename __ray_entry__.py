@@ -233,6 +233,14 @@ def _q_events_session_join(sf_dir: str):
     return interval_join(_events(sf_dir), intervals)
 
 
+def _q_events_value_histogram(sf_dir: str):
+    """Exact equi-width histogram of events.value (50 x width-10 buckets,
+    clamped): mergeable aggregate, bit-identical bucketing vs SQL."""
+    from indexer_ray.pipelines.sketches import value_histogram
+
+    return value_histogram(_events(sf_dir), "value", lo=0.0, width=10.0, bins=50)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct users per event_type (rows-only: approximate
     by construction; accuracy vs exact is pinned in tests/test_sketches)."""
@@ -586,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_docmap": _q_index_docmap,
         "ann_brute_topk": _q_ann_brute,
         "events_json_extract": _q_events_json_extract,
+        "events_value_histogram": _q_events_value_histogram,
         "lineitem_pricing_counts": _q_lineitem_pricing_counts,
         "orders_by_priority": _q_orders_by_priority,
         "customers_by_region": _q_customers_by_region,
@@ -794,6 +803,11 @@ FROM s GROUP BY user_id, session_idx""",
         "events_json_extract": """SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
 FROM events""",
+        "events_value_histogram": """SELECT
+       LEAST(GREATEST(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49)
+         AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1""",
         "lineitem_pricing_counts": """SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
        min(l_quantity) AS min_qty,

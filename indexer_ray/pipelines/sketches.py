@@ -114,3 +114,53 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
         .groupby("group")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def value_histogram(ds, col: str, lo: float, width: float, bins: int):
+    """Exact equi-width histogram: (bucket, n) with bucket =
+    clamp(floor((v - lo)/width), 0, bins-1).  A mergeable aggregate — each
+    batch emits at most `bins` partial rows, the groupby sums counts.
+    Per-row bucketing is a pure double function, so the DuckDB oracle
+    computes bit-identical buckets (no sum-order float hazards: counts are
+    integers)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, bins - 1)
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def histogram_quantiles(
+    ds, col: str, lo: float, width: float, bins: int, qs: list[float]
+) -> dict[float, float]:
+    """Approximate quantiles from the exact histogram (error <= one bin
+    width): linear interpolation within the bucket containing each target
+    rank.  Driver sees only `bins` rows."""
+    h = value_histogram(ds, col, lo, width, bins).to_pandas().sort_values("bucket")
+    counts = np.zeros(bins, dtype=np.int64)
+    counts[h["bucket"].to_numpy()] = h["n"].to_numpy()
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    out = {}
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, bins - 1)
+        prev = int(cum[b - 1]) if b else 0
+        inside = (target - prev) / max(int(counts[b]), 1)
+        out[q] = lo + (b + inside) * width
+    return out

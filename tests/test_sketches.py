@@ -56,3 +56,27 @@ def test_hyperloglog_distinct_grouped(ray_session):
     for g in ("a", "b", "c"):
         rel = abs(out[g] - exact[g]) / exact[g]
         assert rel < 0.05, (g, out[g], exact[g])
+
+
+def test_value_histogram_and_quantiles(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sketches import histogram_quantiles, value_histogram
+
+    rng = np.random.default_rng(5)
+    v = rng.uniform(0, 500, size=20_000)
+    t = pa.table({"value": pa.array(v, type=pa.float64())})
+    ds = rd.from_arrow(t)
+    h = value_histogram(ds, "value", lo=0.0, width=10.0, bins=50).to_pandas()
+    assert h["n"].sum() == 20_000
+    # exact per-bucket counts
+    expect = np.clip(np.floor(v / 10.0).astype(np.int64), 0, 49)
+    eu, ec = np.unique(expect, return_counts=True)
+    got = h.sort_values("bucket")
+    assert got["bucket"].tolist() == eu.tolist()
+    assert got["n"].tolist() == ec.tolist()
+    # quantiles within one bin width of exact
+    qs = histogram_quantiles(ds, "value", 0.0, 10.0, 50, [0.5, 0.95])
+    for q, est in qs.items():
+        assert abs(est - np.quantile(v, q)) <= 10.0, (q, est)
