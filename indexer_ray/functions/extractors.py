@@ -27,9 +27,12 @@ Registered types and their conformance quirks:
            inter-element nodes are Whitespace events in xml-rs and are NOT
            indexed; pure-whitespace Characters content likewise contributes
            no tokens.
-  pdf    (parsers.rs:186-219)  — requires a PDF text extractor (lopdf in the
-           reference); not available in this environment -> the registry slot
-           raises NotImplementedError documenting the integration point.
+  pdf    (parsers.rs:186-219)  — minimal from-scratch PDF-spec-subset
+           extractor (FlateDecode/uncompressed content streams, literal and
+           hex strings, Tj/'/\"/TJ show operators; encrypted or non-PDF
+           input -> None, the same skip as a reference lopdf load failure).
+           No PDF wheel exists offline; replace wholesale for full
+           fidelity via register_extractor.
 
 User extension surface: `register_extractor("mytype", fn)` — the Python
 analogue of adding a row to get_extensions_map (compile-time in the

@@ -144,15 +144,22 @@ def build_delta_index(
     import ray.data as rd
 
     subset_dir = delta_index_dir.rstrip("/") + "_input"
+    marker = os.path.join(subset_dir, "_SUBSET_COMPLETE")
     import shutil
 
-    if resume and _glob.glob(os.path.join(subset_dir, "*.parquet")):
+    # resume only trusts a COMPLETE subset: a crash mid-write leaves
+    # parquet fragments but no marker, and building over a partial subset
+    # silently drops documents
+    if resume and os.path.exists(marker):
         pass  # reuse the checkpointed subset (rewriting would shift ids)
     else:
         shutil.rmtree(subset_dir, ignore_errors=True)
         pages = rd.read_parquet(paths)
         expired = filter_expired(pages, prior_index_dir, method=method)
         expired.write_parquet(subset_dir)
+        os.makedirs(subset_dir, exist_ok=True)  # 0-row write creates no dir
+        with open(marker, "w") as f:
+            f.write("ok")
     files = sorted(_glob.glob(os.path.join(subset_dir, "*.parquet")))
     # count from the written files' metadata (no second pass over data)
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)

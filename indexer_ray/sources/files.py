@@ -48,18 +48,25 @@ def discover_files(
             if get_extractor(ext) is None:
                 continue  # S4: unregistered extension -> dropped
             p = os.path.join(dirpath, name)
-            out.append(
-                {"path": p, "ext": ext, "mtime_us": int(os.stat(p).st_mtime * 1e6)}
-            )
+            try:
+                mtime_us = int(os.stat(p).st_mtime * 1e6)
+            except OSError:
+                continue  # dangling symlink / deleted mid-walk: skip
+            out.append({"path": p, "ext": ext, "mtime_us": mtime_us})
     return out
 
 
-def _extract_batch(batch: dict) -> pa.Table:
+def _extract_batch(batch: dict, registry: dict) -> pa.Table:
     """Stateless task body: read + extract one descriptor batch.  Returns
-    pages-shaped rows; extraction failure -> empty text (Q9 skip)."""
+    pages-shaped rows; extraction failure -> empty text (Q9 skip).
+
+    `registry` is a DRIVER-TIME snapshot of the needed extractors, shipped
+    with the task: resolving `get_extractor` inside the worker would see a
+    fresh module whose runtime registrations (register_extractor) never
+    happened there."""
     urls, tss, texts = [], [], []
     for path, ext, mtime in zip(batch["path"], batch["ext"], batch["mtime_us"]):
-        extractor = get_extractor(str(ext))
+        extractor = registry[str(ext)]
         try:
             with open(path, "rb") as f:
                 raw = f.read()
@@ -107,8 +114,9 @@ def read_file_corpus(
                 }
             )
         )
+    registry = {d["ext"]: get_extractor(d["ext"]) for d in descriptors}
     return rd.from_items(descriptors).map_batches(
-        _extract_batch, batch_size=batch_size
+        _extract_batch, fn_kwargs={"registry": registry}, batch_size=batch_size
     )
 
 
@@ -132,12 +140,25 @@ def index_file_corpus(
 
     from indexer_ray.pipelines.build import build_index
 
+    if config is not None and getattr(config, "source", "text") != "text":
+        raise ValueError(
+            "index_file_corpus extracts text during ingestion; "
+            "BuildConfig.source must stay 'text' (got "
+            f"{config.source!r} — a files corpus has no html column)"
+        )
     pages_dir = index_dir.rstrip("/") + "_pages"
-    if resume and _glob.glob(os.path.join(pages_dir, "*.parquet")):
+    marker = os.path.join(pages_dir, "_EXTRACTION_COMPLETE")
+    # resume only trusts a COMPLETE extraction: a crash mid-write leaves
+    # parquet fragments but no marker, and indexing a partial corpus
+    # silently drops documents (ids would also shift on rebuild)
+    if resume and os.path.exists(marker):
         pass  # reuse the materialized extraction (ids must stay stable)
     else:
         shutil.rmtree(pages_dir, ignore_errors=True)
         read_file_corpus(root, include_hidden, skip_paths).write_parquet(pages_dir)
+        os.makedirs(pages_dir, exist_ok=True)  # 0-row write creates no dir
+        with open(marker, "w") as f:
+            f.write("ok")
     files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
     if not files:
         return None, 0

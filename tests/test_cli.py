@@ -82,3 +82,37 @@ def test_file_corpus_end_to_end(tmp_path, ray_session, capsys):
         assert hits and any(fname in u for u, _ in hits), (term, hits)
     assert s.search_urls("csvzebra", k=3) == []
     assert s.search_urls("hiddenzebra", k=3) == []
+
+
+def test_file_corpus_runtime_registered_extractor(tmp_path, ray_session):
+    """register_extractor must reach Ray workers: the extractor registry is
+    snapshotted on the DRIVER and shipped with the task (round-2 review:
+    worker-side get_extractor saw a fresh module and crashed the job)."""
+    from indexer_ray.functions.extractors import register_extractor
+    from indexer_ray.sources.files import read_file_corpus
+
+    register_extractor("rstx", lambda b: "customtoken " + (b.decode() if isinstance(b, bytes) else b))
+    try:
+        root = tmp_path / "c2"
+        root.mkdir()
+        (root / "x.rstx").write_text("body")
+        out = read_file_corpus(str(root)).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["text"] == "customtoken body"
+    finally:
+        from indexer_ray.functions.extractors import _EXTRACTORS
+
+        _EXTRACTORS.pop("rstx", None)
+
+
+def test_file_corpus_dangling_symlink_skipped(tmp_path, ray_session):
+    import os
+
+    from indexer_ray.sources.files import discover_files
+
+    root = tmp_path / "c3"
+    root.mkdir()
+    (root / "ok.txt").write_text("fine")
+    os.symlink(str(root / "gone.txt"), str(root / "dangling.txt"))
+    got = discover_files(str(root))
+    assert [os.path.basename(d["path"]) for d in got] == ["ok.txt"]
