@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque binary media columns with typed
 metadata, decoded / feature-extracted in actor-pool map_batches stages.
 
-The image/audio/video libraries are not available in this container, so the
-DECODE step is stubbed: `decoder="real"` raises NotImplementedError with the
-exact integration point documented, and `decoder="fake"` is a deterministic
-stand-in (hash-derived pixels/features) that keeps the Ray-side plumbing —
-schema, batch sizing for large binary rows, actor signature, output layout —
-real and tested.  Swapping in Pillow/torchaudio/decord is a one-method
-change in MediaDecodeStage.
+Decoders: `decoder="real"` decodes the formats expressible with
+stdlib+numpy from their PUBLISHED specs — uncompressed BMP (24/32-bit),
+binary PPM (P6) and PCM WAV (via the stdlib `wave` module); payloads in
+any other format (jpeg/png/mp4 need external codec libraries that are not
+in this container) come back `ok=False` and are skipped, with the
+integration point documented on MediaDecodeStage._decode_real.
+`decoder="fake"` is a deterministic stand-in (hash-derived pixels) that
+keeps the Ray-side plumbing — schema, batch sizing for large binary rows,
+actor signature, output layout — exercised without any codec.
 
 Memory note: media rows are orders of magnitude wider than text rows; these
 stages default to small `batch_size` so (batch x concurrency) stays inside a
@@ -17,9 +19,88 @@ worker's heap, per the Ray Data guidance for large binary payloads.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8 (bottom-up rows
+    flipped; published BITMAPFILEHEADER/BITMAPINFOHEADER layout)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = rows.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, 2::-1]  # BGR(A) -> RGB
+
+
+def decode_ppm(b: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) -> (H, W, 3) uint8 (published netpbm format)."""
+    if not b.startswith(b"P6"):
+        return None
+    # header: P6 <w> <h> <maxval> separated by whitespace/comments
+    fields, i = [], 2
+    while len(fields) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to EOL
+            while i < len(b) and b[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(b[i:j])
+        i = j
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except (ValueError, TypeError):
+        return None
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # single whitespace after maxval
+    need = w * h * 3
+    if len(b) < i + need:
+        return None
+    return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+
+
+def decode_wav(b: bytes) -> np.ndarray | None:
+    """PCM WAV -> float32 samples in [-1, 1] (stdlib `wave`; (n,) mono or
+    (n, ch))."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as f:
+            nch = f.getnchannels()
+            width = f.getsampwidth()
+            frames = f.readframes(f.getnframes())
+    except (wave.Error, EOFError, OSError):
+        return None
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None  # 24/32-bit PCM: extend here
+    return x.reshape(-1, nch) if nch > 1 else x
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -64,17 +145,30 @@ class MediaDecodeStage:
     """
 
     def __init__(self, decoder: str = "fake", feat_dim: int = 16):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.decoder = decoder
         self.feat_dim = feat_dim
-        if decoder == "real":
-            raise NotImplementedError(
-                "real media decoding requires Pillow/torchaudio/decord, which "
-                "are not installed in this environment; integrate by replacing "
-                "MediaDecodeStage._decode (payload bytes -> ndarray) and keep "
-                "the surrounding Ray plumbing unchanged"
-            )
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    @staticmethod
+    def _decode_real(payload: bytes) -> np.ndarray | None:
+        """Magic-byte dispatch over the stdlib-decodable formats; None for
+        anything else (jpeg/png/mp4 need external codecs — extend HERE,
+        keeping the surrounding Ray plumbing unchanged)."""
+        if payload[:2] == b"BM":
+            px = decode_bmp(payload)
+            return None if px is None else px.astype(np.float32).ravel() / 255.0
+        if payload[:2] == b"P6":
+            px = decode_ppm(payload)
+            return None if px is None else px.astype(np.float32).ravel() / 255.0
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x = decode_wav(payload)
+            return None if x is None else x.astype(np.float32).ravel()
+        return None
+
+    def _decode(self, payload: bytes) -> np.ndarray | None:
+        if self.decoder == "real":
+            return self._decode_real(payload)
         # deterministic fake: 'pixels' derived from payload bytes
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr.astype(np.float32) / 255.0
@@ -87,12 +181,12 @@ class MediaDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ok, nbytes = [], [], []
         for payload in batch.column("payload").to_pylist():
-            if payload is None or len(payload) == 0:
+            px = None if payload is None or len(payload) == 0 else self._decode(payload)
+            if px is None:
                 ok.append(False)
-                nbytes.append(0)
+                nbytes.append(0 if not payload else len(payload))
                 feats.append([0.0] * self.feat_dim)
                 continue
-            px = self._decode(payload)
             feats.append(self._features(px).tolist())
             ok.append(True)
             nbytes.append(len(payload))
@@ -120,20 +214,34 @@ def decode_features(media_ds, decoder: str = "fake", feat_dim: int = 16, batch_s
 
 
 class ResizeStage:
-    """Image-resize plumbing (stub decode): consumes payload bytes, emits a
-    resized payload of deterministic size plus the new dimensions.  A real
-    pipeline swaps `_resize` for a Pillow call; schema, batch sizing and the
-    actor signature stay as-is."""
+    """Image resize: `decoder="real"` decodes BMP/PPM (the stdlib-decodable
+    formats), nearest-neighbor-resamples with one numpy gather, and
+    re-emits binary PPM; undecodable payloads come back EMPTY (b"") so
+    downstream stages can filter.  `decoder="fake"` keeps the codec-free
+    plumbing stand-in (payload bytes sampled to width*height)."""
 
     def __init__(self, width: int = 32, height: int = 32, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.width, self.height = width, height
-        if decoder == "real":
-            raise NotImplementedError(
-                "real resize requires Pillow; replace ResizeStage._resize "
-                "(payload bytes -> resized bytes) and keep the Ray plumbing"
-            )
+        self.decoder = decoder
 
     def _resize(self, payload: bytes) -> bytes:
+        if self.decoder == "real":
+            px = None
+            if payload[:2] == b"BM":
+                px = decode_bmp(payload)
+            elif payload[:2] == b"P6":
+                px = decode_ppm(payload)
+            if px is None:
+                return b""  # undecodable: empty payload, filter downstream
+            h, w, _ = px.shape
+            rows = (np.arange(self.height, dtype=np.int64) * h) // self.height
+            cols = (np.arange(self.width, dtype=np.int64) * w) // self.width
+            out = px[rows][:, cols]
+            return (
+                f"P6\n{self.width} {self.height}\n255\n".encode() + out.tobytes()
+            )
         # deterministic fake: sample payload bytes to width*height "pixels"
         n = self.width * self.height
         if not payload:
@@ -155,10 +263,10 @@ class ResizeStage:
         )
 
 
-def resize_media(media_ds, width: int = 32, height: int = 32, batch_size: int = 64):
+def resize_media(media_ds, width: int = 32, height: int = 32, batch_size: int = 64, decoder: str = "fake"):
     return media_ds.map_batches(
         ResizeStage,
-        fn_constructor_args=(width, height),
+        fn_constructor_args=(width, height, decoder),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

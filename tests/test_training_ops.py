@@ -289,8 +289,9 @@ def test_multimodal_plumbing(ray_session):
     frames = sample_frames(media, n_frames=4).to_pandas()
     assert len(frames) == 200
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(decoder="real")
+    # decoder="real" now exists (BMP/PPM/WAV); unknown names still rejected
+    with pytest.raises(ValueError):
+        MediaDecodeStage(decoder="imaginary")
 
 
 def test_media_resize(ray_session):
@@ -356,3 +357,122 @@ def test_winnow_dup_pairs(ray_session):
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (3, 60) in got
     assert not any(61 in p for p in got)
+
+
+def _make_bmp(px: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (bottom-up, padded rows)."""
+    import struct
+
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def test_real_decoders_roundtrip():
+    import io
+    import wave
+
+    from indexer_ray.pipelines.multimodal import decode_bmp, decode_ppm, decode_wav
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    got = decode_bmp(_make_bmp(px))
+    assert got is not None and (got == px).all()
+
+    ppm = b"P6\n# comment\n3 2\n255\n" + px[:2, :, :].tobytes()
+    got = decode_ppm(ppm)
+    assert got is not None and (got == px[:2]).all()
+
+    samples = (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(samples.tobytes())
+    got = decode_wav(buf.getvalue())
+    assert got is not None
+    assert np.allclose(got, samples.astype(np.float32) / 32768.0)
+
+    assert decode_bmp(b"nope") is None
+    assert decode_ppm(b"P5 1 1 255 x") is None
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+
+
+def test_decode_features_real_path(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import MEDIA_SCHEMA, decode_features
+
+    rng = np.random.default_rng(9)
+    payloads = [
+        _make_bmp(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)),
+        _make_bmp(rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)),
+        b"\x89PNG not decodable here",  # unsupported codec -> ok=False
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "kind": pa.array(["image"] * 3),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "mime": pa.array(["image/bmp", "image/bmp", "image/png"]),
+            "width": pa.array([8, 6, -1], type=pa.int32()),
+            "height": pa.array([8, 4, -1], type=pa.int32()),
+            "duration_ms": pa.array([-1] * 3, type=pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        decode_features(rd.from_arrow(t), decoder="real", feat_dim=8)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert out["ok"].tolist() == [True, True, False]
+    feats = np.stack(out["feature"].to_numpy()[:2])
+    assert np.isfinite(feats).all() and (feats > 0).any()
+
+
+def test_resize_real_path(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(10)
+    src = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], type=pa.int64()),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array([_make_bmp(src), b"garbage"], type=pa.large_binary()),
+            "mime": pa.array(["image/bmp", "application/octet-stream"]),
+            "width": pa.array([12, -1], type=pa.int32()),
+            "height": pa.array([16, -1], type=pa.int32()),
+            "duration_ms": pa.array([-1, -1], type=pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        resize_media(rd.from_arrow(t), width=4, height=4, decoder="real")
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    resized = decode_ppm(out.iloc[0]["payload"])
+    assert resized.shape == (4, 4, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    assert all(
+        (src == resized[r, c]).all(axis=2).any()
+        for r in range(4)
+        for c in range(4)
+    )
+    assert out.iloc[1]["payload"] == b""  # undecodable -> empty
