@@ -561,6 +561,17 @@ def _q_media_features(sf_dir: str):
     return decode_features(media, decoder="fake", feat_dim=16)
 
 
+def _q_media_features_real(sf_dir: str):
+    """REAL decode path over deterministic BMP payloads (decoded from
+    scratch per the published format, no codec library); rows-only."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.multimodal import decode_features, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(100, seed=42, fmt="bmp"))
+    return decode_features(media, decoder="real", feat_dim=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: distributed inverted-index
     build over the documents table (conformance tokenizer chain, salted
@@ -616,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "approx_distinct_users": _q_approx_distinct_users,
         "media_features": _q_media_features,
+        "media_features_real": _q_media_features_real,
         "search_urls_topk": _q_search_urls,
         "incremental_delta": _q_incremental_delta,
     }

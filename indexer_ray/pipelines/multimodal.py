@@ -115,21 +115,50 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int, seed: int = 42, kind: str = "image") -> pa.Table:
-    """Deterministic fake media corpus for tests/benches (payload bytes are a
-    pure function of (seed, media_id))."""
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> uncompressed 24-bit BMP bytes (bottom-up,
+    4-byte-padded rows) — the published layout, inverse of decode_bmp."""
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def synth_media_table(
+    n: int, seed: int = 42, kind: str = "image", fmt: str = "fake"
+) -> pa.Table:
+    """Deterministic media corpus for tests/benches (payload bytes are a
+    pure function of (seed, media_id)).  `fmt="fake"` emits opaque hash
+    bytes (codec-free plumbing); `fmt="bmp"` emits REAL decodable BMP
+    payloads for the decoder="real" path."""
     rng = np.random.default_rng(seed)
-    payloads = []
+    payloads, mimes = [], []
     for i in range(n):
-        size = 256 + int(rng.integers(0, 1024))
-        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
-        payloads.append((h * (size // 32 + 1))[:size])
+        if fmt == "bmp":
+            w = 8 + int(rng.integers(0, 24))
+            h = 8 + int(rng.integers(0, 24))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px))
+            mimes.append("image/bmp")
+        else:
+            size = 256 + int(rng.integers(0, 1024))
+            hsh = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+            payloads.append((hsh * (size // 32 + 1))[:size])
+            mimes.append("image/png" if kind == "image" else "audio/wav")
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
             "kind": pa.array([kind] * n),
             "payload": pa.array(payloads, type=pa.large_binary()),
-            "mime": pa.array(["image/png" if kind == "image" else "audio/wav"] * n),
+            "mime": pa.array(mimes),
             "width": pa.array([64] * n, type=pa.int32()),
             "height": pa.array([64] * n, type=pa.int32()),
             "duration_ms": pa.array([-1] * n, type=pa.int32()),
