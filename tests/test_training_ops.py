@@ -360,19 +360,9 @@ def test_winnow_dup_pairs(ray_session):
 
 
 def _make_bmp(px: np.ndarray) -> bytes:
-    """Minimal 24-bit uncompressed BMP encoder (bottom-up, padded rows)."""
-    import struct
+    from indexer_ray.pipelines.multimodal import encode_bmp
 
-    h, w, _ = px.shape
-    row = w * 3
-    pad = (-row) % 4
-    body = b"".join(
-        px[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
-    )
-    off = 14 + 40
-    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
-    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
-    return header + dib + body
+    return encode_bmp(px)
 
 
 def test_real_decoders_roundtrip():
