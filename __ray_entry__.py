@@ -437,6 +437,46 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_search_sharded_plain(sf_dir: str):
+    """DOC-SHARDED distributed search, hash-checked against the SAME SQL
+    oracle as the single-index query: two shard indexes over disjoint
+    halves of the corpus, per-query global-stat gather (N, avgdl, df),
+    per-shard scoring with identical idf, exact additive merge
+    (pipelines/serve.ShardedSearcher — the 10^12-doc deployment shape)."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.serve import ShardedSearcher
+
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    base = f"/tmp/indexer_ray_entry/{tag}_sharded"
+    shard_dirs = [os.path.join(base, f"shard{i}") for i in range(2)]
+    if not all(os.path.exists(os.path.join(d, "manifest.json")) for d in shard_dirs):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        os.makedirs(base, exist_ok=True)
+        mid = t.num_rows // 2
+        for i, sl in enumerate((t.slice(0, mid), t.slice(mid))):
+            p = os.path.join(base, f"docs{i}.parquet")
+            pq.write_table(sl, p)
+            build_index(
+                [p],
+                shard_dirs[i],
+                BuildConfig(mode="plain", id_column="doc_id", n_partitions=4),
+            )
+    s = ShardedSearcher(shard_dirs)
+    rows = []
+    try:
+        for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
+            hits = s.search(q, k=None, scorer="tfidf", algorithm="exhaustive")
+            ranked = sorted(((-_quant(sc), d) for d, sc in hits))[:_SEARCH_K]
+            rows.extend(
+                (qi, rank, int(d), int(-negq)) for rank, (negq, d) in enumerate(ranked)
+            )
+    finally:
+        s.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"]).astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"}
+    )
+
+
 def _q_search_bm25_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "bm25")
 
@@ -612,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_bm25_topk_plain": _q_search_bm25_plain,
+        "search_sharded_tfidf_plain": _q_search_sharded_plain,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -697,6 +738,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_tfidf_topk_plain": _search_oracle_sql("tfidf"),
         "search_bm25_topk_plain": _search_oracle_sql("bm25"),
+        # sharded search is rank-identical to the single index by design
+        # (global-stat gather) -> the SAME oracle applies
+        "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),
         "term_stats_plain": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM toks GROUP BY term""",
