@@ -437,11 +437,11 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
-def _q_search_sharded_plain(sf_dir: str):
+def _sharded_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
     """DOC-SHARDED distributed search, hash-checked against the SAME SQL
     oracle as the single-index query: two shard indexes over disjoint
     halves of the corpus, per-query global-stat gather (N, avgdl, df),
-    per-shard scoring with identical idf, exact additive merge
+    per-shard scoring with identical idf/norms, exact additive merge
     (pipelines/serve.ShardedSearcher — the 10^12-doc deployment shape)."""
     from indexer_ray.pipelines.build import BuildConfig, build_index
     from indexer_ray.pipelines.serve import ShardedSearcher
@@ -465,7 +465,7 @@ def _q_search_sharded_plain(sf_dir: str):
     rows = []
     try:
         for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
-            hits = s.search(q, k=None, scorer="tfidf", algorithm="exhaustive")
+            hits = s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
             ranked = sorted(((-_quant(sc), d) for d, sc in hits))[:_SEARCH_K]
             rows.extend(
                 (qi, rank, int(d), int(-negq)) for rank, (negq, d) in enumerate(ranked)
@@ -475,6 +475,14 @@ def _q_search_sharded_plain(sf_dir: str):
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"]).astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"}
     )
+
+
+def _q_search_sharded_plain(sf_dir: str):
+    return _sharded_search_frame(sf_dir, "tfidf")
+
+
+def _q_search_sharded_bm25(sf_dir: str):
+    return _sharded_search_frame(sf_dir, "bm25")
 
 
 def _q_search_bm25_plain(sf_dir: str):
@@ -653,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
+        "search_sharded_bm25_plain": _q_search_sharded_bm25,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -741,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),
+        "search_sharded_bm25_plain": _search_oracle_sql("bm25"),
         "term_stats_plain": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM toks GROUP BY term""",
