@@ -416,20 +416,27 @@ def _quant(score: float) -> int:
     return int(math.floor(score * _SCORE_QUANT + 0.5))
 
 
-def _plain_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
-    """Oracle-checked top-k over the plain-mode index: scores quantized to
-    integers (floor(s*1e6+0.5)) BEFORE ranking so last-ulp float-sum-order
-    differences between the engine and DuckDB can't flip tie order."""
-    s = _searcher(sf_dir, "plain")
+def _ranked_search_frame(search_fn) -> pd.DataFrame:
+    """Quantize-then-rank over the plain query set: ONE implementation of
+    the contract the SQL oracle mirrors (floor(s*1e6+0.5) BEFORE ranking
+    so last-ulp float-sum-order differences can't flip tie order), shared
+    by the single-index and sharded paths."""
     rows = []
     for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
-        hits = s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
+        hits = search_fn(q)
         ranked = sorted(((-_quant(sc), d) for d, sc in hits))[:_SEARCH_K]
         rows.extend(
             (qi, rank, int(d), int(-negq)) for rank, (negq, d) in enumerate(ranked)
         )
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"]).astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"}
+    )
+
+
+def _plain_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
+    s = _searcher(sf_dir, "plain")
+    return _ranked_search_frame(
+        lambda q: s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
     )
 
 
@@ -446,11 +453,27 @@ def _sharded_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
     from indexer_ray.pipelines.build import BuildConfig, build_index
     from indexer_ray.pipelines.serve import ShardedSearcher
 
+    import json
+    import shutil
+
     tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
     base = f"/tmp/indexer_ray_entry/{tag}_sharded"
     shard_dirs = [os.path.join(base, f"shard{i}") for i in range(2)]
-    if not all(os.path.exists(os.path.join(d, "manifest.json")) for d in shard_dirs):
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    # cache keyed on SOURCE file identity (not dir basename): a regenerated
+    # corpus or a same-basename dataset must rebuild, not serve stale shards
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sig = {"path": os.path.abspath(src), "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    sig_path = os.path.join(base, "source.json")
+    fresh = all(os.path.exists(os.path.join(d, "manifest.json")) for d in shard_dirs)
+    if fresh and os.path.exists(sig_path):
+        with open(sig_path) as f:
+            fresh = json.load(f) == sig
+    else:
+        fresh = False
+    if not fresh:
+        shutil.rmtree(base, ignore_errors=True)
+        t = pq.read_table(src)
         os.makedirs(base, exist_ok=True)
         mid = t.num_rows // 2
         for i, sl in enumerate((t.slice(0, mid), t.slice(mid))):
@@ -461,20 +484,15 @@ def _sharded_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
                 shard_dirs[i],
                 BuildConfig(mode="plain", id_column="doc_id", n_partitions=4),
             )
+        with open(sig_path, "w") as f:
+            json.dump(sig, f)
     s = ShardedSearcher(shard_dirs)
-    rows = []
     try:
-        for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
-            hits = s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
-            ranked = sorted(((-_quant(sc), d) for d, sc in hits))[:_SEARCH_K]
-            rows.extend(
-                (qi, rank, int(d), int(-negq)) for rank, (negq, d) in enumerate(ranked)
-            )
+        return _ranked_search_frame(
+            lambda q: s.search(q, k=None, scorer=scorer, algorithm="exhaustive")
+        )
     finally:
         s.shutdown()
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"]).astype(
-        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"}
-    )
 
 
 def _q_search_sharded_plain(sf_dir: str):

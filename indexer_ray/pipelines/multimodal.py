@@ -81,6 +81,18 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
 
 
+def decode_image(b: bytes) -> np.ndarray | None:
+    """Magic-byte dispatch over the stdlib-decodable IMAGE formats ->
+    (H, W, 3) uint8 or None.  The single integration point for adding
+    codecs (jpeg/png need external libraries): both MediaDecodeStage and
+    ResizeStage route through here."""
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    return None
+
+
 def decode_wav(b: bytes) -> np.ndarray | None:
     """PCM WAV -> float32 samples in [-1, 1] (stdlib `wave`; (n,) mono or
     (n, ch))."""
@@ -94,13 +106,18 @@ def decode_wav(b: bytes) -> np.ndarray | None:
             frames = f.readframes(f.getnframes())
     except (wave.Error, EOFError, OSError):
         return None
-    if width == 2:
-        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        return None  # 24/32-bit PCM: extend here
-    return x.reshape(-1, nch) if nch > 1 else x
+    try:
+        if width == 2:
+            x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            return None  # 24/32-bit PCM: extend here
+        return x.reshape(-1, nch) if nch > 1 else x
+    except ValueError:
+        # truncated data chunk (odd byte count / partial frames): treat as
+        # undecodable, per the module contract (ok=False, never a crash)
+        return None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -139,8 +156,10 @@ def synth_media_table(
     pure function of (seed, media_id)).  `fmt="fake"` emits opaque hash
     bytes (codec-free plumbing); `fmt="bmp"` emits REAL decodable BMP
     payloads for the decoder="real" path."""
+    if fmt not in ("fake", "bmp"):
+        raise ValueError(f"unknown synth media fmt: {fmt}")
     rng = np.random.default_rng(seed)
-    payloads, mimes = [], []
+    payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
         if fmt == "bmp":
             w = 8 + int(rng.integers(0, 24))
@@ -148,19 +167,23 @@ def synth_media_table(
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(px))
             mimes.append("image/bmp")
+            widths.append(w)
+            heights.append(h)
         else:
             size = 256 + int(rng.integers(0, 1024))
             hsh = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
             payloads.append((hsh * (size // 32 + 1))[:size])
             mimes.append("image/png" if kind == "image" else "audio/wav")
+            widths.append(64)
+            heights.append(64)
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
             "kind": pa.array([kind] * n),
             "payload": pa.array(payloads, type=pa.large_binary()),
             "mime": pa.array(mimes),
-            "width": pa.array([64] * n, type=pa.int32()),
-            "height": pa.array([64] * n, type=pa.int32()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
             "duration_ms": pa.array([-1] * n, type=pa.int32()),
         },
         schema=MEDIA_SCHEMA,
@@ -181,15 +204,12 @@ class MediaDecodeStage:
 
     @staticmethod
     def _decode_real(payload: bytes) -> np.ndarray | None:
-        """Magic-byte dispatch over the stdlib-decodable formats; None for
-        anything else (jpeg/png/mp4 need external codecs — extend HERE,
-        keeping the surrounding Ray plumbing unchanged)."""
-        if payload[:2] == b"BM":
-            px = decode_bmp(payload)
-            return None if px is None else px.astype(np.float32).ravel() / 255.0
-        if payload[:2] == b"P6":
-            px = decode_ppm(payload)
-            return None if px is None else px.astype(np.float32).ravel() / 255.0
+        """Stdlib-decodable formats via decode_image/decode_wav; None for
+        anything else (jpeg/png/mp4 need external codecs — extend
+        decode_image, keeping the surrounding Ray plumbing unchanged)."""
+        px = decode_image(payload)
+        if px is not None:
+            return px.astype(np.float32).ravel() / 255.0
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             x = decode_wav(payload)
             return None if x is None else x.astype(np.float32).ravel()
@@ -257,11 +277,7 @@ class ResizeStage:
 
     def _resize(self, payload: bytes) -> bytes:
         if self.decoder == "real":
-            px = None
-            if payload[:2] == b"BM":
-                px = decode_bmp(payload)
-            elif payload[:2] == b"P6":
-                px = decode_ppm(payload)
+            px = decode_image(payload)
             if px is None:
                 return b""  # undecodable: empty payload, filter downstream
             h, w, _ = px.shape
