@@ -495,6 +495,23 @@ def _sharded_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
         s.shutdown()
 
 
+def _q_search_urls_plain(sf_dir: str):
+    """Top-k WITH url resolution through the docmap (Q5 analogue incl. the
+    fragment-range-pruned resolve path), oracle-checked: id_column builds
+    write url = str(doc_id), so SQL reproduces the join as a CAST."""
+    s = _searcher(sf_dir, "plain")
+    frame = _ranked_search_frame(
+        lambda q: s.search(q, k=None, scorer="tfidf", algorithm="exhaustive")
+    )
+    urls = s.resolve_urls([int(d) for d in frame["doc_id"]])
+    out = frame.assign(url=[urls[int(d)] for d in frame["doc_id"]])
+    # plain object dtype for url: matches what DuckDB's .df() yields, so
+    # the driver's schema/dtype compare can't trip on pandas StringDtype
+    return out[["query_id", "rank", "url", "score_q"]].astype(
+        {"query_id": "int64", "rank": "int64", "score_q": "int64"}
+    )
+
+
 def _q_search_sharded_plain(sf_dir: str):
     return _sharded_search_frame(sf_dir, "tfidf")
 
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
+        "search_urls_plain": _q_search_urls_plain,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -769,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),
         "search_sharded_bm25_plain": _search_oracle_sql("bm25"),
+        # id_column builds write docmap url = str(doc_id): the Q5 url join
+        # is a CAST in SQL
+        "search_urls_plain": f"""WITH base AS ({_search_oracle_sql("tfidf")})
+SELECT query_id, rank, CAST(doc_id AS VARCHAR) AS url, score_q FROM base""",
         "term_stats_plain": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM toks GROUP BY term""",
