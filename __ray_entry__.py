@@ -160,6 +160,14 @@ def _q_quality_filter(sf_dir: str):
     return quality_filter(_docs(sf_dir), min_tokens=60, max_digit_pct=30, min_alpha_pct=82)
 
 
+def _q_top_docs_by_length(sf_dir: str):
+    """Global top-N without a global sort (per-batch partial top-N +
+    single merge; deterministic n_chars desc, doc_id asc tie-break)."""
+    from indexer_ray.pipelines.text_analysis import top_docs_by_length
+
+    return top_docs_by_length(_docs(sf_dir), n=50)
+
+
 def _q_lang_source_stats(sf_dir: str):
     from indexer_ray.pipelines.text_analysis import lang_source_stats
 
@@ -677,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_duplicates": _q_exact_duplicates,
         "lang_source_stats": _q_lang_source_stats,
         "top_terms_per_lang": _q_top_terms_per_lang,
+        "top_docs_by_length": _q_top_docs_by_length,
         "quality_filter": _q_quality_filter,
         "events_tumbling_hour": _q_events_tumbling,
         "events_hopping_60_15": _q_events_hopping,
@@ -833,6 +842,12 @@ FROM documents GROUP BY text""",
 )
 SELECT lang, term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < 10""",
+        "top_docs_by_length": """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id) - 1
+            AS BIGINT) AS rank
+FROM documents
+ORDER BY rank LIMIT 50""",
         # integer cross-multiplied thresholds (float-free, exact)
         "quality_filter": f"""SELECT doc_id FROM documents
 WHERE len({_PLAIN_TOKS}) >= 60

@@ -414,3 +414,53 @@ def quality_filter(
 
     return ds.map_batches(_filter, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=2048)
+
+
+# --------------------------------------------------------- global top-N
+
+
+def top_docs_by_length(ds, n: int = 100):
+    """Global top-N docs by text length WITHOUT a global sort: each batch
+    emits its local top-N (one vectorized argpartition), a single merge
+    takes the top-N of the <= N-per-batch survivors.  At 100 TB a full
+    `ds.sort` is an all-to-all shuffle of every row; this moves at most
+    N rows per batch.  Deterministic tie-break (n_chars desc, doc_id asc).
+    Output: (doc_id, n_chars, rank)."""
+
+    def _local_topn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = np.array(
+            [len(t) if t is not None else 0 for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        k = min(n, len(ids))
+        # tie-break-aware local cut: the survivors must be exactly the
+        # batch's top-k under the GLOBAL order (n_chars desc, doc_id asc),
+        # or a boundary tie with a smaller doc_id could be dropped locally
+        # yet win globally
+        keep = np.lexsort((ids, -lens))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype("int64"), type=pa.int64()),
+                "n_chars": pa.array(lens[keep], type=pa.int64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(n)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["doc_id", "n_chars", "rank"]]
+
+    # route every partial row to one merge group (survivors are <= N per
+    # batch — driver-small by construction)
+    return (
+        ds.map_batches(_local_topn, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=4096)
+        .map_batches(
+            lambda b: b.append_column("g", pa.array(np.zeros(b.num_rows, dtype=np.int32))),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )
