@@ -68,3 +68,73 @@ def test_popcount_matches_bit_count(vals):
     arr = np.array(vals, dtype=np.uint64)
     got = _popcount64(arr)
     assert got.tolist() == [int(v).bit_count() for v in vals]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n_users=st.integers(min_value=1, max_value=6),
+    n_events=st.integers(min_value=1, max_value=60),
+)
+def test_sessionize_matches_brute_spec(ray_session, seed, n_users, n_events):
+    """Randomized sessionize vs a per-user brute spec — includes equal-ts
+    events and gaps exactly AT the threshold (strictly-greater semantics)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.pipelines.events import sessionize
+
+    rng = np.random.default_rng(seed)
+    uid = rng.integers(0, n_users, size=n_events)
+    # minute offsets with deliberate 0 and exactly-30 gaps in the pool
+    offs = np.cumsum(rng.choice([0, 1, 5, 30, 31, 90], size=n_events))
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + offs.astype("timedelta64[m]").astype("timedelta64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    got = (
+        sessionize(rd.from_arrow(t), gap_minutes=30.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    # brute spec
+    rows = []
+    df = pd.DataFrame({"event_id": np.arange(n_events), "user_id": uid, "ts": ts})
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sess, start, last, cnt, idx = [], None, None, 0, -1
+        for _, r in g.iterrows():
+            if last is None or (r["ts"] - last) / np.timedelta64(1, "m") > 30.0:
+                if last is not None:
+                    rows.append((u, idx, start, last, cnt))
+                idx += 1
+                start, cnt = r["ts"], 0
+            last = r["ts"]
+            cnt += 1
+        rows.append((u, idx, start, last, cnt))
+    want = (
+        pd.DataFrame(
+            rows,
+            columns=["user_id", "session_idx", "session_start", "session_end", "n_events"],
+        )
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+        .astype(
+            {
+                "user_id": "int64",
+                "session_idx": "int64",
+                "n_events": "int64",
+                "session_start": "datetime64[us]",
+                "session_end": "datetime64[us]",
+            }
+        )
+    )
+    got = got.astype({"user_id": "int64", "session_idx": "int64", "n_events": "int64"})
+    pd.testing.assert_frame_equal(got, want)
