@@ -111,3 +111,25 @@ def test_embedding_matrix_sliced_fixed_size_list():
     M = _embedding_matrix(sl)
     assert M.shape == (3, 4)
     assert M[0, 0] == 8.0 and M[-1, -1] == 19.0
+
+
+def test_crashed_build_orphans_cleared(emb_setup, tmp_path):
+    """Simulated crash: vector files exist but meta.json was never written
+    (meta-last commit).  The rebuild must clear orphans, and queries must
+    equal a clean build."""
+    import os
+    import shutil
+
+    ds, Q = emb_setup
+    idx = str(tmp_path / "lsh_crash")
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    # simulate the crash: drop the commit marker, leave vector orphans
+    os.remove(os.path.join(idx, "meta.json"))
+    ann_index_build(ds, idx, method="lsh", n_planes=8, seed=11)
+    out = ann_index_query(idx, Q, k=10, multiprobe=1)
+    assert not out.duplicated(["query_id", "vec_id"]).any()
+    clean = str(tmp_path / "lsh_clean")
+    ann_index_build(ds, clean, method="lsh", n_planes=8, seed=11)
+    ref = ann_index_query(clean, Q, k=10, multiprobe=1)
+    pd.testing.assert_frame_equal(_frame_key(out), _frame_key(ref))
+    shutil.rmtree(idx, ignore_errors=True)

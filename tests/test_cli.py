@@ -116,3 +116,32 @@ def test_file_corpus_dangling_symlink_skipped(tmp_path, ray_session):
     os.symlink(str(root / "gone.txt"), str(root / "dangling.txt"))
     got = discover_files(str(root))
     assert [os.path.basename(d["path"]) for d in got] == ["ok.txt"]
+
+
+def test_file_corpus_resume_rejects_partial_extraction(tmp_path, ray_session):
+    """A crash mid-extraction leaves parquet fragments but no completion
+    marker; resume=True must re-extract everything instead of silently
+    indexing a partial corpus."""
+    import glob
+    import os
+
+    from indexer_ray.pipelines.build import BuildConfig
+    from indexer_ray.sources.files import index_file_corpus
+
+    root = tmp_path / "c4"
+    root.mkdir()
+    for i in range(6):
+        (root / f"f{i}.txt").write_text(f"resumetoken{i} body text")
+    idx = str(tmp_path / "f4idx")
+    m1, n1 = index_file_corpus(str(root), idx, BuildConfig(n_partitions=2))
+    assert (n1, m1.n_docs) == (6, 6)
+    # simulate crash: remove the marker and HALF the extracted fragments
+    pages_dir = idx + "_pages"
+    os.remove(os.path.join(pages_dir, "_EXTRACTION_COMPLETE"))
+    frags = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    for f in frags[: max(1, len(frags) // 2)]:
+        os.remove(f)
+    m2, n2 = index_file_corpus(
+        str(root), idx, BuildConfig(n_partitions=2), resume=True
+    )
+    assert (n2, m2.n_docs) == (6, 6)  # full re-extraction, nothing dropped
