@@ -602,6 +602,15 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """K-means topic bucketing over the embedding column (farthest-point
+    seeded, deterministic); rows-only (iterative algorithm)."""
+    from indexer_ray.pipelines.ann import embedding_clusters
+
+    out = embedding_clusters(_emb(sf_dir), n_clusters=8, seed=13).to_pandas()
+    return out[["vec_id", "cluster"]].astype("int64")
+
+
 def _q_ann_index_lsh(sf_dir: str):
     """Persisted-index ANN: build once (bucket-partitioned parquet under
     /tmp), query reading only probed partitions — the standing-index scale
@@ -718,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_index_lsh_topk": _q_ann_index_lsh,
+        "embedding_clusters": _q_embedding_clusters,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "approx_distinct_users": _q_approx_distinct_users,

@@ -217,9 +217,23 @@ def ann_lsh_topk(
 
 
 def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
-    """Deterministic Lloyd's k-means on unit vectors (cosine == dot)."""
+    """Deterministic Lloyd's k-means on unit vectors (cosine == dot).
+
+    Init is farthest-point seeding (the deterministic cousin of
+    k-means++, Arthur & Vassilvitskii 2007): after a seeded first pick,
+    each next centroid is the point farthest from all chosen ones —
+    well-separated blobs each get their own seed instead of random init
+    splitting one blob and merging two others."""
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    k = min(n_centroids, len(X))
+    first = int(rng.integers(0, len(X)))
+    chosen = [first]
+    min_sim = X @ X[first]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(min_sim))  # farthest = lowest max-cosine
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, X @ X[nxt])
+    C = X[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for c in range(len(C)):
@@ -528,3 +542,50 @@ def ann_index_query(
     )
     out = _final_topk(partials, k) if not partials.empty else empty
     return (out, stats) if return_stats else out
+
+
+def embedding_clusters(
+    emb_ds,
+    n_clusters: int = 16,
+    seed: int = 13,
+    sample_size: int = 2000,
+    iters: int = 10,
+):
+    """Cluster assignment over an embedding column — the topic-bucketing
+    op of a training-data pipeline: centroids fit on a bounded driver
+    sample (`_kmeans`, deterministic), broadcast once, then one matmul
+    argmax per batch.  Output: (vec_id, cluster, cosine_to_centroid).
+    The corpus streams; nothing shuffles."""
+    import ray
+
+    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
+    Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
+    C = _kmeans(Xs, n_clusters, iters, seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+            sims = Xn @ self.C.T
+            cell = np.argmax(sims, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "cluster": pa.array(cell.astype(np.int64), type=pa.int64()),
+                    "cosine_to_centroid": pa.array(
+                        sims[np.arange(len(ids)), cell], type=pa.float64()
+                    ),
+                }
+            )
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Assign,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

@@ -133,3 +133,29 @@ def test_crashed_build_orphans_cleared(emb_setup, tmp_path):
     ref = ann_index_query(clean, Q, k=10, multiprobe=1)
     pd.testing.assert_frame_equal(_frame_key(out), _frame_key(ref))
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_embedding_clusters(emb_setup, ray_session):
+    """Clustered synthetic data (6 planted centers): k-means assignment
+    must (a) be deterministic, (b) group each planted blob into one
+    dominant cluster, (c) beat random assignment on centroid cosine."""
+    from indexer_ray.pipelines.ann import embedding_clusters
+
+    ds, _ = emb_setup
+    out = embedding_clusters(ds, n_clusters=6, seed=13, sample_size=480).to_pandas()
+    out2 = embedding_clusters(ds, n_clusters=6, seed=13, sample_size=480).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        out2.sort_values("vec_id").reset_index(drop=True),
+    )
+    assert len(out) == 480
+    # purity: k-means may SPLIT a planted blob across two centroids, but a
+    # cluster must never MIX blobs — every non-trivial cluster is >=90%
+    # one blob (blob = vec_id // 80 by construction)
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    out["blob"] = out["vec_id"] // 80
+    for c, g in out.groupby("cluster"):
+        if len(g) >= 20:
+            purity = g["blob"].value_counts().iloc[0] / len(g)
+            assert purity >= 0.9, (c, g["blob"].value_counts())
+    assert out["cosine_to_centroid"].mean() > 0.5
