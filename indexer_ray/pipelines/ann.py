@@ -225,15 +225,23 @@ def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarra
     well-separated blobs each get their own seed instead of random init
     splitting one blob and merging two others."""
     rng = np.random.default_rng(seed)
-    k = min(n_centroids, len(X))
-    first = int(rng.integers(0, len(X)))
+    # zero-norm rows (empty docs) normalize to zero vectors whose
+    # self-cosine is 0 — unmasked they'd be re-chosen forever (seeding
+    # collapse); drop them from the candidate pool
+    live = np.flatnonzero(np.linalg.norm(X, axis=1) > 1e-9)
+    if not len(live):
+        return X[:1].copy()
+    Xl = X[live]
+    k = min(n_centroids, len(Xl))
+    first = int(rng.integers(0, len(Xl)))
     chosen = [first]
-    min_sim = X @ X[first]
+    min_sim = Xl @ Xl[first]
     for _ in range(k - 1):
+        min_sim[chosen] = np.inf  # never re-pick a chosen seed
         nxt = int(np.argmin(min_sim))  # farthest = lowest max-cosine
         chosen.append(nxt)
-        min_sim = np.maximum(min_sim, X @ X[nxt])
-    C = X[chosen].copy()
+        min_sim = np.maximum(min_sim, Xl @ Xl[nxt])
+    C = Xl[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for c in range(len(C)):
@@ -244,6 +252,17 @@ def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarra
                 if n > 1e-12:
                     C[c] = m / n
     return C
+
+
+def _fit_centroids(
+    emb_ds, n_centroids: int, iters: int, seed: int, sample_size: int
+) -> np.ndarray:
+    """Centroids from a bounded driver-side sample — THE one preamble for
+    every centroid consumer (streaming IVF, persisted IVF index, topic
+    clustering), so sampling/seeding fixes land everywhere at once."""
+    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
+    Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
+    return _kmeans(Xs, n_centroids, iters, seed)
 
 
 def ann_ivf_topk(
@@ -263,9 +282,7 @@ def ann_ivf_topk(
     import ray
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
-    Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
-    C = _kmeans(Xs, n_centroids, iters, seed)
+    C = _fit_centroids(emb_ds, n_centroids, iters, seed, sample_size)
     # nprobe nearest cells per query -> cell -> probing queries
     order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     wanted: dict[int, list[int]] = {}
@@ -370,9 +387,7 @@ def ann_index_build(
                 )
 
     elif method == "ivf":
-        sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
-        Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
-        C = _kmeans(Xs, n_centroids, iters, seed)
+        C = _fit_centroids(emb_ds, n_centroids, iters, seed, sample_size)
         meta = {"method": "ivf", "dim": dim, "centroids": C.tolist(), "seed": seed}
         import ray
 
@@ -558,9 +573,7 @@ def embedding_clusters(
     The corpus streams; nothing shuffles."""
     import ray
 
-    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
-    Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
-    C = _kmeans(Xs, n_clusters, iters, seed)
+    C = _fit_centroids(emb_ds, n_clusters, iters, seed, sample_size)
     cref = ray.put(C)
 
     class Assign:

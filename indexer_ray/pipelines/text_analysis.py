@@ -421,17 +421,20 @@ def quality_filter(
 
 def top_docs_by_length(ds, n: int = 100):
     """Global top-N docs by text length WITHOUT a global sort: each batch
-    emits its local top-N (one vectorized argpartition), a single merge
+    emits its local top-N (one vectorized length + lexsort cut), a single merge
     takes the top-N of the <= N-per-batch survivors.  At 100 TB a full
     `ds.sort` is an all-to-all shuffle of every row; this moves at most
-    N rows per batch.  Deterministic tie-break (n_chars desc, doc_id asc).
-    Output: (doc_id, n_chars, rank)."""
+    N rows per batch.  Deterministic tie-break (n_chars desc, doc_id asc);
+    the local cut is one vectorized utf8_length + lexsort, no per-row
+    Python strings.  Output: (doc_id, n_chars, rank)."""
+    import pyarrow.compute as pc
 
     def _local_topn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        lens = np.array(
-            [len(t) if t is not None else 0 for t in batch.column("text").to_pylist()],
-            dtype=np.int64,
+        lens = (
+            pc.fill_null(pc.utf8_length(batch.column("text")), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         k = min(n, len(ids))
         # tie-break-aware local cut: the survivors must be exactly the

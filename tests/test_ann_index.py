@@ -159,3 +159,18 @@ def test_embedding_clusters(emb_setup, ray_session):
             purity = g["blob"].value_counts().iloc[0] / len(g)
             assert purity >= 0.9, (c, g["blob"].value_counts())
     assert out["cosine_to_centroid"].mean() > 0.5
+
+
+def test_kmeans_seeding_survives_zero_vectors():
+    """A zero embedding (empty doc) must not collapse farthest-point
+    seeding into duplicate centroids (review-confirmed repro: the zero
+    row's self-cosine is 0, so unmasked it gets re-picked forever)."""
+    from indexer_ray.pipelines.ann import _kmeans, _normalize
+
+    rng = np.random.default_rng(1)
+    X = _normalize(rng.standard_normal((100, 16)))
+    X = np.vstack([X, np.zeros((1, 16))])  # normalized zero row
+    C = _kmeans(_normalize(X), n_centroids=8, iters=5, seed=3)
+    # all 8 centroids distinct and none is the zero vector
+    assert len(np.unique(np.round(C, 9), axis=0)) == 8
+    assert (np.linalg.norm(C, axis=1) > 0.5).all()

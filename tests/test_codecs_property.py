@@ -46,7 +46,7 @@ def test_pdf_literal_string_roundtrip(payload):
 
 @settings(max_examples=40, deadline=None)
 @given(
-    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200),
     st.integers(min_value=1, max_value=128),
 )
 def test_key_partition_range_and_determinism(keys, n_parts):
