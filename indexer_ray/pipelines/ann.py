@@ -259,8 +259,14 @@ def _fit_centroids(
 ) -> np.ndarray:
     """Centroids from a bounded driver-side sample — THE one preamble for
     every centroid consumer (streaming IVF, persisted IVF index, topic
-    clustering), so sampling/seeding fixes land everywhere at once."""
-    sample_rows = emb_ds.select_columns(["embedding"]).take(sample_size)
+    clustering), so sampling/seeding fixes land everywhere at once.
+
+    The sample is sorted by vec_id before fitting: `take()` returns rows
+    in whatever block order the streaming executor produced, which varies
+    across processes and would permute centroid LABELS run-to-run
+    (observed: identical clusters, different ids)."""
+    sample_rows = emb_ds.select_columns(["vec_id", "embedding"]).take(sample_size)
+    sample_rows.sort(key=lambda r: r["vec_id"])
     Xs = _normalize(np.stack([r["embedding"] for r in sample_rows]).astype(np.float64))
     return _kmeans(Xs, n_centroids, iters, seed)
 
