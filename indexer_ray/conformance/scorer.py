@@ -15,7 +15,8 @@ Conformance scorer = the reference formula exactly (tree.rs:388-465):
         score(d) += m^2 * tf(t, d) * idf(t)
     (m=1 reduces to the familiar tf*|ln(N/df)|.  A duplicated token whose
     m*df reaches N scores exactly 0 — e.g. 'cat cat' over a corpus where
-    df(cat) = N/2 returns EMPTY; verified against the reference binary.)
+    df(cat) = N/2 returns EMPTY; verified against the reference source
+    semantics, tree.rs:396-449 — the binary cannot be built offline.)
     documents with score == 0.0 dropped (tree.rs:457); sort by score desc.
     Tie-break (score desc, doc_id asc) replaces the reference's
     nondeterministic HashMap order (SURVEY.md quirk Q7).

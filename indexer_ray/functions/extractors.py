@@ -17,9 +17,11 @@ Registered types and their conformance quirks:
            every surviving record is concatenated with NO separator
            (parsers.rs:61-63 — "abc","def" fuses into the token run
            ``abcdef``; quirk Q1, replicated exactly).
-  html/xhtml (parsers.rs:83-115) — conformance mode returns the serialized
+  html   (parsers.rs:83-115)   — conformance mode returns the serialized
            markup itself (tags and attributes become terms; quirk Q2);
            `extract_visible_text` is the engine-mode alternative.
+           xhtml routes to the XML parser (lib.rs:75 registers
+           xhtml -> parse_xml_document, NOT the html parser).
   xml    (parsers.rs:128-173)  — ONLY text-node (Characters) payloads, in
            document order.  Events are joined with a single space: tokens
            cannot span events, so the token stream is identical to the
@@ -268,7 +270,13 @@ def extract_pdf(data: bytes | str) -> str | None:
         data = data.encode("latin-1", errors="ignore")
     if not data or not data.lstrip()[:5].startswith(b"%PDF"):
         return None
-    if b"/Encrypt" in data:
+    # Encryption is declared by an /Encrypt key in the TRAILER dictionary
+    # (§7.6.1) — check only there, so a content stream or string that
+    # happens to contain the bytes '/Encrypt' doesn't drop the document.
+    # Covers both classic trailers and cross-reference streams (where the
+    # trailer fields live in the last stream dict before startxref).
+    tail = data[data.rfind(b"trailer") :] if b"trailer" in data else data[-2048:]
+    if b"/Encrypt" in tail:
         return None  # encrypted: lopdf load fails -> doc skipped
     chunks: list[str] = []
     for m in _re.finditer(rb"stream\r?\n(.*?)endstream", data, _re.DOTALL):
@@ -286,7 +294,7 @@ _EXTRACTORS: dict[str, Extractor] = {
     "md": extract_txt,
     "csv": extract_csv,
     "html": extract_text,
-    "xhtml": extract_text,
+    "xhtml": extract_xml,  # reference registers xhtml -> parse_xml_document (lib.rs:75)
     "xml": extract_xml,
     "pdf": extract_pdf,
 }

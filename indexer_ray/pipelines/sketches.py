@@ -94,19 +94,21 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             keys = col.to_pylist()
         hashes = _hll_hash64(keys)
-        groups_out, regs_out = [], []
+        regs_out = []
         if group_col is None:
-            groups_out.append("")
+            group_arr = pa.array([""], type=pa.string())
             regs_out.append(_hll_registers(hashes, p))
         else:
-            groups = np.asarray(batch.column(group_col).to_pylist())
-            for g in np.unique(groups):
-                sel = np.flatnonzero(groups == g)
-                groups_out.append(str(g))
-                regs_out.append(_hll_registers(hashes[sel], p))
+            # factorize (not np.unique) so the group column keeps its input
+            # dtype and null group values group together instead of raising
+            gcol = batch.column(group_col)
+            codes, uniques = pd.factorize(gcol.to_pandas(), use_na_sentinel=False)
+            for c in range(len(uniques)):
+                regs_out.append(_hll_registers(hashes[codes == c], p))
+            group_arr = pa.array(pd.Series(uniques), type=gcol.type, from_pandas=True)
         return pa.table(
             {
-                "group": pa.array(groups_out, type=pa.string()),
+                "group": group_arr,
                 "regs": pa.array(
                     [r.tobytes() for r in regs_out], type=pa.binary()
                 ),

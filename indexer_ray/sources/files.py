@@ -32,17 +32,30 @@ def discover_files(
     skip_paths: list[str] | None = None,
 ) -> list[dict]:
     """Driver-side recursive walk: [{path, ext, mtime_us}] for files whose
-    extension has a registered extractor.  Deterministic (sorted)."""
-    skipset = set(skip_paths or [])
+    extension has a registered extractor.  Deterministic (sorted).
+
+    Skip entries match either the BASENAME or the FULL PATH of an entry,
+    and apply to directories during recursion too (a skipped directory's
+    whole subtree is pruned) — the reference's skip semantics
+    (lib.rs:158-179)."""
+    skipset = {os.path.normpath(s) for s in (skip_paths or [])}
+
+    def _skipped(dirpath: str, name: str) -> bool:
+        return bool(skipset) and (
+            name in skipset
+            or os.path.normpath(os.path.join(dirpath, name)) in skipset
+        )
+
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
         if not include_hidden:
             dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        dirnames[:] = [d for d in dirnames if not _skipped(dirpath, d)]
         dirnames.sort()
         for name in sorted(filenames):
             if not include_hidden and name.startswith("."):
                 continue
-            if name in skipset:
+            if _skipped(dirpath, name):
                 continue
             ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
             if get_extractor(ext) is None:

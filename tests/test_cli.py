@@ -145,3 +145,24 @@ def test_file_corpus_resume_rejects_partial_extraction(tmp_path, ray_session):
         str(root), idx, BuildConfig(n_partitions=2), resume=True
     )
     assert (n2, m2.n_docs) == (6, 6)  # full re-extraction, nothing dropped
+
+
+def test_discover_files_skip_dir_and_full_path(tmp_path):
+    """Skip entries match basenames OR full paths and prune directories
+    during recursion (lib.rs:158-179)."""
+    import os
+
+    from indexer_ray.sources.files import discover_files
+
+    root = tmp_path / "c5"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "inner.txt").write_text("x")
+    (root / "keep.txt").write_text("x")
+    (root / "drop.txt").write_text("x")
+    got = discover_files(str(root), skip_paths=["sub"])  # directory by name
+    assert [os.path.basename(d["path"]) for d in got] == ["drop.txt", "keep.txt"]
+    got = discover_files(str(root), skip_paths=[str(root / "drop.txt")])
+    names = [os.path.basename(d["path"]) for d in got]
+    assert "drop.txt" not in names and "inner.txt" in names
+    got = discover_files(str(root), skip_paths=[str(root / "sub")])  # dir by path
+    assert [os.path.basename(d["path"]) for d in got] == ["drop.txt", "keep.txt"]

@@ -138,3 +138,28 @@ class TestRegistry:
         # quirk Q2: html "text" is the serialized markup, tags included
         html = b"<html><body><p>hi</p></body></html>"
         assert get_extractor("html")(html) == "<html><body><p>hi</p></body></html>"
+
+
+class TestAdviceFixes:
+    def test_pdf_encrypt_bytes_in_content_not_trailer(self):
+        # '/Encrypt' inside a shown string must not drop the doc; only the
+        # trailer dictionary declares encryption (PDF 32000-1 §7.6.1)
+        content = b"BT (uses /Encrypt keyword) Tj ET"
+        pdf = (
+            TestRegistry._mini_pdf(content)
+            + b"\ntrailer <</Root 1 0 R /Size 5>>\nstartxref\n0\n%%EOF"
+        )
+        assert "/Encrypt" in extract_pdf(pdf)
+
+    def test_pdf_encrypt_in_trailer_skipped(self):
+        pdf = (
+            TestRegistry._mini_pdf(b"BT (x) Tj ET")
+            + b"\ntrailer <</Root 1 0 R /Encrypt 9 0 R>>\nstartxref\n0\n%%EOF"
+        )
+        assert extract_pdf(pdf) is None
+
+    def test_xhtml_routes_to_xml_parser(self):
+        # lib.rs:75 registers xhtml -> parse_xml_document: text nodes only,
+        # NOT the html markup-serialization path
+        doc = b"<html><body><p>hi</p></body></html>"
+        assert get_extractor("xhtml")(doc) == "hi"

@@ -80,3 +80,34 @@ def test_value_histogram_and_quantiles(ray_session):
     qs = histogram_quantiles(ds, "value", 0.0, 10.0, 50, [0.5, 0.95])
     for q, est in qs.items():
         assert abs(est - np.quantile(v, q)) <= 10.0, (q, est)
+
+
+def test_hyperloglog_group_dtype_preserved(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, 2, 2], type=pa.int64()),
+            "u": pa.array([10, 11, 10, 12, 10], type=pa.int64()),
+        }
+    )
+    out = hyperloglog_distinct(rd.from_arrow(t), key="u", group_col="g", p=10).to_pandas()
+    # group column keeps its integer identity, not str(g)
+    assert sorted(out["g"].tolist()) == [1, 2]
+    got = out.set_index("g")["approx_distinct"]
+    assert got[1] == 2 and got[2] == 2  # linear counting is exact here
+
+
+def test_hyperloglog_null_group_does_not_raise(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, "a", None], type=pa.string()),
+            "u": pa.array([1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    out = hyperloglog_distinct(rd.from_arrow(t), key="u", group_col="g", p=10).to_pandas()
+    assert len(out) == 2  # 'a' and the null group
+    by_null = out[out["g"].isna()]["approx_distinct"]
+    assert len(by_null) == 1 and by_null.iloc[0] == 2
