@@ -66,9 +66,11 @@ from indexer_ray.state.manifest import (
 
 @dataclasses.dataclass
 class BuildConfig:
-    # None -> auto-sized from estimated total postings so one partition
-    # always fits a phase-2 encode task (see _auto_partitions)
-    n_partitions: int | None = 32
+    # None (the DEFAULT) -> auto-sized from estimated total postings so one
+    # partition always fits a phase-2 encode task (see _auto_partitions;
+    # floor 32).  A fixed count is an explicit opt-in — at 10^12 docs a
+    # fixed 32 would put ~1/32 of ALL postings into one encode task.
+    n_partitions: int | None = None
     block_size: int = BLOCK_SIZE
     mode: str = "conformance"  # or "plain"
     stem_tokens: bool = True  # tokenizer-config surface (SURVEY.md §2.7)
@@ -89,6 +91,11 @@ class BuildConfig:
     # (n_docs_estimate/250, capped at 8192) so mid-head ratios stay
     # resolvable at scale
     sample_docs: int = 400
+    # cap on the DISTRIBUTED hot-term sample (engaged when the resolution
+    # the scale-aware threshold demands exceeds the 8192-doc driver-sample
+    # ceiling); 2^23 docs resolve df-ratios down to ~1e-6 — the
+    # target_run_postings/n_docs ratio of a 2^20-budget run at 10^12 docs
+    max_sample_docs: int = 1 << 23
     # UPPER clamp on the hot threshold; the effective threshold is
     # min(hot_df_ratio, target_run_postings/n_docs_estimate) — a term whose
     # expected df exceeds one run's budget gets salted no matter how small
@@ -168,11 +175,24 @@ def _effective_hot_threshold(cfg: BuildConfig, n_docs_estimate: int, got: int) -
 
 def _auto_partitions(est_postings: int, target_partition_postings: int) -> int:
     """Partition count sized so one partition's raw postings fit a single
-    phase-2 encode task's memory, growing linearly with the corpus."""
-    return int(np.clip(-(-est_postings // max(target_partition_postings, 1)), 8, 65536))
+    phase-2 encode task's memory, growing linearly with the corpus
+    (floor 32 — the historical fixed default, now only the small end)."""
+    return int(np.clip(-(-est_postings // max(target_partition_postings, 1)), 32, 65536))
 
 
-def sample_hot_terms(
+def _required_sample_docs(cfg: BuildConfig, n_docs_estimate: int) -> int:
+    """Sample size that RESOLVES the scale-aware hot threshold (>=8 expected
+    hits for a term right at min(hot_df_ratio, target_run_postings/N)) —
+    the round-2 driver sampler capped at 8192 docs, so at 10^12 docs a
+    df-ratio-1e-4 term (10^8 postings, 100x one run's budget) was invisible
+    and landed unsalted in one partition."""
+    thresh_target = min(
+        cfg.hot_df_ratio, cfg.target_run_postings / max(n_docs_estimate, 1)
+    )
+    return int(np.ceil(8.0 / max(thresh_target, 1e-12)))
+
+
+def _sample_hot_terms_driver(
     paths: list[str], cfg: BuildConfig, n_docs_estimate: int
 ) -> tuple[dict[str, int], dict[str, float]]:
     """Driver-side sample of the term-frequency head (SURVEY.md §2.8).
@@ -235,6 +255,167 @@ def sample_hot_terms(
     return hot, stats
 
 
+#: sentinel "terms" carrying sample stats through the term-df groupby
+#: (\x00 cannot appear in tokenizer output)
+_SENT_DOCS = "\x00sampled_docs"
+_SENT_UNIQ = "\x00sum_unique"
+
+
+def _select_sample_row_groups(
+    paths: list[str], need: int
+) -> tuple[list[tuple[str, int]], int]:
+    """Deterministic stride selection of (path, row_group) descriptors
+    spread across the whole input, totalling >= `need` rows (metadata-only:
+    nothing is read here)."""
+    descs: list[tuple[str, int, int]] = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            descs.append((p, rg, md.row_group(rg).num_rows))
+    total = sum(r for _, _, r in descs)
+    if total <= need:
+        return [(p, rg) for p, rg, _ in descs], total
+    k = max(1, int(np.ceil(need / max(total / len(descs), 1.0))))
+    while True:
+        idx = np.unique(
+            np.linspace(0, len(descs) - 1, num=min(k, len(descs))).round().astype(int)
+        )
+        rows = int(sum(descs[i][2] for i in idx))
+        if rows >= need or len(idx) == len(descs):
+            return [(descs[i][0], descs[i][1]) for i in idx], rows
+        k *= 2
+
+
+class _SampleDFStage:
+    """Actor body for the distributed hot-term sample: one (path, row_group)
+    descriptor per batch -> partial-df rows (term, df) for that row group,
+    plus sentinel rows carrying (sampled docs, sum of per-doc unique terms)
+    so the downstream groupby also reduces the sample stats."""
+
+    def __init__(self, cfg: BuildConfig):
+        self.tok = _tokenize_fn(cfg)
+        self.extract = (
+            extract_text if cfg.extract == "conformance" else extract_visible_text
+        )
+        self.is_html = cfg.source == "html"
+        self.text_col = "html" if self.is_html else "text"
+
+    def __call__(self, batch: dict) -> pa.Table:
+        df: Counter = Counter()
+        got = 0
+        sum_unique = 0
+        for path, rg in zip(batch["path"], batch["row_group"]):
+            t = pq.ParquetFile(str(path)).read_row_group(
+                int(rg), columns=[self.text_col]
+            )
+            for v in t.column(0).to_pylist():
+                text = self.extract(v) if self.is_html else v
+                if not text:
+                    continue
+                uniq = set(self.tok(text))
+                df.update(uniq)
+                sum_unique += len(uniq)
+                got += 1
+        terms = list(df.keys()) + [_SENT_DOCS, _SENT_UNIQ]
+        counts = list(df.values()) + [got, sum_unique]
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def sample_hot_terms_distributed(
+    paths: list[str], cfg: BuildConfig, n_docs_estimate: int
+) -> tuple[dict[str, int], dict[str, float]]:
+    """Distributed hot-term sample for corpora whose scale-aware threshold
+    needs more resolution than a driver-side sample can give (VERDICT r2
+    #3): stride-selected row groups stream through an actor pool emitting
+    per-row-group partial df Counters, a SMALL groupby sums them (the
+    shuffle moves (term, count) rows for sampled vocabulary only, never
+    documents), and ONLY the terms above the threshold reach the driver.
+
+    Same contract as the driver path: returns (hot_terms, sample_stats)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    need = min(
+        max(_required_sample_docs(cfg, n_docs_estimate), cfg.sample_docs),
+        cfg.max_sample_docs,
+        n_docs_estimate,
+    )
+    chosen, _rows = _select_sample_row_groups(paths, need)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    agg = (
+        rd.from_items([{"path": p, "row_group": rg} for p, rg in chosen])
+        .map_batches(
+            _SampleDFStage,
+            fn_constructor_args=(cfg,),
+            batch_size=1,
+            concurrency=(1, max(1, n_cpus - 2)),
+            num_cpus=1,
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    import pyarrow.compute as pc
+
+    sent = {
+        r["term"]: int(r["df"])
+        for r in agg.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("term"), value_set=pa.array([_SENT_DOCS, _SENT_UNIQ]))
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    got = sent.get(_SENT_DOCS, 0)
+    stats = {
+        "sampled_docs": float(got),
+        "avg_unique_terms": (sent.get(_SENT_UNIQ, 0) / got) if got else 0.0,
+    }
+    if got == 0:
+        return {}, stats
+    thresh = _effective_hot_threshold(cfg, n_docs_estimate, got)
+    cut = int(np.ceil(thresh * got))
+    hot_rows = agg.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("df"), pa.scalar(cut, type=pa.int64())),
+                pc.invert(
+                    pc.is_in(
+                        t.column("term"),
+                        value_set=pa.array([_SENT_DOCS, _SENT_UNIQ]),
+                    )
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    hot: dict[str, int] = {}
+    for r in hot_rows:
+        ratio = r["df"] / got
+        expected = ratio * max(n_docs_estimate, got)
+        n_salts = int(np.ceil(expected / cfg.target_run_postings))
+        hot[str(r["term"])] = max(2, min(cfg.max_salts, n_salts))
+    return hot, stats
+
+
+def sample_hot_terms(
+    paths: list[str], cfg: BuildConfig, n_docs_estimate: int
+) -> tuple[dict[str, int], dict[str, float]]:
+    """Hot-term detection dispatch: the driver-side sampler while the
+    required resolution fits its 8192-doc ceiling (small/mid corpora — no
+    Ray stages to pay for), else the distributed sampler whose size tracks
+    target_run_postings / n_docs_estimate (web scale)."""
+    if _required_sample_docs(cfg, n_docs_estimate) <= 8192:
+        return _sample_hot_terms_driver(paths, cfg, n_docs_estimate)
+    return sample_hot_terms_distributed(paths, cfg, n_docs_estimate)
+
+
 _TERM_HASH_MEMO: dict[str, int] = {}
 
 
@@ -278,7 +459,11 @@ def _chunk_term_hashes(
 
 
 def encode_partition(
-    index_dir: str, raw_root: str, part_id: int, block_size: int
+    index_dir: str,
+    raw_root: str,
+    part_id: int,
+    block_size: int,
+    target_postings: int | None = None,
 ) -> dict[str, Any]:
     """Phase-2 body: one partition raw -> encoded blocks + dict (pure).
 
@@ -381,8 +566,19 @@ def encode_partition(
         )
     dict_tbl = dict_tbl.sort_by([("term", "ascending")])
     pq.write_table(dict_tbl, os.path.join(out_dir, "dict.parquet"), row_group_size=16384)
+    # no-silent-caps: a partition whose raw postings dwarf the sizing target
+    # means a hot term escaped the sample (all its postings hash-route
+    # here); surface it loudly in the lineage instead of just being slow
+    oversized = bool(target_postings and len(doc_ids) > 4 * target_postings)
+    if oversized:
+        print(
+            f"[encode_partition] WARNING: partition {part_id} holds "
+            f"{len(doc_ids)} postings (> 4x target {target_postings}) — "
+            "likely an unsalted hot term; raise max_sample_docs or max_salts"
+        )
     meta = {
         "part_id": part_id,
+        "oversized": oversized,
         "n_postings": int(len(doc_ids)),
         "n_terms": int(dict_tbl.num_rows),
         "n_blocks": int(blocks.num_rows),
@@ -396,14 +592,15 @@ def encode_partition(
 
 
 def _encode_partition_batch(
-    batch: dict, index_dir: str, raw_root: str, block_size: int
+    batch: dict, index_dir: str, raw_root: str, block_size: int,
+    target_postings: int | None = None,
 ) -> dict:
     """map_batches body over partition-descriptor rows (phase 2).  A plain
     function -> stateless Ray tasks: no actor-pool startup cost, and encode
     tasks start the moment a cpu frees up."""
     metas = []
     for pid in batch["part_id"]:
-        m = encode_partition(index_dir, raw_root, int(pid), block_size)
+        m = encode_partition(index_dir, raw_root, int(pid), block_size, target_postings)
         metas.append(m)
     return {
         "part_id": np.array([m["part_id"] for m in metas], dtype=np.int64),
@@ -659,7 +856,7 @@ def build_index(
         encode_cpus = cfg.encode_cpus or max(1, n_cpus // 8)
         rd.from_items([{"part_id": p} for p in pending]).map_batches(
             _encode_partition_batch,
-            fn_args=(index_dir, raw_root, cfg.block_size),
+            fn_args=(index_dir, raw_root, cfg.block_size, cfg.target_partition_postings),
             batch_size=1,
             num_cpus=encode_cpus,
         ).materialize()

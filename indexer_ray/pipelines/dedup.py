@@ -19,8 +19,20 @@ Shuffle discipline: every operator pre-reduces inside `map_batches` (one
 signature/hash row per doc) before its single groupby; candidate pair sets
 are verified AFTER blocking, so the quadratic step only ever runs inside a
 bucket.  Buckets larger than `max_bucket` contribute no pairs and are
-reported in a `truncated_buckets` counter instead of silently exploding
+reported in a `truncated` counter row instead of silently exploding
 (no-silent-caps rule).
+
+Two API layers per family:
+  * `*_pairs_ds` (minhash_pairs_ds / simhash_pairs_ds / winnow_pairs_ds /
+    embedding_pairs_ds) — Dataset-returning: pair dedup and truncation
+    counters are distributed groupbys, verification routes candidate-doc
+    state via a broadcast dict only below BROADCAST_PAIRS_THRESHOLD pairs
+    and via a distributed hash JOIN above it, and the pair set NEVER
+    materializes on the driver.  At 100 TB (~10^9-10^10 near-dup pairs)
+    this is the only usable layer: `minhash_pairs_ds(ds).write_parquet(p)`.
+  * the historical pandas wrappers (minhash_lsh_pairs / simhash_pairs /
+    winnow_dup_pairs / embedding_dup_pairs) — `.to_pandas()` convenience
+    over the same distributed pipeline for driver-sized outputs.
 """
 
 from __future__ import annotations
@@ -282,23 +294,55 @@ def _bucket_pairs_in_part(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     return res
 
 
-def _pairwise_jaccard_distributed(
-    ds, pairs: pd.DataFrame, shingle_k: int, n_parts: int = _PAIR_PARTITIONS
+def _jaccard_for_pairs(
+    sh: dict[int, np.ndarray], a_ids: np.ndarray, b_ids: np.ndarray
 ) -> pd.DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs, with NO driver-side
-    corpus iteration (the round-1 scale-killer): the corpus STREAMS through
-    a shingle stage that drops every non-candidate doc (candidate-id routing
-    table broadcast once via ray.put), each surviving doc's shingle set is
-    routed to every pair-partition that references it, and one vectorized
-    verify pass runs per partition.  Driver-side state is only the candidate
-    pair list itself — the blocking OUTPUT, not the corpus.
+    """Exact shingle-set Jaccard for (a_ids[i], b_ids[i]) given a doc_id ->
+    sorted-unique-shingles dict; docs absent from the dict score 0."""
+    empty = np.empty(0, dtype=np.uint64)
+    jac = np.empty(len(a_ids), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+        sa, sb = sh.get(int(a), empty), sh.get(int(b), empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 0.0
+    return pd.DataFrame(
+        {
+            "doc_a": a_ids.astype("int64"),
+            "doc_b": b_ids.astype("int64"),
+            "jaccard": jac,
+        }
+    )
 
-    Returns (doc_a, doc_b, jaccard) for every input pair.
+
+_EMPTY_JACCARD_TABLE = pa.table(
+    {
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64()),
+    }
+)
+
+
+def _pairwise_jaccard_broadcast_ds(
+    ds, pairs: pd.DataFrame, shingle_k: int, n_parts: int = _PAIR_PARTITIONS
+):
+    """Broadcast-routed exact-Jaccard verify, with NO driver-side corpus
+    iteration: the corpus STREAMS through a shingle stage that drops every
+    non-candidate doc (candidate-id routing table broadcast once via
+    ray.put), each surviving doc's shingle set is routed to every
+    pair-partition that references it, and one vectorized verify pass runs
+    per partition.  Driver-side state is only the candidate pair list —
+    callers bound its size (`broadcast_pairs_threshold`); above that bound
+    use `_pairwise_jaccard_join_ds`, which routes via a distributed join.
+
+    Returns a DATASET of (doc_a, doc_b, jaccard) covering every input pair.
     """
     import ray
+    import ray.data as rd
 
     if pairs.empty:
-        return pairs.assign(jaccard=pd.Series([], dtype="float64"))
+        return rd.from_arrow(_EMPTY_JACCARD_TABLE)
     pairs = pairs[["doc_a", "doc_b"]].drop_duplicates().reset_index(drop=True)
     # partition count tracks the pair count (>=64 pairs per part target):
     # tiny candidate sets shouldn't pay a 64-way shuffle's scheduling toll
@@ -354,20 +398,7 @@ def _pairwise_jaccard_distributed(
             int(d): np.asarray(s, dtype=np.uint64)
             for d, s in zip(g["doc_id"], g["shingles"])
         }
-        empty = np.empty(0, dtype=np.uint64)
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
-            sa, sb = sh.get(int(a), empty), sh.get(int(b), empty)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 0.0
-        return pd.DataFrame(
-            {
-                "doc_a": a_ids.astype("int64"),
-                "doc_b": b_ids.astype("int64"),
-                "jaccard": jac,
-            }
-        )
+        return _jaccard_for_pairs(sh, a_ids, b_ids)
 
     return (
         ds.map_batches(
@@ -380,8 +411,273 @@ def _pairwise_jaccard_distributed(
         )
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def _pairwise_jaccard_distributed(
+    ds, pairs: pd.DataFrame, shingle_k: int, n_parts: int = _PAIR_PARTITIONS
+) -> pd.DataFrame:
+    """Pandas-in/pandas-out verify (callers that already hold a bounded
+    candidate frame, e.g. `ngram_jaccard_pairs(pairs=...)`)."""
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series([], dtype="float64"))
+    return _pairwise_jaccard_broadcast_ds(ds, pairs, shingle_k, n_parts).to_pandas()
+
+
+def _pairwise_jaccard_join_ds(
+    ds, pairs_ds, shingle_k: int, n_parts: int = _PAIR_PARTITIONS
+):
+    """Fully distributed exact-Jaccard verify: the candidate pair set NEVER
+    touches the driver.  Routing is a distributed hash join instead of a
+    broadcast dict:
+
+      pair rows     : part = hash(doc_a, doc_b) % n_parts
+      needed        : distinct (doc_id, part) references (distributed dedup,
+                      so a doc in many pairs ships its text <= n_parts times)
+      corpus ⋈ needed on doc_id (Ray hash join) -> (doc_id, text, part)
+      shingle stage -> (part, doc_id, shingles), only for candidate docs
+      union(pair rows, shingle rows) -> groupby(part) -> vectorized verify
+
+    Returns a DATASET of (doc_a, doc_b, jaccard) covering every input pair.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    # hash-join aggregators are ACTORS, one per partition, each holding a
+    # CPU slot: cap join partitions at half the cluster's CPUs or the map
+    # tasks starve (observed deadlock at 64 partitions on a 4-cpu node)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    join_parts = max(2, min(n_parts, ncpu // 2))
+    shingle_list = pa.list_(pa.uint64())
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(n_parts)
+        n = len(a)
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int32), type=pa.int32()),
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+                "shingles": pa.array([[]] * n, type=shingle_list),
+            }
+        )
+
+    pair_rows = pairs_ds.map_batches(
+        _pair_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _doc_refs(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        batch.column("doc_a").combine_chunks(),
+                        batch.column("doc_b").combine_chunks(),
+                    ]
+                ),
+                "part": pa.concat_arrays([part, part]),
+            }
+        )
+
+    needed = (
+        pair_rows.map_batches(_doc_refs, batch_format="pyarrow")
+        .groupby(["doc_id", "part"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["doc_id", "part"])
+    )
+    joined = ds.select_columns(["doc_id", "text"]).join(
+        needed, "inner", join_parts, on=("doc_id",)
+    )
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        parts = batch.column("part").to_pylist()
+        sh = [
+            _shingles(tokenize_plain(t or ""), shingle_k).tolist()
+            for t in batch.column("text").to_pylist()
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "part": pa.array(parts, type=pa.int32()),
+                "doc_a": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+                "doc_b": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(sh, type=shingle_list),
+            }
+        )
+
+    shingle_rows = joined.map_batches(
+        _shingle_rows, batch_format="pyarrow", batch_size=2048
+    )
+
+    def _verify_joined(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["doc_id"] >= 0]
+        sh = {
+            int(d): np.asarray(s, dtype=np.uint64)
+            for d, s in zip(docs["doc_id"], docs["shingles"])
+        }
+        prs = g[g["doc_id"] < 0]
+        return _jaccard_for_pairs(
+            sh,
+            prs["doc_a"].to_numpy(dtype=np.int64),
+            prs["doc_b"].to_numpy(dtype=np.int64),
+        )
+
+    return (
+        pair_rows.union(shingle_rows)
+        .groupby("part")
+        .map_groups(_verify_joined, batch_format="pandas")
+    )
+
+
+#: Above this many candidate pairs, verify routing switches from the
+#: broadcast-dict fast path (driver holds the pair list) to the fully
+#: distributed join path (driver holds nothing).
+BROADCAST_PAIRS_THRESHOLD = 100_000
+
+
+def _pairwise_jaccard_ds(
+    ds,
+    pairs_ds,
+    shingle_k: int,
+    n_parts: int = _PAIR_PARTITIONS,
+    broadcast_threshold: int = BROADCAST_PAIRS_THRESHOLD,
+):
+    """Dataset-in/Dataset-out verify: broadcast routing below
+    `broadcast_threshold` pairs (cheap at toy scale), distributed-join
+    routing above it (no driver-side pair materialization)."""
+    import ray.data as rd
+
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_EMPTY_JACCARD_TABLE)
+    if n_pairs <= broadcast_threshold:
+        return _pairwise_jaccard_broadcast_ds(
+            ds, pairs_ds.to_pandas(), shingle_k, n_parts
+        )
+    return _pairwise_jaccard_join_ds(ds, pairs_ds, shingle_k, n_parts)
+
+
+def _split_by_truncated(t: pa.Table, counters: bool) -> pa.Table:
+    """Vectorized split of a pair table into real rows / counter rows."""
+    import pyarrow.compute as pc
+
+    col = t.column("truncated")
+    return t.filter(pc.greater(col, 0) if counters else pc.equal(col, 0))
+
+
+def _as_pair_output(t: pa.Table, value_col: str, keep_mask=None) -> pa.Table:
+    """Canonical pair-output layout (doc_a, doc_b, <value_col>, truncated)."""
+    if keep_mask is not None:
+        t = t.filter(keep_mask)
+    cols = {"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b")}
+    if value_col in t.column_names:
+        cols[value_col] = t.column(value_col)
+    else:
+        cols[value_col] = pa.array(np.full(len(t), np.nan), type=pa.float64())
+    if "truncated" in t.column_names:
+        cols["truncated"] = t.column("truncated")
+    else:
+        cols["truncated"] = pa.array(np.zeros(len(t), dtype=np.int64), type=pa.int64())
+    return pa.table(cols)
+
+
+def minhash_pairs_ds(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 2000,
+    verify: bool = True,
+    broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
+):
+    """Dataset-returning MinHash + banded-LSH near-duplicate pairs — the
+    pair set NEVER materializes on the driver (consume with write_parquet /
+    iter_batches / count, or `.to_pandas()` when the caller knows it is
+    small; `minhash_lsh_pairs` is that convenience wrapper).
+
+    Output columns (doc_a, doc_b, jaccard, truncated):
+      * real pairs — doc_a < doc_b, truncated == 0, jaccard = exact
+        shingle-set Jaccard >= `jaccard_threshold` (NaN when verify=False);
+      * counter row — doc_a == doc_b == -1, truncated = total banded-bucket
+        rows covered by oversized skipped buckets (no-silent-caps; absent
+        when nothing was truncated).
+
+    Cross-band pair dedup is a distributed groupby; verification routes doc
+    shingles to pair partitions via a broadcast dict only while the
+    candidate count is <= `broadcast_pairs_threshold`, else via a
+    distributed hash join (`_pairwise_jaccard_join_ds`)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_args=(num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    # (doc_a, doc_b, truncated): deduped across bands by a DISTRIBUTED
+    # groupby; materialized because counters + verify both consume it
+    # (object-store blocks, never the driver heap)
+    cand = (
+        sigs.map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _bucket_pairs_in_part(g, max_bucket), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("truncated", alias_name="truncated"))
+        .materialize()
+    )
+    counters = cand.map_batches(
+        lambda t: _as_pair_output(_split_by_truncated(t, True), "jaccard"),
+        batch_format="pyarrow",
+    )
+    real = cand.map_batches(
+        lambda t: _split_by_truncated(t, False), batch_format="pyarrow"
+    )
+    if not verify:
+        out = real.map_batches(
+            lambda t: _as_pair_output(t, "jaccard"), batch_format="pyarrow"
+        )
+        return out.union(counters)
+    ver = _pairwise_jaccard_ds(
+        ds,
+        real.select_columns(["doc_a", "doc_b"]),
+        shingle_k,
+        broadcast_threshold=broadcast_pairs_threshold,
+    )
+    out = ver.map_batches(
+        lambda t: _as_pair_output(
+            t, "jaccard", pc.greater_equal(t.column("jaccard"), jaccard_threshold)
+        ),
+        batch_format="pyarrow",
+    )
+    return out.union(counters)
+
+
+def _pairs_ds_to_pandas(out_ds, value_col: str, warn_tag: str) -> pd.DataFrame:
+    """Shared wrapper tail: collect a pair Dataset, surface the truncation
+    counter as the historical WARNING print, drop counter rows, sort."""
+    out = out_ds.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_a": [], "doc_b": [], value_col: []}
+        ).astype({"doc_a": "int64", "doc_b": "int64"})
+    truncated = int(out.loc[out["truncated"] > 0, "truncated"].sum())
+    if truncated:
+        print(
+            f"[{warn_tag}] WARNING: skipped buckets covering {truncated} docs (> max_bucket)"
+        )
+    pairs = out[out["truncated"] == 0][["doc_a", "doc_b", value_col]]
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_lsh_pairs(
@@ -393,37 +689,23 @@ def minhash_lsh_pairs(
     max_bucket: int = 2000,
     verify: bool = True,
 ):
-    """Near-duplicate pairs via MinHash + banded LSH.
-
-    Returns a pandas DataFrame (doc_a, doc_b, jaccard) with doc_a < doc_b,
-    verified against exact shingle-set Jaccard when `verify`.  Verification
-    is fully distributed (`_pairwise_jaccard_distributed`): the corpus is
-    never iterated on the driver.
-    """
-    sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(num_perm, bands, shingle_k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-        concurrency=(1, 8),
+    """Near-duplicate pairs via MinHash + banded LSH, as a pandas DataFrame
+    (doc_a, doc_b, jaccard) with doc_a < doc_b — a driver-side convenience
+    wrapper over `minhash_pairs_ds` for corpora whose pair set fits in
+    driver memory; at scale call `minhash_pairs_ds` and write to parquet."""
+    return _pairs_ds_to_pandas(
+        minhash_pairs_ds(
+            ds,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket,
+            verify=verify,
+        ),
+        "jaccard",
+        "minhash_lsh_pairs",
     )
-    pairs = (
-        sigs.map_batches(_add_bucket_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: _bucket_pairs_in_part(g, max_bucket), batch_format="pandas")
-        .to_pandas()
-    )
-    truncated = int(pairs[pairs["truncated"] > 0]["truncated"].sum())
-    pairs = pairs[pairs["truncated"] == 0][["doc_a", "doc_b"]].drop_duplicates()
-    if truncated:
-        print(f"[minhash_lsh_pairs] WARNING: skipped buckets covering {truncated} docs (> max_bucket)")
-    if not verify or pairs.empty:
-        pairs["jaccard"] = np.nan
-        return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
-    out = out[out["jaccard"] >= jaccard_threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
@@ -478,10 +760,18 @@ def simhash_signatures(ds):
         zero_copy_batch=True, batch_size=2048, concurrency=(1, 8))
 
 
-def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: block on 4x16-bit bands (any pair within
-    Hamming<=3 of 64 bits must agree exactly on at least one 16-bit quarter,
-    pigeonhole), verify Hamming distance on candidates."""
+def simhash_pairs_ds(ds, max_hamming: int = 3, max_bucket: int = 2000):
+    """Dataset-returning SimHash near-dup pairs: block on 4x16-bit bands
+    (any pair within Hamming<=3 of 64 bits must agree exactly on at least
+    one 16-bit quarter, pigeonhole), verify Hamming inside buckets, dedup
+    across bands with a DISTRIBUTED groupby — the pair set never collects
+    on the driver.
+
+    Output columns (doc_a, doc_b, hamming, truncated): real pairs have
+    truncated == 0; the counter row (doc_a == doc_b == -1) carries the
+    total docs covered by oversized skipped buckets (no-silent-caps)."""
+    from ray.data.aggregate import Min, Sum
+
     sigs = simhash_signatures(ds)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
@@ -561,61 +851,62 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFr
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs = (
+    # cross-band dedup + counter merge, distributed: identical pairs found
+    # in several bands have identical hamming (Min picks one); counter rows
+    # all share the (-1, -1) key and Sum their covered-doc counts
+    return (
         banded.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
-        .to_pandas()
-    )
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Min("hamming", alias_name="hamming"),
+            Sum("truncated", alias_name="truncated"),
         )
-    n_trunc = int(pairs.loc[pairs["truncated"] > 0, "truncated"].sum())
-    if n_trunc:
-        print(f"[simhash_pairs] WARNING: skipped buckets covering {n_trunc} docs (> max_bucket)")
-    pairs = pairs[pairs["truncated"] == 0].drop(columns=["truncated"])
-    return (
-        pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFrame:
+    """SimHash near-dup pairs as a pandas DataFrame (doc_a, doc_b, hamming)
+    — driver-side convenience wrapper over `simhash_pairs_ds`; at scale
+    call the Dataset variant and write to parquet."""
+    out = _pairs_ds_to_pandas(
+        simhash_pairs_ds(ds, max_hamming=max_hamming, max_bucket=max_bucket),
+        "hamming",
+        "simhash_pairs",
+    )
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
 
 
 # --------------------------------------------- embedding near-dup / cosine
 
 
-def embedding_dup_pairs(
+def embedding_pairs_ds(
     emb_ds,
     cosine_threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
-    brute: bool = False,
     max_bucket: int = 4000,
     n_tables: int = 4,
-) -> pd.DataFrame:
-    """Near-duplicate embedding pairs (vec_a < vec_b, cosine >= threshold).
+    n_parts: int = _PAIR_PARTITIONS,
+):
+    """Dataset-returning near-duplicate embedding pairs (vec_a < vec_b,
+    cosine >= threshold) — the pair set never collects on the driver.
 
     Scale path: multi-table random-hyperplane LSH — `n_tables` independent
     hash tables of `n_planes` sign bits each; vectors agreeing on ALL bits
     of ANY table become candidates (recall 1-(1-p^k)^L instead of the
-    single-table p^k cliff at the threshold), exact cosine verifies inside
-    buckets, pairs dedup across tables.  Each vector emits n_tables rows,
+    single-table p^k cliff at the threshold).  (table, bucket) keys are
+    hash-ROUTED into `n_parts` partitions — ONE vectorized verify pass per
+    partition, the same `_add_bucket_part` pattern as minhash/simhash/
+    winnow, not one map_groups per bucket — then a distributed groupby
+    dedups pairs found in several tables.  Each vector emits n_tables rows,
     so the shuffle grows L-fold — the standard LSH recall/cost trade.
-    (`brute=True` is the exact baseline used by tests to measure recall.)"""
-    import ray
 
-    if brute:
-        t = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
-        ids = t["vec_id"].to_numpy()
-        X = np.stack(t["embedding"].to_numpy())
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ Xn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        m = sims[ia, ib] >= cosine_threshold
-        return (
-            pd.DataFrame({"vec_a": ids[ia][m], "vec_b": ids[ib][m], "cosine": sims[ia, ib][m]})
-            .sort_values(["vec_a", "vec_b"])
-            .reset_index(drop=True)
-        )
+    Output columns (vec_a, vec_b, cosine, truncated): real pairs have
+    truncated == 0; the counter row (vec_a == vec_b == -1) carries the
+    total vectors covered by oversized skipped buckets (no-silent-caps)."""
+    from ray.data.aggregate import Max, Sum
 
     rng = np.random.default_rng(seed)
 
@@ -663,50 +954,128 @@ def embedding_dup_pairs(
         concurrency=(1, 8),
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def _route(batch: pa.Table) -> pa.Table:
+        from indexer_ray.functions.hashing import key_partition
+
+        part = key_partition(
+            batch.column("bucket").to_numpy(zero_copy_only=False), n_parts
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass over ALL buckets routed to this partition:
+        sort by (bucket, vec_id), find bucket boundaries, verify cosine
+        inside each — vec_a < vec_b holds because ids ascend in-slice."""
+        g = g.sort_values(["bucket", "vec_id"]).drop_duplicates(["bucket", "vec_id"])
+        bkt = g["bucket"].to_numpy(dtype=np.uint64)
         ids = g["vec_id"].to_numpy()
+        n = len(ids)
         empty = pd.DataFrame(
             {"vec_a": [], "vec_b": [], "cosine": [], "truncated": []}
         ).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64", "truncated": "int64"}
         )
-        if len(ids) < 2:
+        if n == 0:
             return empty
-        if len(ids) > max_bucket:
-            # no-silent-caps: one counter row per skipped oversized bucket
-            return pd.DataFrame(
-                {"vec_a": [-1], "vec_b": [-1], "cosine": [0.0], "truncated": [len(ids)]}
-            ).astype(empty.dtypes)
         X = np.stack(g["embedding"].to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], n]
+        frames, truncated = [], []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2:
+                continue
+            if size > max_bucket:
+                truncated.append(int(size))
+                continue
+            sims = Xn[s:e] @ Xn[s:e].T
+            ia, ib = np.triu_indices(size, k=1)
+            m = sims[ia, ib] >= cosine_threshold
+            if m.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[s:e][ia][m].astype("int64"),
+                            "vec_b": ids[s:e][ib][m].astype("int64"),
+                            "cosine": sims[ia, ib][m],
+                            "truncated": np.zeros(int(m.sum()), dtype="int64"),
+                        }
+                    )
+                )
+        if truncated:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": [-1] * len(truncated),
+                        "vec_b": [-1] * len(truncated),
+                        "cosine": [0.0] * len(truncated),
+                        "truncated": truncated,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    # cross-table dedup + counter merge, distributed (cosine is identical
+    # for the same pair in every table; Max just picks one)
+    return (
+        bucketed.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(
+            Max("cosine", alias_name="cosine"),
+            Sum("truncated", alias_name="truncated"),
+        )
+    )
+
+
+def embedding_dup_pairs(
+    emb_ds,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    brute: bool = False,
+    max_bucket: int = 4000,
+    n_tables: int = 4,
+) -> pd.DataFrame:
+    """Near-duplicate embedding pairs (vec_a < vec_b, cosine >= threshold)
+    as a pandas DataFrame — driver-side convenience wrapper over
+    `embedding_pairs_ds`; at scale call the Dataset variant and write to
+    parquet.  (`brute=True` is the exact all-pairs baseline used by tests
+    to measure recall.)"""
+    if brute:
+        t = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+        ids = t["vec_id"].to_numpy()
+        X = np.stack(t["embedding"].to_numpy())
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = Xn @ Xn.T
         ia, ib = np.triu_indices(len(ids), k=1)
         m = sims[ia, ib] >= cosine_threshold
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia][m],
-                "vec_b": ids[ib][m],
-                "cosine": sims[ia, ib][m],
-                "truncated": np.zeros(int(m.sum()), dtype="int64"),
-            }
+        return (
+            pd.DataFrame({"vec_a": ids[ia][m], "vec_b": ids[ib][m], "cosine": sims[ia, ib][m]})
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
         )
-
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
-    if pairs.empty:
+    out = embedding_pairs_ds(
+        emb_ds,
+        cosine_threshold=cosine_threshold,
+        n_planes=n_planes,
+        seed=seed,
+        max_bucket=max_bucket,
+        n_tables=n_tables,
+    ).to_pandas()
+    if out.empty:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )
-    n_trunc = int(pairs.loc[pairs["truncated"] > 0, "truncated"].sum())
+    n_trunc = int(out.loc[out["truncated"] > 0, "truncated"].sum())
     if n_trunc:
         print(
             f"[embedding_dup_pairs] WARNING: skipped buckets covering {n_trunc} vectors (> max_bucket)"
         )
-    pairs = pairs[pairs["truncated"] == 0]
-    a = np.minimum(pairs["vec_a"], pairs["vec_b"])
-    b = np.maximum(pairs["vec_a"], pairs["vec_b"])
     return (
-        pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": pairs["cosine"]})
-        .drop_duplicates(["vec_a", "vec_b"])
+        out[out["truncated"] == 0][["vec_a", "vec_b", "cosine"]]
         .sort_values(["vec_a", "vec_b"])
         .reset_index(drop=True)
     )
@@ -740,21 +1109,26 @@ def winnow_fingerprints(ds, k: int = 5, w: int = 4):
         zero_copy_batch=True, batch_size=2048)
 
 
-def winnow_dup_pairs(
+def winnow_pairs_ds(
     ds,
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int = 2000,
     n_parts: int = _PAIR_PARTITIONS,
-) -> pd.DataFrame:
-    """Overlap-duplicate pairs: docs sharing >= `min_shared` winnowing
-    fingerprints (doc_a < doc_b, n_shared desc-agnostic).  Blocking is the
+):
+    """Dataset-returning overlap-duplicate pairs: docs sharing >=
+    `min_shared` winnowing fingerprints (doc_a < doc_b).  Blocking is the
     LSH-bucket pattern: fps hash-route to partitions, each partition emits
     per-bucket pairs WITH per-part shared-counts (one vectorized pass), a
-    final groupby sums counts across partitions.  Oversized fp buckets
-    (boilerplate runs shared by >max_bucket docs) are dropped with a
-    counter — no silent caps."""
+    final DISTRIBUTED groupby sums counts across partitions — the pair set
+    never collects on the driver.
+
+    Output columns (doc_a, doc_b, n_shared, truncated): real pairs have
+    truncated == 0 and n_shared >= min_shared; the counter row
+    (doc_a == doc_b == -1) carries the total docs covered by oversized
+    skipped fp buckets (boilerplate runs — no silent caps)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     fps = winnow_fingerprints(ds, k=k, w=w)
@@ -815,19 +1189,34 @@ def winnow_dup_pairs(
         .map_groups(pairs_in_part, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("n_shared", alias_name="n_shared"), Sum("truncated", alias_name="truncated"))
-        .to_pandas()
     )
-    if counted.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "n_shared": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"}
+
+    def _apply_min_shared(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater(t.column("truncated"), 0),
+            pc.greater_equal(t.column("n_shared"), min_shared),
         )
-    n_trunc = int(counted.loc[counted["truncated"] > 0, "truncated"].sum())
-    if n_trunc:
-        print(f"[winnow_dup_pairs] WARNING: skipped fp buckets covering {n_trunc} docs (> max_bucket)")
-    out = counted[(counted["truncated"] == 0) & (counted["n_shared"] >= min_shared)]
-    return (
-        out[["doc_a", "doc_b", "n_shared"]]
-        .astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+        return t.filter(keep)
+
+    return counted.map_batches(_apply_min_shared, batch_format="pyarrow")
+
+
+def winnow_dup_pairs(
+    ds,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 2000,
+    n_parts: int = _PAIR_PARTITIONS,
+) -> pd.DataFrame:
+    """Overlap-duplicate pairs as a pandas DataFrame (doc_a, doc_b,
+    n_shared) — driver-side convenience wrapper over `winnow_pairs_ds`; at
+    scale call the Dataset variant and write to parquet."""
+    out = _pairs_ds_to_pandas(
+        winnow_pairs_ds(
+            ds, k=k, w=w, min_shared=min_shared, max_bucket=max_bucket, n_parts=n_parts
+        ),
+        "n_shared",
+        "winnow_dup_pairs",
     )
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
