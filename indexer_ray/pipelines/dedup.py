@@ -710,21 +710,26 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard_pairs(
     ds,
-    pairs: pd.DataFrame | None = None,
+    pairs=None,
     shingle_k: int = 3,
     threshold: float = 0.0,
     max_bucket: int = 2000,
 ) -> pd.DataFrame:
     """Exact n-gram (k-shingle) Jaccard for given candidate pairs — or, when
     ``pairs`` is None, for MinHash-LSH candidates (blocking first, so the
-    quadratic step never touches the full corpus).  Output: (doc_a, doc_b,
-    jaccard) with jaccard >= threshold.  Distributed verify, no driver-side
-    corpus iteration."""
+    quadratic step never touches the full corpus).  ``pairs`` may be a
+    pandas frame (driver-sized) or a Ray DATASET of (doc_a, doc_b) — the
+    Dataset form routes through `_pairwise_jaccard_ds`, so huge externally-
+    computed candidate sets verify without touching the driver.  Output:
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
     if pairs is None:
         return minhash_lsh_pairs(
             ds, shingle_k=shingle_k, jaccard_threshold=threshold, max_bucket=max_bucket
         )
-    out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
+    if isinstance(pairs, pd.DataFrame):
+        out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
+    else:  # Ray Dataset of candidate pairs: fully distributed routing
+        out = _pairwise_jaccard_ds(ds, pairs, shingle_k).to_pandas()
     return out[out["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

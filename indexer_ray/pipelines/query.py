@@ -74,6 +74,7 @@ class IndexSearcher:
         index_dir: str,
         dict_cache_parts: int = 64,
         blocks_cache_bytes: int = 256 << 20,
+        dict_full_load_rows: int = 1 << 17,
     ):
         self.index_dir = index_dir
         self.m = IndexManifest.load(index_dir)
@@ -104,6 +105,16 @@ class IndexSearcher:
         self.P = self.m.n_partitions
         self._dict_cache: OrderedDict[int, dict[str, int]] = OrderedDict()
         self._dict_cache_parts = dict_cache_parts
+        # searcher memory stays bounded at web scale: a partition dict is
+        # loaded whole only while it is SMALL (<= dict_full_load_rows terms,
+        # a few MB); above that, df lookups become predicate-pushdown point
+        # reads (dict.parquet is term-sorted with 16k row groups, so footer
+        # stats prune to ~1 row group) memoized in a per-(part, term) LRU —
+        # the same discipline _read_term_blocks already applies to postings
+        self._dict_full_load_rows = dict_full_load_rows
+        self._dict_nrows: dict[int, int] = {}
+        self._df_point_cache: OrderedDict[tuple[int, str], int] = OrderedDict()
+        self._df_point_cache_cap = 1 << 16
         # posting-block LRU (byte-budgeted): hot Zipf-head terms are touched
         # by most queries; re-reading their ~MB payloads from parquet per
         # query would dominate latency (the reference re-reads EVERYTHING
@@ -125,9 +136,19 @@ class IndexSearcher:
 
     def _part_df(self, part_id: int, term: str) -> int:
         cached = self._dict_cache.get(part_id)
-        if cached is None:
-            path = os.path.join(part_dir(self.index_dir, part_id), "dict.parquet")
-            if not os.path.exists(path):
+        if cached is not None:
+            self._dict_cache.move_to_end(part_id)
+            return cached.get(term, 0)
+        path = os.path.join(part_dir(self.index_dir, part_id), "dict.parquet")
+        nrows = self._dict_nrows.get(part_id)
+        if nrows is None:
+            nrows = (
+                pq.ParquetFile(path).metadata.num_rows if os.path.exists(path) else 0
+            )
+            self._dict_nrows[part_id] = nrows
+        if nrows <= self._dict_full_load_rows:
+            # small partition dict: load whole, serve every term from memory
+            if nrows == 0:
                 cached = {}
             else:
                 t = pq.read_table(path, columns=["term", "df"])
@@ -137,9 +158,20 @@ class IndexSearcher:
             self._dict_cache[part_id] = cached
             if len(self._dict_cache) > self._dict_cache_parts:
                 self._dict_cache.popitem(last=False)
-        else:
-            self._dict_cache.move_to_end(part_id)
-        return cached.get(term, 0)
+            return cached.get(term, 0)
+        # web-scale partition dict (millions of terms): point read with
+        # predicate pushdown, memoized per (partition, term)
+        key = (part_id, term)
+        hit = self._df_point_cache.get(key)
+        if hit is not None:
+            self._df_point_cache.move_to_end(key)
+            return hit
+        t = pq.read_table(path, columns=["df"], filters=[("term", "=", term)])
+        df = int(t.column("df")[0].as_py()) if t.num_rows else 0
+        self._df_point_cache[key] = df
+        if len(self._df_point_cache) > self._df_point_cache_cap:
+            self._df_point_cache.popitem(last=False)
+        return df
 
     def term_df(self, term: str) -> int:
         # global df = sum of per-partition dfs (runs are doc-disjoint; the

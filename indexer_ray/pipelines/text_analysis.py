@@ -107,21 +107,41 @@ def term_stats(ds, mode: str = "plain"):
 
 # ------------------------------------------------------------- language ID
 
-# Tiny closed-class word profiles (public knowledge) + CJK script check.
+# Tiny closed-class word profiles (public knowledge: the highest-frequency
+# function words of each language) + script-range checks for languages whose
+# writing system is (near-)unambiguous.  A heuristic demo-grade classifier,
+# NOT fastText — swap wholesale for a real model via map_batches.
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"},
     "fr": {"le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans", "des", "du"},
     "es": {"el", "los", "las", "es", "no", "por", "que", "una", "con", "para", "del", "se"},
+    "it": {"il", "di", "che", "non", "per", "sono", "della", "nel", "anche", "come", "più", "gli"},
+    "pt": {"não", "uma", "para", "com", "dos", "mais", "foi", "são", "como", "pelo", "já", "você"},
+    "nl": {"de", "het", "een", "van", "niet", "dat", "voor", "met", "zijn", "naar", "ook", "maar"},
 }
+#: deterministic tie order (first wins on equal hit ratio)
+_LANG_ORDER = ("en", "de", "fr", "es", "it", "pt", "nl")
+#: script ranges that identify a language class on their own
+_SCRIPT_RANGES = [
+    ("ja", "぀", "ヿ"),  # hiragana+katakana BEFORE the han check
+    ("ko", "가", "힯"),  # hangul syllables
+    ("zh", "一", "鿿"),  # CJK unified ideographs
+    ("ru", "Ѐ", "ӿ"),  # cyrillic (coarse: the dominant language)
+    ("el", "Ͱ", "Ͽ"),  # greek
+    ("ar", "؀", "ۿ"),  # arabic
+]
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 
 class LangIdStage:
-    """Heuristic language ID: closed-class word hit-rates + CJK detection.
+    """Heuristic language ID: script-range detection (ja/ko/zh/ru/el/ar)
+    then closed-class word hit-rates over the Latin-script profiles
+    (en/de/fr/es/it/pt/nl).
 
-    Output: doc_id, pred_lang, lang_score (hit ratio of the winner).
-    Deterministic; ties resolve in fixed language order (en, de, fr, es).
+    Output: doc_id, pred_lang, lang_score (hit ratio of the winner, or the
+    marker-character ratio for script-detected languages).  Deterministic;
+    ties resolve in `_LANG_ORDER`.
     """
 
     def __init__(self):
@@ -131,18 +151,24 @@ class LangIdStage:
         preds, scores = [], []
         for t in batch.column("text").to_pylist():
             t = t or ""
-            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            head = t[:400]
             words = _WORD_RE.findall(t.lower())
-            if cjk >= 5 or (cjk > 0 and len(words) < 3):
-                preds.append("zh")
-                scores.append(min(1.0, cjk / max(1, len(t[:400]))))
+            script_lang = None
+            for lang, lo, hi in _SCRIPT_RANGES:
+                n_hits = sum(1 for ch in head if lo <= ch <= hi)
+                if n_hits >= 5 or (n_hits > 0 and len(words) < 3):
+                    script_lang = (lang, min(1.0, n_hits / max(1, len(head))))
+                    break
+            if script_lang is not None:
+                preds.append(script_lang[0])
+                scores.append(script_lang[1])
                 continue
             if not words:
                 preds.append("und")
                 scores.append(0.0)
                 continue
             best_lang, best = "und", 0.0
-            for lang in ("en", "de", "fr", "es"):
+            for lang in _LANG_ORDER:
                 hits = sum(1 for w in words if w in self.markers[lang])
                 r = hits / len(words)
                 if r > best:

@@ -120,3 +120,24 @@ def test_rank_identity_at_2k_docs(ray_session, small_pages, tmp_path_factory):
             assert [d for d, _ in got] == [d for d, _ in expected], (q["query"], scorer)
             for (_, gs), (_, es) in zip(got, expected):
                 assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_df_point_reads_match_full_dict_load(built):
+    """VERDICT r2 #6: with full-dict loading disabled (the web-scale
+    configuration, where a partition dict has millions of terms), df
+    lookups become predicate-pushdown point reads and every search result
+    must be identical to the in-memory-dict searcher."""
+    index_dir, manifest, corpus = built
+    full = IndexSearcher(index_dir)
+    point = IndexSearcher(index_dir, dict_full_load_rows=0)
+    terms = sorted({t for _, toks in corpus for t in toks})[:40]
+    for t in terms:
+        assert point.term_df(t) == full.term_df(t), t
+    assert point.term_df("never-a-term-zzz") == 0
+    for q in ["running fast", "needle17", "the index"]:
+        for scorer in ("tfidf", "bm25"):
+            assert point.search(q, k=10, scorer=scorer) == full.search(
+                q, k=10, scorer=scorer
+            )
+    # full dicts were never pulled into memory on the point searcher
+    assert not point._dict_cache and point._df_point_cache

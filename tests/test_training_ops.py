@@ -235,13 +235,19 @@ def test_language_id(ray_session):
 
     df = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4, 5],
+            "doc_id": list(range(1, 12)),
             "text": [
                 "the cat and the dog went to the park and it was good",
                 "der Hund und die Katze sind nicht mit dem Mann",
                 "le chat et le chien sont dans la maison pour une fête",
                 "el perro y el gato no es una casa con los amigos",
                 "这是一个中文文档 包含很多汉字内容",
+                "il gatto non è nel giardino ma sono più che contento anche come gli altri",
+                "você não foi para casa com os amigos mas já são mais dos que pelo menos",
+                "de hond en het huis zijn niet voor een man maar ook naar de stad met hem",
+                "собака и кошка находятся в доме рядом с парком",
+                "これはテストのドキュメントです、ひらがなとカタカナ",
+                "이것은 한국어 문서입니다 테스트를 위한 것입니다",
             ],
         }
     )
@@ -251,6 +257,12 @@ def test_language_id(ray_session):
     assert got.loc[3, "pred_lang"] == "fr"
     assert got.loc[4, "pred_lang"] == "es"
     assert got.loc[5, "pred_lang"] == "zh"
+    assert got.loc[6, "pred_lang"] == "it"
+    assert got.loc[7, "pred_lang"] == "pt"
+    assert got.loc[8, "pred_lang"] == "nl"
+    assert got.loc[9, "pred_lang"] == "ru"
+    assert got.loc[10, "pred_lang"] == "ja"
+    assert got.loc[11, "pred_lang"] == "ko"
 
 
 def test_quality_and_fingerprints(docs_ds, docs_pdf, ray_session):
@@ -535,3 +547,24 @@ def test_pairs_ds_counter_rows_surface_truncation(ray_session):
 
     out3 = dedup.winnow_pairs_ds(rd.from_arrow(t), max_bucket=5).to_pandas()
     assert (out3["truncated"] > 0).any()
+
+
+def test_ngram_jaccard_accepts_pairs_dataset(ray_session, docs_pdf):
+    """ngram_jaccard_pairs verifies an externally-computed candidate set
+    passed as a Ray Dataset (fully distributed routing) identically to the
+    pandas form."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    near = docs_pdf.head(4).copy()
+    near["doc_id"] = near["doc_id"] + 400_000
+    near["text"] = near["text"] + " tail token x"
+    both = pd.concat([docs_pdf, near], ignore_index=True)
+    ds = rd.from_pandas(both)
+    base = docs_pdf.head(4)["doc_id"].to_numpy()
+    pairs_pd = pd.DataFrame({"doc_a": base, "doc_b": base + 400_000})
+    want = ngram_jaccard_pairs(ds, pairs=pairs_pd)
+    got = ngram_jaccard_pairs(ds, pairs=rd.from_pandas(pairs_pd))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 4 and (got["jaccard"] > 0.5).all()
