@@ -232,6 +232,24 @@ class MinHashStage:
 _PAIR_PARTITIONS = 64
 
 
+def _adaptive_pair_parts(ds, n_parts: int | None) -> int:
+    """Pair-partition count for the bucket-routing shuffles: tracks corpus
+    size, the same principle as the build's `_auto_partitions` — shuffle
+    width should scale with data volume, and a 64-way shuffle of a 5k-doc
+    corpus pays 64 blocks of fixed per-task scheduling for no parallelism
+    win (measured ~1-1.5 s per groupby at toy scale).  An explicit
+    `n_parts` always wins; None derives the width from `ds.count()`, which
+    is metadata-only for parquet / in-memory sources — pass `n_parts`
+    explicitly for already-transformed inputs to avoid an extra execution."""
+    if n_parts is not None:
+        return n_parts
+    try:
+        n = ds.count()
+    except Exception:
+        return _PAIR_PARTITIONS
+    return int(np.clip(n // 256, 8, _PAIR_PARTITIONS))
+
+
 def _add_bucket_part(batch: pa.Table, n_parts: int = _PAIR_PARTITIONS) -> pa.Table:
     """Route each banded row to a bucket partition: ONE map_groups call per
     partition (not per bucket) keeps the per-group overhead off the ~N·bands
@@ -363,33 +381,32 @@ def _pairwise_jaccard_broadcast_ds(
     doc_parts_ref = ray.put(doc_parts)
     pairs_ref = ray.put(pairs_by_part)
 
-    class _ShingleStage:
-        def __init__(self, ref, k):
-            self.doc_parts = ray.get(ref)  # one fetch per actor
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_part, out_doc, out_sh = [], [], []
-            for doc_id, text in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
-                parts = self.doc_parts.get(doc_id)
-                if not parts:
-                    continue
-                sh = _shingles(tokenize_plain(text or ""), self.k)
-                for p in parts:
-                    out_part.append(p)
-                    out_doc.append(doc_id)
-                    out_sh.append(sh)
-            return pa.table(
-                {
-                    "part": pa.array(out_part, type=pa.int32()),
-                    "doc_id": pa.array(out_doc, type=pa.int64()),
-                    "shingles": pa.array(
-                        [s.tolist() for s in out_sh], type=pa.list_(pa.uint64())
-                    ),
-                }
-            )
+    def _shingle_stage(batch: pa.Table) -> pa.Table:
+        # stateless TASK (not an actor pool: pool startup costs ~0.5 s the
+        # broadcast regime can't amortize); ray.get of the broadcast dict is
+        # a shared-memory hit after the first task on each worker process
+        doc_parts_local = ray.get(doc_parts_ref)
+        out_part, out_doc, out_sh = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            parts = doc_parts_local.get(doc_id)
+            if not parts:
+                continue
+            sh = _shingles(tokenize_plain(text or ""), shingle_k)
+            for p in parts:
+                out_part.append(p)
+                out_doc.append(doc_id)
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "part": pa.array(out_part, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "shingles": pa.array(
+                    [s.tolist() for s in out_sh], type=pa.list_(pa.uint64())
+                ),
+            }
+        )
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["part"].iloc[0])
@@ -402,12 +419,10 @@ def _pairwise_jaccard_broadcast_ds(
 
     return (
         ds.map_batches(
-            _ShingleStage,
-            fn_constructor_args=(doc_parts_ref, shingle_k),
+            _shingle_stage,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=2048,
-            concurrency=(1, 8),
         )
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
@@ -564,6 +579,36 @@ def _pairwise_jaccard_ds(
     return _pairwise_jaccard_join_ds(ds, pairs_ds, shingle_k, n_parts)
 
 
+def _dedup_pairs_regime(
+    raw,
+    keys: list[str],
+    agg_specs,
+    pandas_agg,
+    empty_tbl: pa.Table,
+    threshold: int = BROADCAST_PAIRS_THRESHOLD,
+):
+    """Cross-partition pair dedup with a size regime: the raw pair rows are
+    materialized (object-store blocks, never the driver heap) and counted
+    (metadata-only).  Above `threshold` rows the dedup is a DISTRIBUTED
+    groupby — pairs never touch the driver; below it, one driver-side
+    pandas aggregation replaces a whole shuffle stage (a sort-shuffle of a
+    ~250-row pair set measures ~1.6 s of pure fixed task scheduling).
+    Returns a materialized/in-memory Dataset either way, so downstream
+    count()/to_pandas()/map_batches never re-execute the upstream chain."""
+    import ray.data as rd
+
+    raw = raw.materialize()
+    if raw.count() > threshold:
+        return raw.groupby(keys).aggregate(*agg_specs).materialize()
+    df = raw.to_pandas()
+    if df.empty:
+        return rd.from_arrow(empty_tbl)
+    out = pandas_agg(df)[empty_tbl.column_names]
+    return rd.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False).cast(empty_tbl.schema)
+    )
+
+
 def _split_by_truncated(t: pa.Table, counters: bool) -> pa.Table:
     """Vectorized split of a pair table into real rows / counter rows."""
     import pyarrow.compute as pc
@@ -597,6 +642,7 @@ def minhash_pairs_ds(
     max_bucket: int = 2000,
     verify: bool = True,
     broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
+    n_parts: int | None = None,
 ):
     """Dataset-returning MinHash + banded-LSH near-duplicate pairs — the
     pair set NEVER materializes on the driver (consume with write_parquet /
@@ -615,8 +661,10 @@ def minhash_pairs_ds(
     candidate count is <= `broadcast_pairs_threshold`, else via a
     distributed hash join (`_pairwise_jaccard_join_ds`)."""
     import pyarrow.compute as pc
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
+    P = _adaptive_pair_parts(ds, n_parts)
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_args=(num_perm, bands, shingle_k),
@@ -625,42 +673,91 @@ def minhash_pairs_ds(
         batch_size=2048,
         concurrency=(1, 8),
     )
-    # (doc_a, doc_b, truncated): deduped across bands by a DISTRIBUTED
-    # groupby; materialized because counters + verify both consume it
-    # (object-store blocks, never the driver heap)
-    cand = (
-        sigs.map_batches(_add_bucket_part, batch_format="pyarrow")
+    # (doc_a, doc_b, truncated): deduped across bands — distributed groupby
+    # above the threshold, one driver pandas pass below it (regime helper)
+    raw_pairs = (
+        sigs.map_batches(
+            _add_bucket_part, fn_kwargs={"n_parts": P}, batch_format="pyarrow"
+        )
         .groupby("part")
         .map_groups(lambda g: _bucket_pairs_in_part(g, max_bucket), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("truncated", alias_name="truncated"))
-        .materialize()
     )
-    counters = cand.map_batches(
-        lambda t: _as_pair_output(_split_by_truncated(t, True), "jaccard"),
-        batch_format="pyarrow",
+    cand = _dedup_pairs_regime(
+        raw_pairs,
+        ["doc_a", "doc_b"],
+        [Sum("truncated", alias_name="truncated")],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["truncated"].sum(),
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "truncated": pa.array([], type=pa.int64()),
+            }
+        ),
+        threshold=broadcast_pairs_threshold,
     )
-    real = cand.map_batches(
-        lambda t: _split_by_truncated(t, False), batch_format="pyarrow"
-    )
-    if not verify:
-        out = real.map_batches(
-            lambda t: _as_pair_output(t, "jaccard"), batch_format="pyarrow"
+    n_cand = cand.count()  # metadata-only on a materialized dataset
+    if n_cand > broadcast_pairs_threshold:
+        # distributed regime: splits stay Dataset-side, verify routes via
+        # the hash join — the driver never holds a pair row
+        counters = cand.map_batches(
+            lambda t: _as_pair_output(_split_by_truncated(t, True), "jaccard"),
+            batch_format="pyarrow",
+        )
+        real = cand.map_batches(
+            lambda t: _split_by_truncated(t, False), batch_format="pyarrow"
+        )
+        if not verify:
+            out = real.map_batches(
+                lambda t: _as_pair_output(t, "jaccard"), batch_format="pyarrow"
+            )
+            return out.union(counters)
+        ver = _pairwise_jaccard_join_ds(
+            ds, real.select_columns(["doc_a", "doc_b"]), shingle_k
+        )
+        out = ver.map_batches(
+            lambda t: _as_pair_output(
+                t, "jaccard", pc.greater_equal(t.column("jaccard"), jaccard_threshold)
+            ),
+            batch_format="pyarrow",
         )
         return out.union(counters)
-    ver = _pairwise_jaccard_ds(
-        ds,
-        real.select_columns(["doc_a", "doc_b"]),
-        shingle_k,
-        broadcast_threshold=broadcast_pairs_threshold,
+    # broadcast regime: the candidate set is driver-sized BY DEFINITION
+    # (<= broadcast_pairs_threshold rows), so split counters/real on the
+    # driver in one fetch instead of re-executing filter stages per branch
+    cand_df = cand.to_pandas()
+    if cand_df.empty:
+        return rd.from_arrow(_as_pair_output(_EMPTY_JACCARD_TABLE, "jaccard"))
+    counters_df = cand_df[cand_df["truncated"] > 0]
+    real_df = cand_df[cand_df["truncated"] == 0][["doc_a", "doc_b"]]
+    counters_tbl = pa.table(
+        {
+            "doc_a": pa.array(counters_df["doc_a"], type=pa.int64()),
+            "doc_b": pa.array(counters_df["doc_b"], type=pa.int64()),
+            "jaccard": pa.array(np.full(len(counters_df), np.nan), type=pa.float64()),
+            "truncated": pa.array(counters_df["truncated"], type=pa.int64()),
+        }
     )
-    out = ver.map_batches(
-        lambda t: _as_pair_output(
-            t, "jaccard", pc.greater_equal(t.column("jaccard"), jaccard_threshold)
-        ),
-        batch_format="pyarrow",
-    )
-    return out.union(counters)
+    if verify and not real_df.empty:
+        ver = _pairwise_jaccard_broadcast_ds(ds, real_df, shingle_k)
+        out = ver.map_batches(
+            lambda t: _as_pair_output(
+                t, "jaccard", pc.greater_equal(t.column("jaccard"), jaccard_threshold)
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        out = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(real_df["doc_a"], type=pa.int64()),
+                    "doc_b": pa.array(real_df["doc_b"], type=pa.int64()),
+                    "jaccard": pa.array(np.full(len(real_df), np.nan), type=pa.float64()),
+                    "truncated": pa.array(np.zeros(len(real_df), dtype=np.int64)),
+                }
+            )
+        )
+    return out.union(rd.from_arrow(counters_tbl)) if len(counters_tbl) else out
 
 
 def _pairs_ds_to_pandas(out_ds, value_col: str, warn_tag: str) -> pd.DataFrame:
@@ -765,7 +862,9 @@ def simhash_signatures(ds):
         zero_copy_batch=True, batch_size=2048, concurrency=(1, 8))
 
 
-def simhash_pairs_ds(ds, max_hamming: int = 3, max_bucket: int = 2000):
+def simhash_pairs_ds(
+    ds, max_hamming: int = 3, max_bucket: int = 2000, n_parts: int | None = None
+):
     """Dataset-returning SimHash near-dup pairs: block on 4x16-bit bands
     (any pair within Hamming<=3 of 64 bits must agree exactly on at least
     one 16-bit quarter, pigeonhole), verify Hamming inside buckets, dedup
@@ -777,6 +876,7 @@ def simhash_pairs_ds(ds, max_hamming: int = 3, max_bucket: int = 2000):
     total docs covered by oversized skipped buckets (no-silent-caps)."""
     from ray.data.aggregate import Min, Sum
 
+    P = _adaptive_pair_parts(ds, n_parts)
     sigs = simhash_signatures(ds)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
@@ -856,18 +956,32 @@ def simhash_pairs_ds(ds, max_hamming: int = 3, max_bucket: int = 2000):
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    # cross-band dedup + counter merge, distributed: identical pairs found
-    # in several bands have identical hamming (Min picks one); counter rows
-    # all share the (-1, -1) key and Sum their covered-doc counts
-    return (
-        banded.map_batches(_add_bucket_part, batch_format="pyarrow")
+    # cross-band dedup + counter merge: identical pairs found in several
+    # bands have identical hamming (Min picks one); counter rows all share
+    # the (-1, -1) key and Sum their covered-doc counts.  Distributed
+    # groupby above the size threshold, driver pandas pass below it.
+    raw_pairs = (
+        banded.map_batches(
+            _add_bucket_part, fn_kwargs={"n_parts": P}, batch_format="pyarrow"
+        )
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Min("hamming", alias_name="hamming"),
-            Sum("truncated", alias_name="truncated"),
-        )
+    )
+    return _dedup_pairs_regime(
+        raw_pairs,
+        ["doc_a", "doc_b"],
+        [Min("hamming", alias_name="hamming"), Sum("truncated", alias_name="truncated")],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            hamming=("hamming", "min"), truncated=("truncated", "sum")
+        ),
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+                "truncated": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
 
@@ -893,7 +1007,7 @@ def embedding_pairs_ds(
     seed: int = 11,
     max_bucket: int = 4000,
     n_tables: int = 4,
-    n_parts: int = _PAIR_PARTITIONS,
+    n_parts: int | None = None,
 ):
     """Dataset-returning near-duplicate embedding pairs (vec_a < vec_b,
     cosine >= threshold) — the pair set never collects on the driver.
@@ -913,6 +1027,7 @@ def embedding_pairs_ds(
     total vectors covered by oversized skipped buckets (no-silent-caps)."""
     from ray.data.aggregate import Max, Sum
 
+    P = _adaptive_pair_parts(emb_ds, n_parts)
     rng = np.random.default_rng(seed)
 
     class SignStage:
@@ -963,7 +1078,7 @@ def embedding_pairs_ds(
         from indexer_ray.functions.hashing import key_partition
 
         part = key_partition(
-            batch.column("bucket").to_numpy(zero_copy_only=False), n_parts
+            batch.column("bucket").to_numpy(zero_copy_only=False), P
         )
         return batch.append_column("part", pa.array(part, type=pa.int32()))
 
@@ -1021,17 +1136,29 @@ def embedding_pairs_ds(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    # cross-table dedup + counter merge, distributed (cosine is identical
-    # for the same pair in every table; Max just picks one)
-    return (
+    # cross-table dedup + counter merge (cosine is identical for the same
+    # pair in every table; Max just picks one): distributed groupby above
+    # the size threshold, driver pandas pass below it
+    raw_pairs = (
         bucketed.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(
-            Max("cosine", alias_name="cosine"),
-            Sum("truncated", alias_name="truncated"),
-        )
+    )
+    return _dedup_pairs_regime(
+        raw_pairs,
+        ["vec_a", "vec_b"],
+        [Max("cosine", alias_name="cosine"), Sum("truncated", alias_name="truncated")],
+        lambda df: df.groupby(["vec_a", "vec_b"], as_index=False).agg(
+            cosine=("cosine", "max"), truncated=("truncated", "sum")
+        ),
+        pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+                "truncated": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
 
@@ -1120,7 +1247,7 @@ def winnow_pairs_ds(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int = 2000,
-    n_parts: int = _PAIR_PARTITIONS,
+    n_parts: int | None = None,
 ):
     """Dataset-returning overlap-duplicate pairs: docs sharing >=
     `min_shared` winnowing fingerprints (doc_a < doc_b).  Blocking is the
@@ -1136,12 +1263,13 @@ def winnow_pairs_ds(
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    P = _adaptive_pair_parts(ds, n_parts)
     fps = winnow_fingerprints(ds, k=k, w=w)
 
     def _route(batch: pa.Table) -> pa.Table:
         from indexer_ray.functions.hashing import key_partition
 
-        part = key_partition(batch.column("fp").to_numpy(zero_copy_only=False), n_parts)
+        part = key_partition(batch.column("fp").to_numpy(zero_copy_only=False), P)
         return batch.append_column("part", pa.array(part, type=pa.int32()))
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -1188,12 +1316,26 @@ def winnow_pairs_ds(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    counted = (
+    raw_pairs = (
         fps.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n_shared", alias_name="n_shared"), Sum("truncated", alias_name="truncated"))
+    )
+    counted = _dedup_pairs_regime(
+        raw_pairs,
+        ["doc_a", "doc_b"],
+        [Sum("n_shared", alias_name="n_shared"), Sum("truncated", alias_name="truncated")],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared=("n_shared", "sum"), truncated=("truncated", "sum")
+        ),
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "truncated": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
     def _apply_min_shared(t: pa.Table) -> pa.Table:
@@ -1212,7 +1354,7 @@ def winnow_dup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int = 2000,
-    n_parts: int = _PAIR_PARTITIONS,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """Overlap-duplicate pairs as a pandas DataFrame (doc_a, doc_b,
     n_shared) — driver-side convenience wrapper over `winnow_pairs_ds`; at
