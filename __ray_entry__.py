@@ -555,6 +555,55 @@ def _q_search_bm25_wand(sf_dir: str):
     return _topk_frame(_searcher(sf_dir, "conformance"), "bm25", "wand")
 
 
+def _q_lang_run_clusters(sf_dir: str):
+    """Connected components (dup_clusters) under the DuckDB oracle: edges
+    connect consecutive doc_ids sharing a lang, so components are maximal
+    same-lang runs and cluster_id = min doc_id of the run — exactly
+    window-function-expressible in SQL.  threshold=0 forces the
+    DISTRIBUTED hash-min label-propagation path (never union-find), so
+    the oracle checks the at-scale algorithm."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import dup_clusters
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    left = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "join_key": pc.add(t.column("doc_id").cast(pa.int64()), 1),
+                "doc_a": t.column("doc_id").cast(pa.int64()),
+                "lang_a": t.column("lang"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "join_key": t.column("doc_id").cast(pa.int64()),
+                "doc_b": t.column("doc_id").cast(pa.int64()),
+                "lang_b": t.column("lang"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = left.join(right, "inner", 4, on=("join_key",)).map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang_a"), t.column("lang_b"))).select(
+            ["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = dup_clusters(edges, threshold=0).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -729,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
+        "lang_run_clusters": _q_lang_run_clusters,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
@@ -820,6 +870,22 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk_plain": _search_oracle_sql("bm25"),
         # WAND is exact (≡ exhaustive): the SAME BM25 oracle applies
         "search_bm25_wand_plain": _search_oracle_sql("bm25"),
+        # connected components over consecutive-same-lang edges = maximal
+        # same-lang runs; cluster_id = min doc_id of the run (window fns)
+        "lang_run_clusters": """WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS brk
+  FROM documents
+), g AS (
+  SELECT doc_id, SUM(brk) OVER (ORDER BY doc_id) AS grp FROM d
+), c AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY grp) AS cluster_id,
+         COUNT(*) OVER (PARTITION BY grp) AS sz
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM c WHERE sz > 1 ORDER BY doc_id""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

@@ -1367,3 +1367,186 @@ def winnow_dup_pairs(
         "winnow_dup_pairs",
     )
     return out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
+
+
+# ------------------------------------------------------- duplicate clusters
+
+
+def _union_find_clusters(edges: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find with path compression over (doc_a, doc_b)
+    edges: one row (doc_id, cluster_id) per vertex, cluster_id = min doc_id
+    of the connected component (union by MIN, so the root IS the keeper)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype("int64")
+
+
+_EMPTY_CLUSTERS_TABLE = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "cluster_id": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def dup_clusters(
+    pairs,
+    threshold: int = BROADCAST_PAIRS_THRESHOLD,
+    max_iters: int = 64,
+    n_parts: int = _PAIR_PARTITIONS,
+):
+    """Connected components over duplicate-pair output: one row
+    (doc_id, cluster_id) per vertex, cluster_id = MIN doc_id of the
+    component — the canonical keeper, first-wins like `exact_duplicates`.
+    The step every dedup pipeline needs between "pairs found" and "corpus
+    filtered": near-dup relations are not transitive-closed, so keeping
+    min(doc_a, doc_b) per PAIR both over- and under-deletes.
+
+    Accepts the (doc_a, doc_b, ...) pair output of any family here —
+    pandas frame or Ray Dataset; counter rows (doc_a == -1) are ignored.
+    Returns the kind it was given (DataFrame in -> DataFrame out).
+
+    Driver-sized pair sets run union-find on the driver.  Above
+    `threshold` pairs, DISTRIBUTED hash-min label propagation (the HCC
+    formulation of Kang, Tsourakakis & Faloutsos, ICDM 2009): every vertex
+    repeatedly adopts the minimum label of its closed neighborhood.
+    Labels only ever decrease, so sum(labels) is a monotone convergence
+    witness needing no change-detection join; rounds = component diameter
+    (near-dup clusters are shallow).  Each round is one hash join + one
+    groupby over edge/label rows — the corpus and driver are never
+    touched."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if isinstance(pairs, pd.DataFrame):
+        # a frame the caller already holds is driver-sized by definition
+        return _union_find_clusters(pairs[pairs["doc_a"] >= 0][["doc_a", "doc_b"]])
+
+    def _clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_a"), 0))
+        return pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b")})
+
+    edges = pairs.map_batches(_clean, batch_format="pyarrow").materialize()
+    if edges.count() <= threshold:
+        df = edges.to_pandas()
+        if df.empty:
+            return rd.from_arrow(_EMPTY_CLUSTERS_TABLE)
+        return rd.from_arrow(
+            pa.Table.from_pandas(_union_find_clusters(df), preserve_index=False)
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(n_parts, ncpu // 2))  # join aggregators hold CPU slots
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]).cast(pa.int64()),
+                "dst": pa.concat_arrays([b, a]).cast(pa.int64()),
+            }
+        )
+
+    edges_sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _self_min(t: pa.Table) -> pa.Table:
+        # closed neighborhood: label starts at min(self, neighbors)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "label": pc.min_element_wise(
+                    t.column("src").cast(pa.int64()), t.column("label").cast(pa.int64())
+                ),
+            }
+        )
+
+    labels = (
+        edges_sym.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
+        .map_batches(_self_min, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = edges_sym.join(labels, "inner", jp, on=("src",)).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("dst").cast(pa.int64()),
+                    "label": t.column("label").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("src")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels are monotone non-increasing ints
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("src").cast(pa.int64()),
+                "cluster_id": t.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def drop_duplicates_ds(ds, clusters, id_col: str = "doc_id"):
+    """Corpus filter from a cluster assignment: keep every row that is
+    either outside all duplicate clusters or its cluster's canonical
+    keeper (doc_id == cluster_id).  `clusters` is the `dup_clusters`
+    output (Dataset or DataFrame).  Implemented as a LEFT OUTER hash join
+    — the corpus streams, nothing materializes on the driver."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if isinstance(clusters, pd.DataFrame):
+        clusters = rd.from_arrow(
+            pa.Table.from_pandas(
+                clusters[["doc_id", "cluster_id"]], preserve_index=False
+            ).cast(_EMPTY_CLUSTERS_TABLE.schema)
+        )
+    if id_col != "doc_id":
+        clusters = clusters.map_batches(
+            lambda t: pa.table(
+                {id_col: t.column("doc_id"), "cluster_id": t.column("cluster_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = max(2, ncpu // 2)
+    joined = ds.join(clusters, "left_outer", jp, on=(id_col,))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id")
+        keep = pc.or_kleene(
+            pc.is_null(cid), pc.equal(cid, t.column(id_col).cast(pa.int64()))
+        )
+        return t.filter(pc.fill_null(keep, True)).drop_columns(["cluster_id"])
+
+    return joined.map_batches(_keep, batch_format="pyarrow")

@@ -568,3 +568,78 @@ def test_ngram_jaccard_accepts_pairs_dataset(ray_session, docs_pdf):
     got = ngram_jaccard_pairs(ds, pairs=rd.from_pandas(pairs_pd))
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 4 and (got["jaccard"] > 0.5).all()
+
+
+def test_dup_clusters_union_find_known_components():
+    from indexer_ray.pipelines.dedup import _union_find_clusters, dup_clusters
+
+    # components: {1,2,3,7}, {10,11}, chain {20,21,22}; counter row ignored
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [2, 3, 7, 10, 21, 20, -1],
+            "doc_b": [1, 2, 3, 11, 22, 21, -1],
+        }
+    )
+    got = dup_clusters(pairs)  # pandas in -> pandas out (union-find)
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert got.equals(_union_find_clusters(pairs[pairs.doc_a >= 0]))
+
+
+def test_dup_clusters_distributed_matches_union_find(ray_session):
+    """Hash-min label propagation (threshold=0 forces the distributed
+    path) must match driver union-find on a random graph with long chains
+    (propagation depth > 1 round)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import _union_find_clusters, dup_clusters
+
+    rng = np.random.default_rng(11)
+    # 40 random edges over 60 vertices + one 12-vertex chain (diameter 11)
+    a = rng.integers(0, 60, size=40)
+    b = rng.integers(0, 60, size=40)
+    chain = np.arange(100, 112)
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.r_[a, chain[:-1]].astype("int64"),
+            "doc_b": np.r_[b, chain[1:]].astype("int64"),
+        }
+    )
+    pairs = pairs[pairs.doc_a != pairs.doc_b].reset_index(drop=True)
+    want = _union_find_clusters(pairs)
+    got = (
+        dup_clusters(rd.from_pandas(pairs), threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_drop_duplicates_ds(ray_session, docs_pdf):
+    """Pairs -> clusters -> corpus filter: only canonical keepers of each
+    injected duplicate cluster survive; untouched docs all survive."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import (
+        drop_duplicates_ds,
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    near = docs_pdf.head(6).copy()
+    near["doc_id"] = near["doc_id"] + 500_000
+    near["text"] = near["text"] + " extra tail token"
+    both = pd.concat([docs_pdf, near], ignore_index=True)
+    ds = rd.from_pandas(both)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    clusters = dup_clusters(pairs)
+    kept = drop_duplicates_ds(ds, clusters).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # every injected copy (the larger id of its pair) is gone
+    for i in docs_pdf.head(6)["doc_id"]:
+        assert i in kept_ids and (i + 500_000) not in kept_ids
+    # nothing outside the clusters was dropped
+    clustered = set(clusters["doc_id"])
+    assert kept_ids == set(both["doc_id"]) - (clustered - set(clusters["cluster_id"]))
