@@ -644,10 +644,14 @@ def minhash_pairs_ds(
     broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
     n_parts: int | None = None,
 ):
-    """Dataset-returning MinHash + banded-LSH near-duplicate pairs — the
-    pair set NEVER materializes on the driver (consume with write_parquet /
-    iter_batches / count, or `.to_pandas()` when the caller knows it is
-    small; `minhash_lsh_pairs` is that convenience wrapper).
+    """Dataset-returning MinHash + banded-LSH near-duplicate pairs.
+    Above `broadcast_pairs_threshold` candidates the pair set NEVER
+    touches the driver (dedup, split and verify all distributed); below
+    it the driver holds at most `broadcast_pairs_threshold` rows — the
+    bounded regime — to skip shuffle stages toy scale can't amortize.
+    Consume with write_parquet / iter_batches / count, or `.to_pandas()`
+    when the caller knows the output is small (`minhash_lsh_pairs` is
+    that convenience wrapper).
 
     Output columns (doc_a, doc_b, jaccard, truncated):
       * real pairs — doc_a < doc_b, truncated == 0, jaccard = exact
