@@ -867,7 +867,11 @@ def simhash_signatures(ds):
 
 
 def simhash_pairs_ds(
-    ds, max_hamming: int = 3, max_bucket: int = 2000, n_parts: int | None = None
+    ds,
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    n_parts: int | None = None,
+    broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
 ):
     """Dataset-returning SimHash near-dup pairs: block on 4x16-bit bands
     (any pair within Hamming<=3 of 64 bits must agree exactly on at least
@@ -986,6 +990,7 @@ def simhash_pairs_ds(
                 "truncated": pa.array([], type=pa.int64()),
             }
         ),
+        threshold=broadcast_pairs_threshold,
     )
 
 
@@ -1012,6 +1017,7 @@ def embedding_pairs_ds(
     max_bucket: int = 4000,
     n_tables: int = 4,
     n_parts: int | None = None,
+    broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
 ):
     """Dataset-returning near-duplicate embedding pairs (vec_a < vec_b,
     cosine >= threshold) — the pair set never collects on the driver.
@@ -1163,6 +1169,7 @@ def embedding_pairs_ds(
                 "truncated": pa.array([], type=pa.int64()),
             }
         ),
+        threshold=broadcast_pairs_threshold,
     )
 
 
@@ -1252,6 +1259,7 @@ def winnow_pairs_ds(
     min_shared: int = 2,
     max_bucket: int = 2000,
     n_parts: int | None = None,
+    broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
 ):
     """Dataset-returning overlap-duplicate pairs: docs sharing >=
     `min_shared` winnowing fingerprints (doc_a < doc_b).  Blocking is the
@@ -1340,6 +1348,7 @@ def winnow_pairs_ds(
                 "truncated": pa.array([], type=pa.int64()),
             }
         ),
+        threshold=broadcast_pairs_threshold,
     )
 
     def _apply_min_shared(t: pa.Table) -> pa.Table:

@@ -643,3 +643,26 @@ def test_drop_duplicates_ds(ray_session, docs_pdf):
     # nothing outside the clusters was dropped
     clustered = set(clusters["doc_id"])
     assert kept_ids == set(both["doc_id"]) - (clustered - set(clusters["cluster_id"]))
+
+
+def test_simhash_and_winnow_ds_distributed_dedup_regime(ray_session, docs_pdf):
+    """Forcing broadcast_pairs_threshold=0 routes the cross-partition pair
+    dedup through the DISTRIBUTED groupby; results must equal the driver
+    regime for simhash and winnow."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines import dedup
+
+    near = docs_pdf.head(4).copy()
+    near["doc_id"] = near["doc_id"] + 300_000
+    near["text"] = near["text"] + " tail"
+    both = pd.concat([docs_pdf, near], ignore_index=True)
+    ds = rd.from_pandas(both)
+
+    for fn, col in ((dedup.simhash_pairs_ds, "hamming"), (dedup.winnow_pairs_ds, "n_shared")):
+        a = fn(ds).to_pandas()
+        b = fn(ds, broadcast_pairs_threshold=0).to_pandas()
+        key = ["doc_a", "doc_b"]
+        a = a.sort_values(key).reset_index(drop=True)[key + [col, "truncated"]]
+        b = b.sort_values(key).reset_index(drop=True)[key + [col, "truncated"]]
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"), check_dtype=False)
