@@ -604,6 +604,30 @@ def _q_lang_run_clusters(sf_dir: str):
     )
 
 
+def _q_decontamination_overlap(sf_dir: str):
+    """Cross-corpus contamination check (rows-only: winnowing fingerprint
+    hashing is not SQL-expressible): probe = the first 5 documents' texts
+    as a benchmark table, corpus = all documents.  Every probe row is
+    verbatim-contained in its corpus counterpart, so the Schleimer-2003
+    guarantee makes those 5 hits mandatory; exact-duplicate docs of those
+    texts hit too.  Deterministic (sorted)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import cross_corpus_overlap_ds
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    head = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    head = head.sort_values("doc_id").head(5).reset_index(drop=True)
+    probe = pd.DataFrame({"doc_id": range(5), "text": head["text"]})
+    corpus = rd.read_parquet(src, columns=["doc_id", "text"])
+    out = cross_corpus_overlap_ds(corpus, rd.from_pandas(probe), min_shared=2).to_pandas()
+    return (
+        out.sort_values(["doc_id", "probe_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "probe_id": "int64", "n_shared": "int64", "truncated": "int64"})
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     from indexer_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -789,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "winnow_dup_pairs": _q_winnow_pairs,
+        "decontamination_overlap": _q_decontamination_overlap,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,

@@ -1563,3 +1563,195 @@ def drop_duplicates_ds(ds, clusters, id_col: str = "doc_id"):
         return t.filter(pc.fill_null(keep, True)).drop_columns(["cluster_id"])
 
     return joined.map_batches(_keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------- cross-corpus decontamination
+
+
+def cross_corpus_overlap_ds(
+    corpus_ds,
+    probe_ds,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 2000,
+    n_parts: int | None = None,
+    broadcast_pairs_threshold: int = BROADCAST_PAIRS_THRESHOLD,
+):
+    """Benchmark-contamination detection: (doc_id, probe_id, n_shared) for
+    every corpus document sharing >= `min_shared` winnowing fingerprints
+    with a document of the (small) probe/benchmark table — any common token
+    run of length >= w+k-1 guarantees a shared fingerprint (Schleimer et
+    al. 2003), so verbatim benchmark sentences inside training documents
+    are caught regardless of surrounding text.
+
+    BIPARTITE blocking over the same fp-routed partitions as
+    `winnow_pairs_ds`: both sides fingerprint independently (the big
+    corpus streams; the probe is usually thousands of rows), fps
+    hash-route to partitions with a side tag, each partition emits only
+    ACROSS-side pairs in one vectorized pass, a distributed groupby sums
+    shared counts, and the counter row (doc_id == probe_id == -1) carries
+    docs covered by oversized fp buckets (boilerplate; no silent caps)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    P = _adaptive_pair_parts(corpus_ds, n_parts)
+
+    def _route_side(side: int):
+        def _route(batch: pa.Table) -> pa.Table:
+            from indexer_ray.functions.hashing import key_partition
+
+            part = key_partition(
+                batch.column("fp").to_numpy(zero_copy_only=False), P
+            )
+            n = len(part)
+            return pa.table(
+                {
+                    "fp": batch.column("fp"),
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "part": pa.array(part, type=pa.int32()),
+                    "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
+                }
+            )
+
+        return _route
+
+    corpus_fps = winnow_fingerprints(corpus_ds, k=k, w=w).map_batches(
+        _route_side(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    probe_fps = winnow_fingerprints(probe_ds, k=k, w=w).map_batches(
+        _route_side(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "side", "doc_id"]).drop_duplicates(
+            ["fp", "side", "doc_id"]
+        )
+        fp = g["fp"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy()
+        side = g["side"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"doc_id": [], "probe_id": [], "n_shared": [], "truncated": []}
+        ).astype(
+            {"doc_id": "int64", "probe_id": "int64", "n_shared": "int64", "truncated": "int64"}
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_c, out_p, truncated = [], [], []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2:
+                continue
+            if size > max_bucket:
+                truncated.append(int(size))
+                continue
+            # side-sorted within the bucket: corpus rows first, probe after
+            n_c = int((side[s:e] == 0).sum())
+            if n_c == 0 or n_c == size:
+                continue  # fp seen on one side only
+            c_ids = ids[s : s + n_c]
+            p_ids = ids[s + n_c : e]
+            ii, jj = np.meshgrid(
+                np.arange(n_c), np.arange(size - n_c), indexing="ij"
+            )
+            out_c.append(c_ids[ii.ravel()])
+            out_p.append(p_ids[jj.ravel()])
+        frames = []
+        if out_c:
+            cp = pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_c).astype("int64"),
+                    "probe_id": np.concatenate(out_p).astype("int64"),
+                }
+            )
+            agg = cp.groupby(["doc_id", "probe_id"], sort=False).size().reset_index(
+                name="n_shared"
+            )
+            agg["truncated"] = np.int64(0)
+            frames.append(agg)
+        if truncated:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": [-1] * len(truncated),
+                        "probe_id": [-1] * len(truncated),
+                        "n_shared": [0] * len(truncated),
+                        "truncated": truncated,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    raw = (
+        corpus_fps.union(probe_fps)
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+    counted = _dedup_pairs_regime(
+        raw,
+        ["doc_id", "probe_id"],
+        [Sum("n_shared", alias_name="n_shared"), Sum("truncated", alias_name="truncated")],
+        lambda df: df.groupby(["doc_id", "probe_id"], as_index=False).agg(
+            n_shared=("n_shared", "sum"), truncated=("truncated", "sum")
+        ),
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "probe_id": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "truncated": pa.array([], type=pa.int64()),
+            }
+        ),
+        threshold=broadcast_pairs_threshold,
+    )
+    import pyarrow.compute as pc
+
+    def _apply_min_shared(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater(t.column("truncated"), 0),
+            pc.greater_equal(t.column("n_shared"), min_shared),
+        )
+        return t.filter(keep)
+
+    return counted.map_batches(_apply_min_shared, batch_format="pyarrow")
+
+
+def decontaminate_ds(
+    corpus_ds,
+    probe_ds,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 2000,
+    id_col: str = "doc_id",
+):
+    """Remove every corpus document that overlaps the probe/benchmark set
+    (`cross_corpus_overlap_ds` hit with >= min_shared shared fingerprints)
+    — a streaming LEFT ANTI join, so the corpus never materializes.
+    Returns (clean_corpus_ds, overlap_ds); consume the overlap Dataset for
+    an audit trail of what was dropped and why."""
+    overlaps = cross_corpus_overlap_ds(
+        corpus_ds, probe_ds, k=k, w=w, min_shared=min_shared, max_bucket=max_bucket
+    ).materialize()
+
+    import pyarrow.compute as pc
+    import ray
+
+    contaminated = (
+        overlaps.map_batches(
+            lambda t: pa.table(
+                {id_col: t.filter(pc.greater_equal(t.column("doc_id"), 0)).column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .count()
+        .select_columns([id_col])
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = max(2, ncpu // 2)
+    clean = corpus_ds.join(contaminated, "left_anti", jp, on=(id_col,))
+    return clean, overlaps

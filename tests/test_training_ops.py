@@ -666,3 +666,40 @@ def test_simhash_and_winnow_ds_distributed_dedup_regime(ray_session, docs_pdf):
         a = a.sort_values(key).reset_index(drop=True)[key + [col, "truncated"]]
         b = b.sort_values(key).reset_index(drop=True)[key + [col, "truncated"]]
         pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"), check_dtype=False)
+
+
+def test_cross_corpus_decontamination(ray_session):
+    """Corpus docs containing a verbatim benchmark sentence are detected
+    (winnowing guarantee: any shared run >= w+k-1 tokens shares a
+    fingerprint) and removed by the LEFT ANTI join; clean docs survive."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import cross_corpus_overlap_ds, decontaminate_ds
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(5000)]
+    bench_sents = [
+        " ".join(rng.choice(vocab, size=12)) for _ in range(10)
+    ]  # 12 >= w+k-1 = 8
+    probe = pd.DataFrame({"doc_id": range(10), "text": bench_sents})
+    docs = []
+    for i in range(200):
+        body = " ".join(rng.choice(vocab, size=40))
+        if i % 20 == 0:  # 10 contaminated docs, one benchmark sentence inside
+            body = body + " " + bench_sents[i // 20] + " trailing tokens here"
+        docs.append({"doc_id": 1000 + i, "text": body})
+    corpus = pd.DataFrame(docs)
+    corpus_ds = rd.from_pandas(corpus)
+    probe_ds = rd.from_pandas(probe)
+
+    overlaps = cross_corpus_overlap_ds(corpus_ds, probe_ds, min_shared=2).to_pandas()
+    hits = overlaps[overlaps["truncated"] == 0]
+    contaminated = {1000 + i for i in range(0, 200, 20)}
+    assert set(hits["doc_id"]) == contaminated
+    # each hit points at the right benchmark row
+    for _, r in hits.iterrows():
+        assert r["probe_id"] == (r["doc_id"] - 1000) // 20
+
+    clean, _ = decontaminate_ds(corpus_ds, probe_ds, min_shared=2)
+    kept = set(clean.to_pandas()["doc_id"])
+    assert kept == set(corpus["doc_id"]) - contaminated
