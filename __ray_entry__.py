@@ -604,6 +604,33 @@ def _q_lang_run_clusters(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing under the DuckDB oracle: the recursive-CTE
+    oracle replicates the REAL distributed semantics (8 contiguous doc_id
+    slices, pack reset at slice starts, first-fit-in-order within a slice,
+    pack named by its first doc_id) — not a simplified single-slice mode."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import pack_sequences
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = pack_sequences(docs, budget=512, scheme="whitespace", n_parts=8).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_tokens": "int64",
+                "pack_id": "int64",
+                "pack_tokens": "int64",
+            }
+        )
+    )
+
+
 def _q_decontamination_overlap(sf_dir: str):
     """Cross-corpus contamination check (rows-only: winnowing fingerprint
     hashing is not SQL-expressible): probe = the first 5 documents' texts
@@ -803,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
         "lang_run_clusters": _q_lang_run_clusters,
+        "seq_packing": _q_pack_sequences,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
@@ -911,6 +939,29 @@ def oracle_sql() -> dict[str, str]:
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
 FROM c WHERE sz > 1 ORDER BY doc_id""",
+        # greedy first-fit-in-order packing with 8 contiguous doc_id slices:
+        # the recursive CTE carries (pack_id, running total) row to row and
+        # resets at slice changes or budget overflow — exactly
+        # text_analysis.pack_sequences(budget=512, n_parts=8)
+        "seq_packing": r"""WITH RECURSIVE bnd AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents
+), t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS k,
+         CAST(LEAST(((doc_id - lo) * 8) // span, 7) AS BIGINT) AS slc,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents, bnd
+), p AS (
+  SELECT rn, doc_id, k, slc, doc_id AS pack_id, k AS run FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.doc_id, t.k, t.slc,
+         CASE WHEN t.slc <> p.slc OR p.run + t.k > 512 THEN t.doc_id ELSE p.pack_id END,
+         CASE WHEN t.slc <> p.slc OR p.run + t.k > 512 THEN t.k ELSE p.run + t.k END
+  FROM t JOIN p ON t.rn = p.rn + 1
+)
+SELECT doc_id, k AS n_tokens, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(SUM(k) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
+FROM p ORDER BY doc_id""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

@@ -307,6 +307,93 @@ def token_counts(ds, scheme: str = "whitespace"):
         zero_copy_batch=True, batch_size=2048)
 
 
+# --------------------------------------------------------- sequence packing
+
+
+def pack_sequences(ds, budget: int, scheme: str = "whitespace", n_parts: int = 64):
+    """Greedy first-fit-in-order sequence packing for LLM training-batch
+    assembly: assign each document to a pack so consecutive (by doc_id)
+    docs share a pack until `budget` tokens would be exceeded.  Output one
+    row per doc: (doc_id, n_tokens, pack_id, pack_tokens) where pack_id is
+    globally unique and pack_tokens is the pack's total.
+
+    Distribution: docs are RANGE-partitioned by doc_id into `n_parts`
+    contiguous slices (packing is order-sensitive, so hash routing would
+    scramble it), one vectorized pass per slice.  Pack boundaries never
+    cross slices, so the result is deterministic and independent of block
+    layout; each pack is named by its FIRST doc_id — globally unique with
+    no driver coordination.  An oversized single doc (> budget) gets its
+    own pack — never silently dropped.  The greedy loop is
+    O(n_packs log n) via searchsorted over the token-count cumsum, not a
+    per-row walk."""
+    from ray.data.aggregate import Max, Min
+
+    counts = token_counts(ds, scheme=scheme).materialize()
+    if counts.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "pack_id": pa.array([], type=pa.int64()),
+                    "pack_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    # doc_id range bounds -> contiguous range partitioning (driver reads 2 ints)
+    bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = max(hi - lo + 1, 1)
+
+    def _route(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((ids - lo) * n_parts // span).astype(np.int32)
+        return t.append_column("part", pa.array(np.minimum(part, n_parts - 1), type=pa.int32()))
+
+    def _pack_slice(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tok = g["n_tokens"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        cum = np.cumsum(tok)
+        pack_of = np.empty(n, dtype=np.int64)
+        start = 0
+        local = 0
+        while start < n:
+            base = cum[start - 1] if start else 0
+            # largest prefix whose running total stays within budget
+            end = int(np.searchsorted(cum, base + budget, side="right"))
+            if end <= start:  # oversized single doc: its own pack
+                end = start + 1
+            pack_of[start:end] = local
+            local += 1
+            start = end
+        # pack totals, vectorized per pack
+        sums = np.bincount(pack_of, weights=tok).astype(np.int64)
+        pack_tokens = sums[pack_of]
+        # globally unique, coordination-free, layout-independent pack ids:
+        # each pack is named by its FIRST doc_id (ids are unique and slices
+        # are disjoint contiguous ranges)
+        firsts = ids[np.flatnonzero(np.r_[True, pack_of[1:] != pack_of[:-1]])]
+        pack_ids = firsts[pack_of]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": tok,
+                "pack_id": pack_ids,
+                "pack_tokens": pack_tokens,
+            }
+        )
+
+    return (
+        counts.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_pack_slice, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------- doc fingerprinting
 
 _FP_B = np.uint64(1099511628211)

@@ -703,3 +703,47 @@ def test_cross_corpus_decontamination(ray_session):
     clean, _ = decontaminate_ds(corpus_ds, probe_ds, min_shared=2)
     kept = set(clean.to_pandas()["doc_id"])
     assert kept == set(corpus["doc_id"]) - contaminated
+
+
+def test_pack_sequences_invariants_and_greedy_oracle(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import pack_sequences
+
+    rng = np.random.default_rng(9)
+    n = 400
+    toks = rng.integers(5, 60, size=n)
+    toks[37] = 500  # oversized doc > budget
+    texts = [" ".join(["w"] * int(k)) for k in toks]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+    ds = rd.from_pandas(df)
+    budget = 128
+    out = pack_sequences(ds, budget=budget, n_parts=8).to_pandas().sort_values("doc_id")
+    # every doc assigned exactly once, token counts correct
+    assert out["doc_id"].tolist() == list(range(n))
+    assert (out["n_tokens"].to_numpy() == toks).all()
+    # no pack exceeds budget except single-doc oversized packs
+    g = out.groupby("pack_id").agg(total=("n_tokens", "sum"), k=("doc_id", "size"))
+    over = g[g["total"] > budget]
+    assert (over["k"] == 1).all()
+    # pack totals column consistent
+    assert (out.groupby("pack_id")["pack_tokens"].nunique() == 1).all()
+    assert (out.groupby("pack_id")["n_tokens"].sum() == out.groupby("pack_id")["pack_tokens"].first()).all()
+    # packs are contiguous doc runs named by their first doc
+    firsts = out.groupby("pack_id")["doc_id"].min()
+    assert (firsts.index.to_numpy() == firsts.to_numpy()).all()
+    # single-slice result matches a reference greedy scan exactly
+    one = pack_sequences(ds, budget=budget, n_parts=1).to_pandas().sort_values("doc_id")
+    expect_pack = []
+    cur_first, cur_total = 0, 0
+    for d, k in zip(range(n), toks):
+        if cur_total and cur_total + k > budget:
+            cur_first, cur_total = d, 0
+        cur_total += int(k)
+        expect_pack.append(cur_first)
+    assert one["pack_id"].tolist() == expect_pack
+    # deterministic across runs
+    again = pack_sequences(ds, budget=budget, n_parts=8).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), again.reset_index(drop=True)
+    )
