@@ -631,6 +631,23 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment under the DuckDB oracle —
+    the Knuth multiplicative bucket rule is plain SQL arithmetic, so the
+    oracle recomputes the exact same assignment."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import hash_split
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).to_pandas()
+    return (
+        out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    )
+
+
 def _q_decontamination_overlap(sf_dir: str):
     """Cross-corpus contamination check (rows-only: winnowing fingerprint
     hashing is not SQL-expressible): probe = the first 5 documents' texts
@@ -831,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
         "lang_run_clusters": _q_lang_run_clusters,
         "seq_packing": _q_pack_sequences,
+        "hash_split_assign": _q_hash_split,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
@@ -962,6 +980,14 @@ FROM c WHERE sz > 1 ORDER BY doc_id""",
 SELECT doc_id, k AS n_tokens, CAST(pack_id AS BIGINT) AS pack_id,
        CAST(SUM(k) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
 FROM p ORDER BY doc_id""",
+        # Knuth multiplicative bucket split — identical arithmetic to
+        # sampling._bucket_of (no 64-bit overflow at these id magnitudes)
+        "hash_split_assign": """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+      FROM documents) s ORDER BY doc_id""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

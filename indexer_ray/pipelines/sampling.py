@@ -1,0 +1,75 @@
+"""Deterministic hash-based dataset splitting and sampling — the
+train/val/test assignment step of a training-data pipeline.
+
+Requirements that shape the design (and why `ds.random_shuffle()` or
+`random.random()` per row are wrong here):
+  * deterministic and layout-independent — the same row gets the same
+    split on every run, every cluster size, every block order;
+  * disjoint and exhaustive — every row lands in exactly one split;
+  * cheap — a pure per-row arithmetic map, no shuffle, no state;
+  * auditable — the assignment rule is SQL-expressible, so the DuckDB
+    oracle recomputes it exactly (driver query `hash_split_assign`).
+
+The hash is Knuth's multiplicative scheme on the id column folded to a
+32-bit lattice: h = (id * 2654435761) mod 2^32, bucket = h mod 10_000.
+Published constant (Knuth TAOCP vol. 3 §6.4); NOT a cryptographic hash —
+adequate for splitting ids that carry no adversarial structure, and chosen
+over blake2b precisely because plain SQL can reproduce it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+_BUCKETS = 10_000
+
+
+def _bucket_of(ids: np.ndarray) -> np.ndarray:
+    """bucket in [0, 10000) per id: (id * 2654435761 mod 2^32) mod 10000."""
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * _KNUTH) & _M32
+    return (h % np.uint64(_BUCKETS)).astype(np.int64)
+
+
+def hash_split(ds, splits: dict[str, float], id_col: str = "doc_id"):
+    """Assign every row to exactly one named split by hashed-id bucket
+    ranges: splits = {"train": 0.9, "val": 0.05, "test": 0.05} (fractions
+    must sum to <= 1; any remainder falls into the LAST split so the
+    assignment is exhaustive).  Adds a `split` string column; pure
+    map_batches, no shuffle, deterministic across runs/layouts."""
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names])
+    if cuts[-1] > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {cuts[-1]:.4f} > 1")
+    bounds = np.minimum((cuts * _BUCKETS).round().astype(np.int64), _BUCKETS)
+    bounds[-1] = _BUCKETS  # exhaustive: remainder joins the last split
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(ids)
+        idx = np.searchsorted(bounds, b, side="right")
+        labels = np.asarray(names, dtype=object)[idx]
+        return t.append_column("split", pa.array(labels.tolist(), type=pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
+
+
+def hash_sample(ds, fraction: float, id_col: str = "doc_id"):
+    """Deterministic ~`fraction` sample by hashed-id bucket: keeps rows
+    whose bucket < fraction * 10000.  Repeated calls with growing fractions
+    are NESTED (a 1% sample is a subset of the 10% sample) — the property
+    that makes hash sampling the right tool for progressive data ablations."""
+    cut = int(round(fraction * _BUCKETS))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_bucket_of(ids) < cut))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)

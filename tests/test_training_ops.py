@@ -747,3 +747,34 @@ def test_pack_sequences_invariants_and_greedy_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_hash_split_and_sample(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import hash_sample, hash_split
+
+    n = 20_000
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64())})
+    ds = rd.from_arrow(t)
+    out = hash_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    # exhaustive + disjoint: every row exactly one split
+    assert len(out) == n and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01 and abs(frac["test"] - 0.1) < 0.01
+    # deterministic across runs and layouts
+    again = hash_split(ds.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert dict(zip(out["doc_id"], out["split"])) == dict(zip(again["doc_id"], again["split"]))
+    # nested samples: the 5% sample is a subset of the 20% sample
+    s5 = set(hash_sample(ds, 0.05).to_pandas()["doc_id"])
+    s20 = set(hash_sample(ds, 0.20).to_pandas()["doc_id"])
+    assert s5 <= s20
+    assert abs(len(s5) / n - 0.05) < 0.01 and abs(len(s20) / n - 0.20) < 0.02
+    # fraction sanity errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(ds, {"a": 0.7, "b": 0.6})
+    with _pytest.raises(ValueError):
+        hash_split(ds, {})
