@@ -962,11 +962,14 @@ FROM c WHERE sz > 1 ORDER BY doc_id""",
         # resets at slice changes or budget overflow — exactly
         # text_analysis.pack_sequences(budget=512, n_parts=8)
         "seq_packing": r"""WITH RECURSIVE bnd AS (
-  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents
+  SELECT MIN(doc_id) AS lo,
+         -- slice width = ceil(span / 8), same division form as pack_sequences
+         (MAX(doc_id) - MIN(doc_id) + 1 + 7) // 8 AS width
+  FROM documents
 ), t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS k,
-         CAST(LEAST(((doc_id - lo) * 8) // span, 7) AS BIGINT) AS slc,
+         CAST(LEAST((doc_id - lo) // width, 7) AS BIGINT) AS slc,
          ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
   FROM documents, bnd
 ), p AS (

@@ -271,12 +271,35 @@ def extract_pdf(data: bytes | str) -> str | None:
     if not data or not data.lstrip()[:5].startswith(b"%PDF"):
         return None
     # Encryption is declared by an /Encrypt key in the TRAILER dictionary
-    # (§7.6.1) — check only there, so a content stream or string that
-    # happens to contain the bytes '/Encrypt' doesn't drop the document.
-    # Covers both classic trailers and cross-reference streams (where the
-    # trailer fields live in the last stream dict before startxref).
-    tail = data[data.rfind(b"trailer") :] if b"trailer" in data else data[-2048:]
-    if b"/Encrypt" in tail:
+    # (§7.6.1) — check only trailer-shaped regions, so a content stream or
+    # string that happens to contain the bytes '/Encrypt' doesn't drop the
+    # document.  Windows checked: after EVERY 'trailer' keyword (updated
+    # PDFs carry several trailers; bytes after the real one could also
+    # spell 'trailer'), the file tail, and the dict at the last startxref
+    # offset (linearized / cross-reference-stream PDFs put the trailer
+    # fields in an xref STREAM dict that can sit anywhere in the file).
+    windows = []
+    pos = data.find(b"trailer")
+    while pos != -1:
+        windows.append(data[pos : pos + 2048])
+        pos = data.find(b"trailer", pos + 1)
+    sx = data.rfind(b"startxref")
+    if sx != -1:
+        digits = data[sx + len(b"startxref") :].split(None, 1)
+        if digits and digits[0].isdigit():
+            seg = data[int(digits[0]) : int(digits[0]) + 2048]
+            if not seg.lstrip().startswith(b"xref"):
+                # startxref targets an object, not a classic xref table:
+                # xref STREAM pdf — the trailer fields live in this
+                # object's dict; scan only the dict (up to 'stream') so
+                # stream bytes spelling '/Encrypt' don't false-positive
+                end = seg.find(b"stream")
+                windows.append(seg if end == -1 else seg[:end])
+    if not windows:
+        # no trailer keyword and no usable startxref: malformed/truncated
+        # file — fall back to the tail, where trailer fields normally live
+        windows.append(data[-2048:])
+    if any(b"/Encrypt" in w for w in windows):
         return None  # encrypted: lopdf load fails -> doc skipped
     chunks: list[str] = []
     for m in _re.finditer(rb"stream\r?\n(.*?)endstream", data, _re.DOTALL):

@@ -417,6 +417,21 @@ def _pairwise_jaccard_broadcast_ds(
         }
         return _jaccard_for_pairs(sh, a_ids, b_ids)
 
+    import ray.data as rd
+
+    # seed one sentinel row per pair partition: a partition whose candidate
+    # docs are ALL absent from the corpus would otherwise never form a
+    # group and its pairs would vanish instead of scoring jaccard=0 (the
+    # join path emits them; the two regimes must be output-equivalent)
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "part": pa.array(sorted(pairs_by_part), type=pa.int32()),
+                "doc_id": pa.array([-1] * len(pairs_by_part), type=pa.int64()),
+                "shingles": pa.array([[]] * len(pairs_by_part), type=pa.list_(pa.uint64())),
+            }
+        )
+    )
     return (
         ds.map_batches(
             _shingle_stage,
@@ -424,6 +439,7 @@ def _pairwise_jaccard_broadcast_ds(
             zero_copy_batch=True,
             batch_size=2048,
         )
+        .union(seed)
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
     )
@@ -764,14 +780,16 @@ def minhash_pairs_ds(
     return out.union(rd.from_arrow(counters_tbl)) if len(counters_tbl) else out
 
 
-def _pairs_ds_to_pandas(out_ds, value_col: str, warn_tag: str) -> pd.DataFrame:
+def _pairs_ds_to_pandas(
+    out_ds, value_col: str, warn_tag: str, value_dtype: str = "float64"
+) -> pd.DataFrame:
     """Shared wrapper tail: collect a pair Dataset, surface the truncation
     counter as the historical WARNING print, drop counter rows, sort."""
     out = out_ds.to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"doc_a": [], "doc_b": [], value_col: []}
-        ).astype({"doc_a": "int64", "doc_b": "int64"})
+        ).astype({"doc_a": "int64", "doc_b": "int64", value_col: value_dtype})
     truncated = int(out.loc[out["truncated"] > 0, "truncated"].sum())
     if truncated:
         print(
@@ -789,11 +807,15 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 2000,
     verify: bool = True,
+    n_parts: int | None = None,
 ):
     """Near-duplicate pairs via MinHash + banded LSH, as a pandas DataFrame
     (doc_a, doc_b, jaccard) with doc_a < doc_b — a driver-side convenience
     wrapper over `minhash_pairs_ds` for corpora whose pair set fits in
-    driver memory; at scale call `minhash_pairs_ds` and write to parquet."""
+    driver memory; at scale call `minhash_pairs_ds` and write to parquet.
+    Pass `n_parts` explicitly for already-transformed input datasets (the
+    adaptive width otherwise derives it from ds.count(), which re-executes
+    a transformed chain)."""
     return _pairs_ds_to_pandas(
         minhash_pairs_ds(
             ds,
@@ -803,9 +825,11 @@ def minhash_lsh_pairs(
             jaccard_threshold=jaccard_threshold,
             max_bucket=max_bucket,
             verify=verify,
+            n_parts=n_parts,
         ),
         "jaccard",
         "minhash_lsh_pairs",
+        value_dtype="float64",
     )
 
 
@@ -828,9 +852,24 @@ def ngram_jaccard_pairs(
             ds, shingle_k=shingle_k, jaccard_threshold=threshold, max_bucket=max_bucket
         )
     if isinstance(pairs, pd.DataFrame):
-        out = _pairwise_jaccard_distributed(ds, pairs, shingle_k)
+        out = _pairwise_jaccard_distributed(
+            ds, pairs[pairs["doc_a"] >= 0], shingle_k
+        )
     else:  # Ray Dataset of candidate pairs: fully distributed routing
-        out = _pairwise_jaccard_ds(ds, pairs, shingle_k).to_pandas()
+        import pyarrow.compute as pc
+
+        def _clean(t: pa.Table) -> pa.Table:
+            # the *_pairs_ds output format includes (-1, -1) truncation
+            # counter rows — candidates they are not
+            t = t.filter(pc.greater_equal(t.column("doc_a"), 0))
+            return pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b")})
+
+        clean = pairs.map_batches(_clean, batch_format="pyarrow")
+        out = _pairwise_jaccard_ds(ds, clean, shingle_k).to_pandas()
+        # the join regime verifies the input MULTISET (no dedup stage);
+        # this API returns a driver frame, so dedup here for parity with
+        # the broadcast regime's internal drop_duplicates
+        out = out.drop_duplicates(["doc_a", "doc_b"])
     return out[out["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -994,14 +1033,19 @@ def simhash_pairs_ds(
     )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 2000) -> pd.DataFrame:
+def simhash_pairs(
+    ds, max_hamming: int = 3, max_bucket: int = 2000, n_parts: int | None = None
+) -> pd.DataFrame:
     """SimHash near-dup pairs as a pandas DataFrame (doc_a, doc_b, hamming)
     — driver-side convenience wrapper over `simhash_pairs_ds`; at scale
     call the Dataset variant and write to parquet."""
     out = _pairs_ds_to_pandas(
-        simhash_pairs_ds(ds, max_hamming=max_hamming, max_bucket=max_bucket),
+        simhash_pairs_ds(
+            ds, max_hamming=max_hamming, max_bucket=max_bucket, n_parts=n_parts
+        ),
         "hamming",
         "simhash_pairs",
+        value_dtype="int64",
     )
     return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
 
@@ -1181,6 +1225,7 @@ def embedding_dup_pairs(
     brute: bool = False,
     max_bucket: int = 4000,
     n_tables: int = 4,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """Near-duplicate embedding pairs (vec_a < vec_b, cosine >= threshold)
     as a pandas DataFrame — driver-side convenience wrapper over
@@ -1207,6 +1252,7 @@ def embedding_dup_pairs(
         seed=seed,
         max_bucket=max_bucket,
         n_tables=n_tables,
+        n_parts=n_parts,
     ).to_pandas()
     if out.empty:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
@@ -1378,6 +1424,7 @@ def winnow_dup_pairs(
         ),
         "n_shared",
         "winnow_dup_pairs",
+        value_dtype="int64",
     )
     return out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
 
@@ -1497,6 +1544,7 @@ def dup_clusters(
         .materialize()
     )
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         msgs = edges_sym.join(labels, "inner", jp, on=("src",)).map_batches(
             lambda t: pa.table(
@@ -1515,8 +1563,18 @@ def dup_clusters(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # labels are monotone non-increasing ints
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # no-silent-caps: an unconverged propagation means some component's
+        # diameter exceeds max_iters and its cluster_ids are WRONG — a
+        # downstream drop_duplicates_ds would silently under-delete
+        raise RuntimeError(
+            f"dup_clusters: hash-min propagation did not converge within "
+            f"max_iters={max_iters} rounds (a component has larger diameter); "
+            "raise max_iters"
+        )
     return labels.map_batches(
         lambda t: pa.table(
             {

@@ -99,13 +99,25 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
             group_arr = pa.array([""], type=pa.string())
             regs_out.append(_hll_registers(hashes, p))
         else:
-            # factorize (not np.unique) so the group column keeps its input
-            # dtype and null group values group together instead of raising
-            gcol = batch.column(group_col)
-            codes, uniques = pd.factorize(gcol.to_pandas(), use_na_sentinel=False)
-            for c in range(len(uniques)):
+            # Arrow dictionary_encode (not np.unique, not pandas factorize)
+            # so the group column keeps its input type EXACTLY — a pandas
+            # round-trip would go through float64 when nulls are present
+            # and silently round int64 group keys above 2^53 — and null
+            # group values group together instead of raising
+            import pyarrow.compute as pc
+
+            gcol = batch.column(group_col).combine_chunks()
+            enc = gcol.dictionary_encode()
+            n_uniq = len(enc.dictionary)
+            codes = pc.fill_null(enc.indices, n_uniq).to_numpy(zero_copy_only=False)
+            has_null = bool(gcol.null_count)
+            for c in range(n_uniq + (1 if has_null else 0)):
                 regs_out.append(_hll_registers(hashes[codes == c], p))
-            group_arr = pa.array(pd.Series(uniques), type=gcol.type, from_pandas=True)
+            group_arr = enc.dictionary
+            if has_null:
+                group_arr = pa.concat_arrays(
+                    [group_arr, pa.array([None], type=gcol.type)]
+                )
         return pa.table(
             {
                 "group": group_arr,

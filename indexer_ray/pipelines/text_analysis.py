@@ -346,10 +346,15 @@ def pack_sequences(ds, budget: int, scheme: str = "whitespace", n_parts: int = 6
     bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))
     lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
     span = max(hi - lo + 1, 1)
+    # slice width via DIVISION, not (off * n_parts) // span: the multiply
+    # wraps int64 when doc_ids span the hashed-id range (~2^63) and would
+    # scramble the contiguous-slice semantics
+    width = -(-span // n_parts)
 
     def _route(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        part = ((ids - lo) * n_parts // span).astype(np.int32)
+        off = (ids - lo).astype(np.uint64)
+        part = (off // np.uint64(width)).astype(np.int32)
         return t.append_column("part", pa.array(np.minimum(part, n_parts - 1), type=pa.int32()))
 
     def _pack_slice(g: pd.DataFrame) -> pd.DataFrame:
