@@ -87,6 +87,17 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
     row count; exact distinct counting would shuffle every distinct key."""
     m = 1 << p
 
+    def _null_fill(t: pa.DataType):
+        """A valid placeholder value of type `t` for the null-group key row
+        (never surfaced: gnull=1 rows reconstruct to None on output)."""
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return ""
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return b""
+        if pa.types.is_boolean(t):
+            return False
+        return 0  # numeric / temporal kinds: 0 casts cleanly
+
     def _partial(batch: pa.Table) -> pa.Table:
         col = batch.column(key)
         try:
@@ -96,14 +107,19 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
         hashes = _hll_hash64(keys)
         regs_out = []
         if group_col is None:
-            group_arr = pa.array([""], type=pa.string())
+            gk = pa.array([""], type=pa.string())
+            gnull = [0]
             regs_out.append(_hll_registers(hashes, p))
         else:
             # Arrow dictionary_encode (not np.unique, not pandas factorize)
             # so the group column keeps its input type EXACTLY — a pandas
             # round-trip would go through float64 when nulls are present
             # and silently round int64 group keys above 2^53 — and null
-            # group values group together instead of raising
+            # group values group together instead of raising.
+            # The groupby key must be NULL-FREE: Ray's map_groups shuffle
+            # float64-coerces nullable int keys (collapsing ids > 2^53),
+            # so nulls travel as a separate (gnull=1, placeholder) key and
+            # are reconstructed to None in the merge stage.
             import pyarrow.compute as pc
 
             gcol = batch.column(group_col).combine_chunks()
@@ -113,35 +129,52 @@ def hyperloglog_distinct(ds, key: str, group_col: str | None = None, p: int = 12
             has_null = bool(gcol.null_count)
             for c in range(n_uniq + (1 if has_null else 0)):
                 regs_out.append(_hll_registers(hashes[codes == c], p))
-            group_arr = enc.dictionary
+            gk = enc.dictionary
+            gnull = [0] * n_uniq
             if has_null:
-                group_arr = pa.concat_arrays(
-                    [group_arr, pa.array([None], type=gcol.type)]
+                fill = (
+                    gk[0].as_py() if n_uniq else _null_fill(gcol.type)
                 )
+                gk = pa.concat_arrays(
+                    [gk, pa.array([fill], type=gcol.type)]
+                )
+                gnull.append(1)
         return pa.table(
             {
-                "group": group_arr,
+                "gk": gk,
+                "gnull": pa.array(gnull, type=pa.int8()),
                 "regs": pa.array(
                     [r.tobytes() for r in regs_out], type=pa.binary()
                 ),
             }
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+    def _merge(g: pa.Table) -> pa.Table:
+        # Arrow in/out: a pandas group batch would pass nullable-int group
+        # keys through float64, collapsing int64 keys above 2^53
         stack = np.stack(
-            [np.frombuffer(b, dtype=np.uint8, count=m) for b in g["regs"]]
+            [
+                np.frombuffer(b, dtype=np.uint8, count=m)
+                for b in g.column("regs").to_pylist()
+            ]
         )
         merged = stack.max(axis=0)
-        out = {"approx_distinct": [int(round(_hll_estimate(merged)))]}
-        if group_col is not None:
-            out = {group_col: [g["group"].iloc[0]], **out}
-        return pd.DataFrame(out)
+        est = pa.array([int(round(_hll_estimate(merged)))], type=pa.int64())
+        if group_col is None:
+            return pa.table({"approx_distinct": est})
+        gk = g.column("gk")
+        garr = (
+            pa.nulls(1, type=gk.type)
+            if g.column("gnull")[0].as_py()
+            else gk.slice(0, 1)
+        )
+        return pa.table({group_col: garr, "approx_distinct": est})
 
     return (
         ds.map_batches(_partial, batch_format="pyarrow",
             zero_copy_batch=True, batch_size=8192)
-        .groupby("group")
-        .map_groups(_merge, batch_format="pandas")
+        .groupby(["gk", "gnull"])
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 
