@@ -648,6 +648,87 @@ def _q_hash_split(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (top word / top bigram
+    counts over whitespace tokens) — integer counts, so the DuckDB window
+    oracle is float-free and exact."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import repetition_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = repetition_stats(docs).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_words": "int64",
+                "top_word_n": "int64",
+                "top_bigram_n": "int64",
+            }
+        )
+    )
+
+
+def _q_cap_per_source(sf_dir: str):
+    """Per-source document cap (the per-domain balance step): survivors
+    are exactly ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+    <= 3 — the oracle recomputes the identical rule."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import cap_per_group
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = cap_per_group(docs, cap=3, group_col="source").to_pandas()
+    return (
+        out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    )
+
+
+def _q_chunk_dedup_stats(sf_dir: str):
+    """Span-level exact-dedup census (C4-style fixed word windows):
+    per-doc chunk counts and how many chunks duplicate an earlier
+    (doc_id, chunk_idx) occurrence.  Chunk equality is 128-bit
+    content-hash equality on the Ray side and string equality in SQL —
+    the same birthday-safety argument as exact_duplicates."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import chunk_dedup_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = chunk_dedup_stats(docs, chunk_words=20).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chunks": "int64", "n_dup_chunks": "int64"})
+    )
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Two-pass Misra-Gries heavy hitters: the sketch only PRUNES
+    candidates (with a certified completeness bound); the output counts
+    are exact, so plain GROUP BY ... HAVING is the oracle."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sketches import heavy_hitters
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = heavy_hitters(docs, min_count=100, n_counters=4096).to_pandas()
+    return (
+        out.sort_values("term").reset_index(drop=True).astype({"cnt": "int64"})
+    )
+
+
 def _q_decontamination_overlap(sf_dir: str):
     """Cross-corpus contamination check (rows-only: winnowing fingerprint
     hashing is not SQL-expressible): probe = the first 5 documents' texts
@@ -849,6 +930,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_run_clusters": _q_lang_run_clusters,
         "seq_packing": _q_pack_sequences,
         "hash_split_assign": _q_hash_split,
+        "repetition_stats": _q_repetition_stats,
+        "cap_per_source": _q_cap_per_source,
+        "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "heavy_hitters": _q_heavy_hitters,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
@@ -991,6 +1076,56 @@ FROM p ORDER BY doc_id""",
             ELSE 'test' END AS split
 FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 10000 AS b
       FROM documents) s ORDER BY doc_id""",
+        # whitespace-token repetition signals; DuckDB zips parallel
+        # unnests, so (term, pos) come from one split
+        "repetition_stats": r"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), wc AS (
+  SELECT doc_id, max(c) AS top_word_n FROM (
+    SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term) GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM w
+), bc AS (
+  SELECT doc_id, max(c) AS top_bigram_n FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b) GROUP BY doc_id
+), nw AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(nw.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(wc.top_word_n, 0) AS BIGINT) AS top_word_n,
+       CAST(coalesce(bc.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d
+LEFT JOIN nw USING (doc_id) LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+ORDER BY doc_id""",
+        "cap_per_source": """SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 3
+ORDER BY doc_id""",
+        # 20-word chunk census; 'earlier' = (doc_id, chunk_idx)
+        # lexicographic, exactly dedup.chunk_dedup_stats
+        "chunk_dedup_stats": r"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), c AS (
+  SELECT doc_id, pos // 20 AS chunk_idx,
+         string_agg(term, ' ' ORDER BY pos) AS chunk_text
+  FROM w GROUP BY doc_id, pos // 20
+), f AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, chunk_idx) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM c
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup_chunks
+FROM f GROUP BY doc_id ORDER BY doc_id""",
+        # the MG sketch only prunes; output counts are exact
+        "heavy_hitters": f"""{_TOKS_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term HAVING count(*) >= 100 ORDER BY term""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

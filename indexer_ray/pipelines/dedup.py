@@ -1813,3 +1813,76 @@ def decontaminate_ds(
     jp = max(2, ncpu // 2)
     clean = corpus_ds.join(contaminated, "left_anti", jp, on=(id_col,))
     return clean, overlaps
+
+
+# --------------------------------------------------- chunk-level dedup
+
+
+def chunk_dedup_stats(ds, chunk_words: int = 20, n_parts: int = 32):
+    """Span-level exact dedup census (the C4 paper's three-sentence-span
+    idea, Raffel et al. 2020 §2.2, over fixed word windows): split each
+    document's whitespace tokens into consecutive `chunk_words`-word chunks
+    (trailing partial chunk included), and count, per doc, how many of its
+    chunks are exact duplicates of a chunk seen EARLIER — earlier means
+    smaller (doc_id, chunk_idx) lexicographically, so the census is
+    deterministic and layout-independent.
+
+    Output: (doc_id, n_chunks, n_dup_chunks), one row per doc with >= 1
+    word.  Shape: map_batches emits one 128-bit content hash row per chunk
+    (blake2b, same two-int64 birthday-safety argument as
+    exact_duplicates), hash-routes chunks into `n_parts` partitions so
+    equal chunks co-locate, one vectorized sort + duplicated() pass per
+    partition emits per-(partition, doc) partial counts, and a tiny final
+    groupby sums them per doc.  The shuffle moves one 28-byte row per
+    chunk — never the text."""
+    from ray.data.aggregate import Sum
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, his, los = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            w = (t or "").split()
+            for ci in range(0, -(-len(w) // chunk_words)):
+                chunk = " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
+                d = hashlib.blake2b(chunk.encode("utf-8"), digest_size=16).digest()
+                his.append(int.from_bytes(d[:8], "big", signed=True))
+                los.append(int.from_bytes(d[8:], "big", signed=True))
+                ids_out.append(doc_id)
+                idx_out.append(ci)
+        part = key_partition(np.array(his, dtype=np.int64).astype(np.uint64), n_parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "chunk_idx": pa.array(idx_out, type=pa.int64()),
+                "hash_hi": pa.array(his, type=pa.int64()),
+                "hash_lo": pa.array(los, type=pa.int64()),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def _census(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["hash_hi", "hash_lo", "doc_id", "chunk_idx"], kind="mergesort"
+        )
+        dup = g.duplicated(["hash_hi", "hash_lo"], keep="first")
+        out = g.assign(dup=dup.astype("int64")).groupby("doc_id", as_index=False).agg(
+            n_chunks=("dup", "size"), n_dup_chunks=("dup", "sum")
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_chunks": "int64", "n_dup_chunks": "int64"}
+        )
+
+    return (
+        ds.map_batches(_chunks, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=2048)
+        .groupby("part")
+        .map_groups(_census, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+        )
+    )

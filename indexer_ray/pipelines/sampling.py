@@ -73,3 +73,65 @@ def hash_sample(ds, fraction: float, id_col: str = "doc_id"):
 
     return ds.map_batches(_keep, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=8192)
+
+
+def cap_per_group(ds, cap: int, group_col: str = "source",
+                  id_col: str = "doc_id", n_parts: int = 32):
+    """Keep at most `cap` rows per group, deterministically: the survivors
+    are the `cap` smallest `id_col` values in each group (exactly SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY id) <= cap`` — the
+    per-domain cap step of a web-corpus pipeline, where a handful of hot
+    domains would otherwise dominate the training mix).
+
+    Shape: hash-route whole groups into `n_parts` partitions (the repo's
+    routed-partition pattern — one vectorized pass per PARTITION, never a
+    map_groups per group: at web scale there are millions of domains), then
+    one sort + cumcount per partition.  The shuffle moves only
+    (id, group) — prune other columns before calling, or join survivors
+    back by id.  Skew note: a single group larger than worker memory is
+    bounded by the same hot-key salting argument as the index build — the
+    cap is applied to the SMALLEST ids, so a pre-filter
+    `hash_sample`-style guard can shrink giant groups before routing;
+    groups at web scale are domains (<= ~10^8 rows), which fit a task."""
+    import hashlib
+
+    import pandas as pd
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _route(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        enc = g.dictionary_encode()
+        uniq_h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(v).encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for v in enc.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        part = key_partition(uniq_h, n_parts)[codes]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def _cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, id_col], kind="mergesort")
+        keep = g.groupby(group_col, sort=False).cumcount() < cap
+        return g.loc[keep, [id_col, group_col]]
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(_cap, batch_format="pandas")
+    )

@@ -6,6 +6,11 @@ each batch reduces to a tiny fixed-size state, the shuffle moves states
   * hyperloglog_distinct — approximate COUNT(DISTINCT key) per group
     (Flajolet et al. 2007, the published HLL algorithm with the standard
     small-range linear-counting correction).  Standard error ~1.04/sqrt(m).
+  * value_histogram / histogram_quantiles — exact equi-width histogram and
+    quantiles interpolated from it.
+  * heavy_hitters — EXACT counts of all terms above a threshold via a
+    two-pass Misra-Gries (1982) candidate prune + broadcast exact verify:
+    approximate sketch for pruning, exact answer out.
 """
 
 from __future__ import annotations
@@ -226,3 +231,144 @@ def histogram_quantiles(
         inside = (target - prev) / max(int(counts[b]), 1)
         out[q] = lo + (b + inside) * width
     return out
+
+
+_HH_ERR_SENTINEL = "\x00__mg_err__"  # '\x00' never appears in a lexer token
+
+
+def heavy_hitters(ds, min_count: int, n_counters: int = 4096):
+    """Exact global term frequencies for every term with count >= min_count
+    — found WITHOUT shuffling the full vocabulary, via a two-pass
+    Misra-Gries (1982) candidate prune + exact verify:
+
+      pass 1  map_batches: exact per-batch counts, reduced to a Misra-Gries
+              summary of <= n_counters terms (subtract the (n_counters+1)-th
+              largest count c* from all, keep positives — a valid MG
+              summary with additive error err_b = c* <= n_b/(n_counters+1));
+              emits the surviving (term, cnt) rows plus one sentinel row
+              carrying err_b.  A groupby-sum merges summaries; summing MG
+              states sums their error bounds, so for every term
+              true_count - mg_sum <= total_err.
+      gate    candidates = terms with mg_sum >= min_count - total_err.
+              The completeness guarantee REQUIRES total_err < min_count: a
+              term absent from every batch summary has true count <=
+              total_err, so only then can no true heavy hitter be missing.
+              When total_err >= min_count the sketch cannot certify the
+              answer and this function RAISES (no-silent-caps) — size
+              n_counters >= ~n_tokens/min_count per batch to avoid it.
+      pass 2  broadcast the candidate set (ray.put once, read per batch),
+              exact-count ONLY candidates, groupby-sum, filter >= min_count.
+
+    Output: (term, cnt) — exact counts, bit-equal to SQL's
+    ``GROUP BY term HAVING count(*) >= min_count`` over plain tokens.
+    The full-vocabulary shuffle (|V| rows per batch) is replaced by
+    <= n_counters rows per batch in pass 1 and |candidates| in pass 2 —
+    the difference between shipping a web-scale vocabulary and a sketch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n_tokens = 0
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_plain(t or "")
+            n_tokens += len(toks)
+            counts.update(toks)
+        terms = list(counts.keys())
+        vals = np.fromiter((counts[t] for t in terms), dtype=np.int64, count=len(terms))
+        err = 0
+        if len(vals) > n_counters:
+            # MG reduction: subtract the (n_counters+1)-th largest, keep > 0
+            cstar = int(np.partition(vals, -n_counters - 1)[-n_counters - 1])
+            keep = vals > cstar
+            terms = [t for t, k in zip(terms, keep) if k]
+            vals = vals[keep] - cstar
+            err = cstar
+        return pa.table(
+            {
+                "term": pa.array(terms + [_HH_ERR_SENTINEL], type=pa.string()),
+                "cnt": pa.array(np.append(vals, err), type=pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    # materialized: consumed twice below (err row + candidate gate) — the
+    # merged summary itself stays DISTRIBUTED; only the gated candidate
+    # set (bounded by ~n_tokens/(min_count - total_err) terms once
+    # n_counters is sized ~ n_tokens/min_count) ever reaches the driver
+    merged = (
+        ds.map_batches(_mg_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    total_err = sum(
+        r["cnt"]
+        for r in merged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("term"), _HH_ERR_SENTINEL)),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    if total_err >= min_count:
+        # a term can be missing from EVERY batch summary while its true
+        # count is as high as total_err — returning would silently drop
+        # true heavy hitters (no-silent-caps)
+        raise ValueError(
+            f"heavy_hitters: accumulated Misra-Gries error {total_err} >= "
+            f"min_count {min_count}; the candidate set is not guaranteed "
+            f"complete.  Raise n_counters (currently {n_counters}) to at "
+            "least ~n_tokens/min_count per batch."
+        )
+    cand = [
+        r["term"]
+        for r in merged.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.not_equal(t.column("term"), _HH_ERR_SENTINEL),
+                    pc.greater_equal(t.column("cnt"), min_count - total_err),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    if not cand:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"term": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+        )
+    cand_ref = ray.put(frozenset(cand))
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cset = ray.get(cand_ref)
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(tok for tok in tokenize_plain(t or "") if tok in cset)
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(_exact_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    import pyarrow.compute as pc
+
+    return exact.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count)),
+        batch_format="pyarrow",
+    )

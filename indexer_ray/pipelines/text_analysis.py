@@ -585,3 +585,70 @@ def top_docs_by_length(ds, n: int = 100):
         .groupby("g")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- repetition signals
+
+
+def repetition_stats(ds):
+    """Per-document repetition signals over whitespace tokens — the
+    Gopher-style (Rae et al. 2021, §A1.1) quality heuristics that catch
+    boilerplate and degenerate generations: the count of the most frequent
+    word and of the most frequent adjacent word BIGRAM.  Downstream filters
+    compare them to n_words as a fraction; integer counts are emitted (not
+    the fractions) so the DuckDB oracle is float-free and exact.
+
+    Output: (doc_id, n_words, top_word_n, top_bigram_n), one row per doc
+    (0-token docs emit 0/0/0).  Pure map_batches — no shuffle: the signals
+    are per-document, so each batch is independent.  Vectorized: Arrow
+    splits the whole batch, pandas groupbys count words/bigrams across the
+    flattened (row, token) frame — no per-document Python loop."""
+    import pyarrow.compute as pc
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+        flat_arr = words.flatten()
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # Arrow's split emits '' for leading/trailing/double whitespace;
+        # '\S+' semantics (and the SQL oracle) have no empty tokens
+        mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
+        rows = rows[mask]
+        flat = flat_arr.to_numpy(zero_copy_only=False)[mask]
+        n_words = np.bincount(rows, minlength=n).astype(np.int64)
+
+        top_word = np.zeros(n, dtype=np.int64)
+        top_bigram = np.zeros(n, dtype=np.int64)
+        if len(rows):
+            wc = (
+                pd.DataFrame({"r": rows, "w": flat})
+                .groupby(["r", "w"], sort=False)
+                .size()
+                .groupby(level="r")
+                .max()
+            )
+            top_word[wc.index.to_numpy()] = wc.to_numpy()
+            adj = rows[1:] == rows[:-1]
+            if adj.any():
+                big = pd.Series(flat[:-1][adj]) + " " + pd.Series(flat[1:][adj])
+                bc = (
+                    pd.DataFrame({"r": rows[1:][adj], "b": big.to_numpy()})
+                    .groupby(["r", "b"], sort=False)
+                    .size()
+                    .groupby(level="r")
+                    .max()
+                )
+                top_bigram[bc.index.to_numpy()] = bc.to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "top_word_n": pa.array(top_word, type=pa.int64()),
+                "top_bigram_n": pa.array(top_bigram, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
