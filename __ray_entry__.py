@@ -648,6 +648,80 @@ def _q_hash_split(sf_dir: str):
     )
 
 
+def _q_index_merge_postings(sf_dir: str):
+    """LSM merge lifecycle under the external oracle (pipelines/merge.py):
+    base index over a corpus whose doc_id%5==0 rows carry STALE text,
+    delta index over the fresh versions (incremental.filter_expired picks
+    exactly those rows), then merge_indexes — the MERGED index's
+    probe-term postings must equal SQL term frequencies recomputed from
+    the CURRENT documents table (same contract as `index_postings`).
+    Hash doc ids map back to original ids via the docmap url."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.incremental import build_delta_index
+    from indexer_ray.pipelines.merge import merge_indexes
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    base = f"/tmp/indexer_ray_entry/{tag}_merge"
+    os.makedirs(base, exist_ok=True)
+    merged_idx = os.path.join(base, "merged_index")
+    if not os.path.exists(os.path.join(merged_idx, "manifest.json")):
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        stale = [
+            ("stale placeholder content" if i % 5 == 0 else t)
+            for i, t in zip(ids, texts)
+        ]
+
+        def _pages(texts_, ts_of):
+            return pa.table(
+                {
+                    "url": pa.array([f"doc://{i}" for i in ids], type=pa.string()),
+                    "warc_ts": pa.array(
+                        [ts_of(i) for i in ids], type=pa.timestamp("us")
+                    ),
+                    "html": pa.array([b""] * len(ids), type=pa.binary()),
+                    "text": pa.array(texts_, type=pa.string()),
+                }
+            )
+
+        v1 = os.path.join(base, "v1.parquet")
+        v2 = os.path.join(base, "v2.parquet")
+        pq.write_table(_pages(stale, lambda i: 0), v1)
+        pq.write_table(
+            _pages(texts, lambda i: 1_000_000 if i % 5 == 0 else 0), v2
+        )
+        cfg = BuildConfig(mode="plain", n_partitions=4, id_assign="hash")
+        build_index([v1], os.path.join(base, "base_index"), cfg)
+        build_delta_index(
+            [v2],
+            os.path.join(base, "base_index"),
+            os.path.join(base, "delta_index"),
+            cfg,
+        )
+        merge_indexes(
+            os.path.join(base, "base_index"),
+            os.path.join(base, "delta_index"),
+            merged_idx,
+        )
+    s = IndexSearcher(merged_idx)
+    rows = []
+    for term in _PROBE_TERMS:
+        d, t = s.term_postings(term)
+        urls = s.resolve_urls([int(x) for x in d])
+        for did, tf in zip(d, t):
+            rows.append((term, int(urls[int(did)][len("doc://") :]), int(tf)))
+    out = pd.DataFrame(rows, columns=["term", "doc_id", "tf"])
+    return (
+        out.sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "tf": "int64"})
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style per-doc repetition signals (top word / top bigram
     counts over whitespace tokens) — integer counts, so the DuckDB window
@@ -930,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_run_clusters": _q_lang_run_clusters,
         "seq_packing": _q_pack_sequences,
         "hash_split_assign": _q_hash_split,
+        "index_merge_postings": _q_index_merge_postings,
         "repetition_stats": _q_repetition_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
@@ -1076,6 +1151,12 @@ FROM p ORDER BY doc_id""",
             ELSE 'test' END AS split
 FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 10000 AS b
       FROM documents) s ORDER BY doc_id""",
+        # merged base+delta index == fresh index over the CURRENT corpus,
+        # so the index_postings oracle applies verbatim
+        "index_merge_postings": f"""{_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf
+FROM toks WHERE term IN ({probe})
+GROUP BY term, doc_id""",
         # whitespace-token repetition signals; DuckDB zips parallel
         # unnests, so (term, pos) come from one split
         "repetition_stats": r"""WITH w AS (

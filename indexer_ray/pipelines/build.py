@@ -633,11 +633,25 @@ def _reduce_fragment_stats(parts: list[dict], files: list[str]) -> tuple[int, in
             1 if any(p["n"] for p in parts) else 0,
         )
 
-    # overlap: dedup by doc_id (shuffle moves only (doc_id, doc_len) pairs)
+    # overlap: dedup by doc_id (shuffle moves only (doc_id, doc_len) pairs).
+    # Group on the int64 two's-complement VIEW of the uint64 id: url-hash
+    # ids above 2^63 would otherwise fall into Ray's pickled-object key
+    # path (distinctness is preserved bijectively; the id value itself is
+    # not needed here, only counts and lengths).
     from ray.data.aggregate import Count, Min
+
+    def _signed_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.view(np.int64), type=pa.int64()),
+                "doc_len": t.column("doc_len"),
+            }
+        )
 
     per_doc = (
         rd.read_parquet(files, columns=["doc_id", "doc_len"])
+        .map_batches(_signed_ids, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(Count(alias_name="c"), Min("doc_len", alias_name="doc_len"))
     )
