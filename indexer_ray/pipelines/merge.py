@@ -44,6 +44,11 @@ north rule's resumable 10^12-doc lifecycle.
 Deletions are out of scope (as in the reference): a url whose new
 version became empty is skipped by the delta build (A2 empty-skip) and
 its stale base entry survives the merge.
+
+`merge_many` extends the rule to a generation CHAIN (L0..Lk compaction):
+a url's postings come from the last generation containing it — one
+streaming pass over all generations' postings in the broadcast regime, a
+pairwise distributed cascade above the url threshold.
 """
 
 from __future__ import annotations
@@ -450,7 +455,26 @@ def merge_indexes(
         progress["phase1_sec"] = round(time.monotonic() - t0, 3)
         save_progress(out_dir, progress)
 
-    # ---- phase 2: identical to the build's, per-partition checkpoints ----
+    return _encode_and_commit(
+        out_dir, base_m.config, P, hot_out, progress, [base_dir, delta_dir]
+    )
+
+
+def _encode_and_commit(
+    out_dir: str,
+    base_config: dict,
+    P: int,
+    hot_out: dict[str, int],
+    progress: dict,
+    input_files: list[str],
+) -> IndexManifest:
+    """Shared merge tail: phase-2 encode (per-partition checkpoints, the
+    build's encoder) + docmap stats + manifest-last commit."""
+    import ray
+    import ray.data as rd
+
+    raw_root = os.path.join(out_dir, "raw")
+    docmap_dir = os.path.join(out_dir, "docmap")
     t2 = time.monotonic()
     existing = {
         int(os.path.basename(d).split("=")[1])
@@ -460,8 +484,8 @@ def merge_indexes(
     pending = [p for p in all_parts if not part_complete(out_dir, p)]
     if pending:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        block_size = int(base_m.config.get("block_size", 128))
-        tgt = int(base_m.config.get("target_partition_postings", 4 << 20))
+        block_size = int(base_config.get("block_size", 128))
+        tgt = int(base_config.get("target_partition_postings", 4 << 20))
         rd.from_items([{"part_id": p} for p in pending]).map_batches(
             _encode_partition_batch,
             fn_args=(out_dir, raw_root, block_size, tgt),
@@ -480,7 +504,7 @@ def merge_indexes(
 
         with open(os.path.join(part_dir(out_dir, p), "_meta.json")) as f:
             part_metas[str(p)] = json.load(f)
-    out_config = dict(base_m.config)
+    out_config = dict(base_config)
     out_config["n_partitions"] = P
     manifest = IndexManifest(
         n_docs=n_docs,
@@ -489,8 +513,238 @@ def merge_indexes(
         hot_terms=hot_out,
         config=out_config,
         partitions=part_metas,
-        input_files=[base_dir, delta_dir],
+        input_files=input_files,
     )
     manifest.save(out_dir)
     shutil.rmtree(raw_root, ignore_errors=True)
     return manifest
+
+
+def merge_many(
+    index_dirs: list[str],
+    out_dir: str,
+    n_partitions: int | None = None,
+    broadcast_urls_threshold: int = 1 << 20,
+) -> IndexManifest:
+    """Compact a GENERATION CHAIN of indexes (oldest first, newest last)
+    into one fresh index: a url's postings come from the LAST index that
+    contains it — the n-way extension of `merge_indexes`' newest-wins rule,
+    i.e. L0..Lk LSM compaction.
+
+    Two regimes, keyed on the total non-base docmap size:
+      * single-pass broadcast (<= `broadcast_urls_threshold` urls across
+        generations 1..k): per-generation superseded-id arrays come from
+        cumulative newer-url sets built newest-to-oldest; all generations'
+        surviving postings stream through ONE route + encode — the raw
+        postings are read exactly once.
+      * generational cascade (larger): pairwise `merge_indexes` folds,
+        oldest first, each fully distributed — G-1 passes, but each pass
+        is the already-scale-safe two-index merge (a multi-generation
+        backlog this large is rebuild-scale data movement by necessity;
+        compact more often).
+
+    Dense row-number ids shift by cumulative per-generation id spaces;
+    hash / native ids keep their shared ids (superseded copies drop)."""
+    import ray
+    import ray.data as rd
+
+    if len(index_dirs) < 2:
+        raise ValueError("merge_many needs at least two indexes")
+    if len(index_dirs) == 2:
+        return merge_indexes(
+            index_dirs[0],
+            index_dirs[1],
+            out_dir,
+            n_partitions=n_partitions,
+            broadcast_urls_threshold=broadcast_urls_threshold,
+        )
+    manifests = [IndexManifest.load(d) for d in index_dirs]
+    m0 = manifests[0]
+    for d, m in zip(index_dirs[1:], manifests[1:]):
+        for k in ("mode", "stem_tokens", "stop_filter", "source", "extract"):
+            if m0.config.get(k) != m.config.get(k):
+                raise ValueError(
+                    f"merge_many: tokenizer config mismatch on {k!r} "
+                    f"between {index_dirs[0]!r} and {d!r}"
+                )
+
+    non_base_urls = sum(_docmap_rows(_docmap_files(d)) for d in index_dirs[1:])
+    if non_base_urls > broadcast_urls_threshold:
+        # generational cascade: fold pairwise, oldest first
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir, ignore_errors=True)
+        cur = index_dirs[0]
+        tmp_dirs = []
+        for gi, d in enumerate(index_dirs[1:]):
+            last = gi == len(index_dirs) - 2
+            nxt = out_dir if last else os.path.join(out_dir + "_gen", str(gi))
+            m = merge_indexes(
+                cur,
+                d,
+                nxt,
+                n_partitions=n_partitions if last else None,
+                broadcast_urls_threshold=broadcast_urls_threshold,
+            )
+            if cur not in index_dirs:
+                tmp_dirs.append(cur)
+            cur = nxt
+        for t in tmp_dirs:
+            shutil.rmtree(t, ignore_errors=True)
+        shutil.rmtree(out_dir + "_gen", ignore_errors=True)
+        return m
+
+    # ---- single-pass broadcast n-way ----
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    raw_root = os.path.join(out_dir, "raw")
+    docmap_dir = os.path.join(out_dir, "docmap")
+    progress: dict = {}
+
+    dense = bool(m0.config.get("id_assign") == "dense") and not m0.config.get(
+        "id_column"
+    )
+    G = len(index_dirs)
+    offsets = [0] * G
+    if dense:
+        for g in range(1, G):
+            offsets[g] = offsets[g - 1] + _max_docmap_id(index_dirs[g - 1]) + 1
+
+    # cumulative newer-url sets, newest to oldest: newer[g] = urls of g+1..k
+    newer: list[set] = [set() for _ in range(G)]
+    for g in range(G - 2, -1, -1):
+        s = set(newer[g + 1])
+        files = _docmap_files(index_dirs[g + 1])
+        if files:
+            t = pq.read_table(files, columns=["url"])
+            s.update(t.column("url").to_pylist())
+        newer[g] = s
+
+    total_postings = sum(
+        int(pm.get("n_postings", 0))
+        for m in manifests
+        for pm in m.partitions.values()
+    )
+    tgt = int(m0.config.get("target_partition_postings", 4 << 20))
+    P = n_partitions or _auto_partitions(total_postings, tgt)
+    hot_out: dict[str, int] = {}
+    for m in manifests:
+        for t_, s_ in m.hot_terms.items():
+            hot_out[t_] = max(int(hot_out.get(t_, 0)), int(s_))
+    if dense or m0.config.get("id_column"):
+        id_space = max(
+            offsets[g] + _max_docmap_id(index_dirs[g]) for g in range(G)
+        ) + 1
+    else:
+        id_space = None
+    progress.update(
+        {"n_partitions": P, "hot_terms": hot_out, "id_space": id_space}
+    )
+    save_progress(out_dir, progress)
+
+    def _gen_postings(g: int):
+        """Generation g's surviving postings (superseded drop + remap)."""
+        post = postings_ds(index_dirs[g])
+        sup = _superseded_ids_of(index_dirs[g], newer[g])
+        if len(sup):
+            sup_ref = ray.put(sup)
+
+            def _drop(t: pa.Table) -> pa.Table:
+                s = ray.get(sup_ref)
+                if not t.num_rows:
+                    return t
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+                return t.filter(pa.array(~(s[pos] == ids)))
+
+            post = post.map_batches(_drop, batch_format="pyarrow", zero_copy_batch=True)
+        if dense and offsets[g]:
+            off = np.uint64(offsets[g])
+
+            def _remap(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids + off, type=pa.uint64()),
+                )
+
+            post = post.map_batches(_remap, batch_format="pyarrow", zero_copy_batch=True)
+        return post.map_batches(
+            lambda t: t.select(["term", "doc_id", "tf", "dl"]),
+            batch_format="pyarrow",
+        )
+
+    def _gen_docmap(g: int):
+        files = _docmap_files(index_dirs[g])
+        if not files:
+            return None
+        dm = rd.read_parquet(files)
+        if newer[g]:
+            drop_ref = ray.put(newer[g])
+
+            def _keep(t: pa.Table) -> pa.Table:
+                us = ray.get(drop_ref)
+                return t.filter(
+                    pa.array(
+                        [u not in us for u in t.column("url").to_pylist()],
+                        type=pa.bool_(),
+                    )
+                )
+
+            dm = dm.map_batches(_keep, batch_format="pyarrow")
+        if dense and offsets[g]:
+            off = np.uint64(offsets[g])
+
+            def _remap_dm(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids + off, type=pa.uint64()),
+                )
+
+            dm = dm.map_batches(_remap_dm, batch_format="pyarrow")
+        dm_cols = pq.ParquetFile(files[0]).schema_arrow.names
+        return dm.map_batches(lambda t: t.select(dm_cols), batch_format="pyarrow")
+
+    merged = _gen_postings(0)
+    for g in range(1, G):
+        merged = merged.union(_gen_postings(g))
+    merged = merged.map_batches(
+        _route_batch,
+        fn_kwargs={"hot_salts": hot_out, "n_partitions": P, "id_space": id_space},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged.write_parquet(raw_root, partition_cols=["part_id"])
+
+    dm_out = None
+    for g in range(G):
+        dmg = _gen_docmap(g)
+        if dmg is None:
+            continue
+        dm_out = dmg if dm_out is None else dm_out.union(dmg)
+    if dm_out is not None:
+        dm_out.write_parquet(docmap_dir)
+    os.makedirs(docmap_dir, exist_ok=True)
+    progress["phase1_complete"] = True
+    save_progress(out_dir, progress)
+
+    return _encode_and_commit(out_dir, m0.config, P, hot_out, progress, list(index_dirs))
+
+
+def _superseded_ids_of(index_dir: str, newer_urls: set) -> np.ndarray:
+    """Sorted uint64 doc_ids of an index whose url appears in a newer
+    generation (driver-side scan of the docmap url/doc_id columns — the
+    broadcast regime's bound: |newer_urls| <= broadcast_urls_threshold)."""
+    if not newer_urls:
+        return np.empty(0, dtype=np.uint64)
+    out: list[int] = []
+    for f in _docmap_files(index_dir):
+        t = pq.read_table(f, columns=["doc_id", "url"])
+        ids = t.column("doc_id").to_pylist()
+        for i, u in zip(ids, t.column("url").to_pylist()):
+            if u in newer_urls:
+                out.append(int(i))
+    return np.sort(np.array(out, dtype=np.uint64))

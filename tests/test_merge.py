@@ -220,3 +220,98 @@ def test_merge_preserves_hot_term_salting(tmp_path, ray_session):
     d, t = s.term_postings("hotword")
     assert len(d) == n  # every doc, across all salted runs
     assert np.array_equal(np.sort(d), d)  # runs concatenate doc_id-sorted
+
+
+# ------------------------------------------------------------ merge_many
+def _three_generations(tmp_path, id_assign):
+    """gen0: 200 docs (stale text for the to-be-updated ones); gen1
+    re-indexes i%8==0 (intermediate) and i%8==4 (final); gen2 re-indexes
+    i%8==0 (final).  Truth = final state: last generation wins."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    n = 200
+    final = _corpus(n_docs=n, seed=13)
+    v0 = [
+        ("stale zero text" if i % 8 in (0, 4) else t) for i, t in enumerate(final)
+    ]
+    g1_ids = [i for i in range(n) if i % 8 in (0, 4)]
+    g1_txt = [("middle junk words" if i % 8 == 0 else final[i]) for i in g1_ids]
+    g2_ids = [i for i in range(n) if i % 8 == 0]
+    g2_txt = [final[i] for i in g2_ids]
+
+    def pages_for(ids, texts):
+        m = len(ids)
+        return pa.table(
+            {
+                "url": pa.array([f"u://{i}" for i in ids], type=pa.string()),
+                "warc_ts": pa.array([0] * m, type=pa.timestamp("us")),
+                "html": pa.array([b""] * m, type=pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    cfg = BuildConfig(mode="plain", n_partitions=4, id_assign=id_assign)
+    dirs = []
+    for name, ids, texts in (
+        ("g0", list(range(n)), v0),
+        ("g1", g1_ids, g1_txt),
+        ("g2", g2_ids, g2_txt),
+    ):
+        pq.write_table(pages_for(ids, texts), str(tmp_path / f"{name}.parquet"))
+        build_index([str(tmp_path / f"{name}.parquet")], str(tmp_path / name), cfg)
+        dirs.append(str(tmp_path / name))
+    pq.write_table(
+        pages_for(list(range(n)), final), str(tmp_path / "final.parquet")
+    )
+    build_index([str(tmp_path / "final.parquet")], str(tmp_path / "fresh"), cfg)
+    return dirs, str(tmp_path / "fresh")
+
+
+def test_merge_many_last_generation_wins_hash(tmp_path, ray_session):
+    from indexer_ray.pipelines.merge import merge_many
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    dirs, fresh = _three_generations(tmp_path, "hash")
+    m = merge_many(dirs, str(tmp_path / "m"))
+    sm, sf = IndexSearcher(str(tmp_path / "m")), IndexSearcher(fresh)
+    assert m.n_docs == 200
+    for q in ("w0 w2", "middle junk", "stale zero"):
+        assert [(d, round(s, 9)) for d, s in sm.search(q, k=15)] == [
+            (d, round(s, 9)) for d, s in sf.search(q, k=15)
+        ]
+    for t in ("w0", "middle", "stale", "zero"):
+        dm, tm = sm.term_postings(t)
+        df, tf = sf.term_postings(t)
+        assert np.array_equal(dm, df) and np.array_equal(tm, tf), t
+
+
+def test_merge_many_dense_by_url(tmp_path, ray_session):
+    from indexer_ray.pipelines.merge import merge_many
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    dirs, fresh = _three_generations(tmp_path, "dense")
+    m = merge_many(dirs, str(tmp_path / "m"))
+    assert m.n_docs == 200
+    sm, sf = IndexSearcher(str(tmp_path / "m")), IndexSearcher(fresh)
+    um, uf = _urlmap(str(tmp_path / "m")), _urlmap(fresh)
+    assert len(um) == 200 and len(set(um.values())) == 200
+    for q in ("w0 w2", "middle junk", "stale zero"):
+        a = sorted((um[d], round(s, 9)) for d, s in sm.search(q, k=15))
+        b = sorted((uf[d], round(s, 9)) for d, s in sf.search(q, k=15))
+        assert a == b, q
+
+
+def test_merge_many_cascade_equals_single_pass(tmp_path, ray_session):
+    from indexer_ray.pipelines.merge import merge_many
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    dirs, _ = _three_generations(tmp_path, "hash")
+    merge_many(dirs, str(tmp_path / "single"))
+    # threshold 0 forces the pairwise cascade (join regime inside)
+    merge_many(dirs, str(tmp_path / "cascade"), broadcast_urls_threshold=0)
+    ss = IndexSearcher(str(tmp_path / "single"))
+    sc = IndexSearcher(str(tmp_path / "cascade"))
+    for t in ("w0", "middle", "stale"):
+        ds_, ts_ = ss.term_postings(t)
+        dc_, tc_ = sc.term_postings(t)
+        assert np.array_equal(ds_, dc_) and np.array_equal(ts_, tc_), t
