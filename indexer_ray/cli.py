@@ -32,11 +32,27 @@ import os
 import sys
 
 
-def _init_ray() -> None:
+def _init_ray(address: str | None = None) -> None:
+    """Connect to Ray.
+
+    Address resolution (in order): explicit --ray-address flag, the
+    RAY_ADDRESS env var, then "local".  Under ``ray job submit`` the job
+    server exports RAY_ADDRESS pointing at the cluster, so the same CLI
+    binary is the cluster job entrypoint with no flag needed:
+
+        ray job submit --working-dir . -- \
+            python -m indexer_ray index -p /data/pages -o /shared/index
+
+    (north rule: "run via ray job submit on a fixed-size multi-node Ray
+    cluster"; in this sandbox there is no job server, so the identical
+    code path is exercised with address="local".)
+    """
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        addr = address or os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {} if addr != "local" else {"include_dashboard": False}
+        ray.init(address=addr, **kwargs)
 
 
 def _resolve_inputs(path: str, skip: list[str]) -> list[str]:
@@ -62,7 +78,7 @@ def cmd_index(args) -> int:
         # (recursive discovery + extension dispatch, lib.rs:150-258)
         from indexer_ray.sources.files import index_file_corpus
 
-        _init_ray()
+        _init_ray(args.ray_address)
         m, n_files = index_file_corpus(
             args.path,
             args.output,
@@ -79,7 +95,7 @@ def cmd_index(args) -> int:
         if not files:
             print("no parquet inputs found", file=sys.stderr)
             return 1
-        _init_ray()
+        _init_ray(args.ray_address)
         m = build_index(files, args.output, cfg, resume=args.resume)
     total_postings = sum(p["n_postings"] for p in m.partitions.values())
     print(f"Indexed {m.n_docs} docs, {total_postings} postings, {m.n_partitions} partitions -> {args.output}")
@@ -167,7 +183,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", default="conformance", choices=["conformance", "plain"])
     p.add_argument("--source", default="text", choices=["text", "html"])
     p.add_argument("--id-column", default=None, help="native integer doc-id column")
-    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="fixed term-partition count; default auto-sizes from estimated "
+        "postings so one partition fits a phase-2 encode task (floor 32)",
+    )
+    p.add_argument(
+        "--ray-address",
+        default=None,
+        help="Ray cluster address; default $RAY_ADDRESS or 'local'. Under "
+        "`ray job submit` the job server sets RAY_ADDRESS automatically",
+    )
     p.add_argument("--resume", action="store_true", help="resume an interrupted build")
     p.set_defaults(fn=cmd_index)
 

@@ -166,3 +166,52 @@ def test_discover_files_skip_dir_and_full_path(tmp_path):
     assert "drop.txt" not in names and "inner.txt" in names
     got = discover_files(str(root), skip_paths=[str(root / "sub")])  # dir by path
     assert [os.path.basename(d["path"]) for d in got] == ["drop.txt", "keep.txt"]
+
+
+def test_cli_partitions_default_autosizes(tmp_path, ray_session, tiny_pages, capsys):
+    """Omitting --partitions must leave BuildConfig.n_partitions=None so the
+    build auto-sizes (floor 32) — the 10^12-doc default; a fixed CLI default
+    of 32 would silently cap encode-task parallelism (VERDICT r2 #2)."""
+    import json
+
+    idx = str(tmp_path / "idx_auto")
+    rc = main(["index", "-p", tiny_pages, "-o", idx])
+    assert rc == 0
+    with open(f"{idx}/manifest.json") as f:
+        m = json.load(f)
+    # tiny corpus -> the floor engages; the point is the autosize path ran
+    # (the manifest records the RESOLVED count — _auto_partitions' floor)
+    assert m["n_partitions"] == 32
+
+
+def test_init_ray_address_resolution(monkeypatch):
+    """--ray-address > $RAY_ADDRESS > 'local' (the `ray job submit` contract:
+    the job server exports RAY_ADDRESS, so the submitted command needs no
+    flag to join the cluster)."""
+    import indexer_ray.cli as cli
+
+    calls = {}
+
+    class FakeRay:
+        @staticmethod
+        def is_initialized():
+            return False
+
+        @staticmethod
+        def init(address=None, **kw):
+            calls["address"] = address
+            calls["kw"] = kw
+
+    monkeypatch.setitem(__import__("sys").modules, "ray", FakeRay)
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    cli._init_ray()
+    assert calls["address"] == "ray://head:10001"
+    assert calls["kw"] == {}  # cluster connect: no local-only kwargs
+
+    cli._init_ray("auto")
+    assert calls["address"] == "auto"
+
+    monkeypatch.delenv("RAY_ADDRESS")
+    cli._init_ray()
+    assert calls["address"] == "local"
+    assert calls["kw"] == {"include_dashboard": False}
