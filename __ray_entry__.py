@@ -547,6 +547,44 @@ def _q_search_bm25_wand_plain(sf_dir: str):
     )
 
 
+_BOOLEAN_QUERIES: list[tuple[str, str]] = [
+    ("batch window", ""),  # AND
+    ("customer join", "window"),  # AND ... NOT
+    ("data stream sort", ""),  # 3-way AND
+    ("vector", "batch window"),  # single must, two NOTs
+]
+
+
+def _q_search_boolean(sf_dir: str):
+    """Conjunctive boolean retrieval (AND / AND-NOT) over the real index —
+    full match sets, not top-k, so the oracle is pure set algebra
+    (INTERSECT/EXCEPT over the tokenized docs)."""
+    s = _searcher(sf_dir, "plain")
+    rows = []
+    for qi, (must, must_not) in enumerate(_BOOLEAN_QUERIES):
+        for d in s.search_boolean(must, must_not):
+            rows.append((qi, int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"]).astype(
+        {"query_id": "int64", "doc_id": "int64"}
+    )
+
+
+def _boolean_oracle_sql() -> str:
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    selects = []
+    for qi, (must, must_not) in enumerate(_BOOLEAN_QUERIES):
+        expr = None
+        for t in dict.fromkeys(tokenize_plain(must)):
+            leg = f"SELECT doc_id FROM toks WHERE term = '{t}'"
+            expr = leg if expr is None else f"({expr} INTERSECT {leg})"
+        for t in dict.fromkeys(tokenize_plain(must_not)):
+            expr = f"({expr} EXCEPT SELECT doc_id FROM toks WHERE term = '{t}')"
+        selects.append(f"SELECT {qi} AS query_id, doc_id FROM ({expr})")
+    body = "\nUNION ALL\n".join(selects)
+    return f"{_TOKS_CTE}\n{body}"
+
+
 def _q_search_tfidf(sf_dir: str):
     return _topk_frame(_searcher(sf_dir, "conformance"), "tfidf", "exhaustive")
 
@@ -1009,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "heavy_hitters": _q_heavy_hitters,
+        "search_boolean_plain": _q_search_boolean,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
@@ -1101,6 +1140,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk_plain": _search_oracle_sql("bm25"),
         # WAND is exact (≡ exhaustive): the SAME BM25 oracle applies
         "search_bm25_wand_plain": _search_oracle_sql("bm25"),
+        # boolean AND / AND-NOT = set algebra over the tokenized docs
+        "search_boolean_plain": _boolean_oracle_sql(),
         # connected components over consecutive-same-lang edges = maximal
         # same-lang runs; cluster_id = min doc_id of the run (window fns)
         "lang_run_clusters": """WITH d AS (

@@ -437,6 +437,85 @@ class IndexSearcher:
         order = np.lexsort((heap_docs, -heap_scores))[:k]
         return [(int(d), float(s)) for d, s in zip(heap_docs[order], heap_scores[order])]
 
+    # ---- boolean retrieval (beyond the reference: tree.rs scores OR-mode
+    # only; conjunctive AND / AND-NOT is standard fulltext surface) ----
+
+    def search_boolean(
+        self, must: str | list[str], must_not: str | list[str] = ()
+    ) -> np.ndarray:
+        """Conjunctive boolean retrieval: doc_ids containing EVERY ``must``
+        term and NONE of the ``must_not`` terms, sorted ascending (uint64).
+
+        Strings are tokenized with the index's own tokenizer (symmetry
+        invariant, T5); a ``must`` term absent from the index short-circuits
+        to empty.  Pure-NOT queries are rejected (unbounded result).
+
+        Intersection is index-grade, not scan-grade: the smallest-df term
+        seeds the candidate set, and every further term decodes ONLY the
+        posting blocks whose [first_doc_id, last_doc_id] range intersects a
+        live candidate (block metadata is already in memory; payload decode
+        is the cost being skipped).  Membership tests are vectorized
+        searchsorted over the sorted decoded ids."""
+        toks_must = self._boolean_terms(must)
+        toks_not = self._boolean_terms(must_not)
+        if not toks_must:
+            if toks_not:
+                raise ValueError("pure-NOT boolean query is unbounded")
+            return np.empty(0, dtype=np.uint64)
+        tbs = []
+        for t in toks_must:
+            tb = self._load_term_blocks(t)
+            if tb is None:
+                return np.empty(0, dtype=np.uint64)
+            tbs.append(tb)
+        tbs.sort(key=lambda tb: tb.df)
+        cand = self._sorted_doc_ids(tbs[0])
+        for tb in tbs[1:]:
+            if len(cand) == 0:
+                return cand
+            cand = self._filter_member(cand, tb, keep=True)
+        for t in dict.fromkeys(toks_not):
+            if len(cand) == 0:
+                break
+            tb = self._load_term_blocks(t)
+            if tb is not None:
+                cand = self._filter_member(cand, tb, keep=False)
+        return cand
+
+    def _boolean_terms(self, q: str | list[str]) -> list[str]:
+        parts = [q] if isinstance(q, str) else list(q)
+        out: list[str] = []
+        for p in parts:
+            out.extend(self._tokenize(p))
+        return list(dict.fromkeys(out))
+
+    @staticmethod
+    def _sorted_doc_ids(tb: _TermBlocks) -> np.ndarray:
+        ids = tb.decode_all()[0]
+        if len(ids) > 1 and not np.all(ids[1:] > ids[:-1]):
+            ids = np.sort(ids)  # defensive: runs are normally range-disjoint
+        return ids
+
+    def _filter_member(self, cand: np.ndarray, tb: _TermBlocks, keep: bool) -> np.ndarray:
+        """Keep (or drop) candidates that appear in ``tb``'s posting list,
+        decoding only blocks whose id range intersects the candidates."""
+        lo = np.searchsorted(cand, tb.first, side="left")
+        hi = np.searchsorted(cand, tb.last, side="right")
+        needed = np.flatnonzero(hi > lo)
+        if len(needed) == 0:
+            return np.empty(0, dtype=np.uint64) if keep else cand
+        if tb.decoded is not None:
+            ids = self._sorted_doc_ids(tb)
+        else:
+            ids, _, _, _ = decode_blocks(
+                [tb.payloads[i] for i in needed], tb.n[needed], tb.first[needed]
+            )
+            if len(ids) > 1 and not np.all(ids[1:] > ids[:-1]):
+                ids = np.sort(ids)
+        pos = np.searchsorted(ids, cand)
+        member = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
+        return cand[member] if keep else cand[~member]
+
     def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Decoded global posting list for one ALREADY-tokenized term:
         (doc_ids, tfs) in doc_id order (S8 analogue, decoded via the block

@@ -141,3 +141,49 @@ def test_df_point_reads_match_full_dict_load(built):
             )
     # full dicts were never pulled into memory on the point searcher
     assert not point._dict_cache and point._df_point_cache
+
+
+def test_boolean_search_vs_brute(built):
+    """Conjunctive boolean retrieval (AND / AND-NOT) equals set algebra over
+    the spec-tokenized corpus — including hot (salted, multi-partition)
+    terms, absent terms, and the decode-only-overlapping-blocks path."""
+    import numpy as np
+
+    index_dir, manifest, corpus = built
+    s = IndexSearcher(index_dir)
+    docs_with = {}
+    for doc_id, toks in corpus:
+        for t in set(toks):
+            docs_with.setdefault(t, set()).add(doc_id)
+    hot = list(manifest.hot_terms)[:2]
+    # mid-df terms straight from the (stemmed) index vocabulary, so every
+    # case intersects NON-vacuous sets
+    mids = sorted(t for t, d in docs_with.items() if 10 <= len(d) <= 100)[:3]
+    assert len(mids) >= 3 and hot
+    cases = [
+        (mids[:2], []),
+        (mids[:1], mids[1:2]),
+        ([hot[0]], []),
+        ([hot[0], mids[0]], []),
+        (mids[:2], hot[:1]),
+        (mids[:3], []),
+        (["needle17"], []),
+        (["needle17", "needle199"], []),  # disjoint singletons -> empty
+    ]
+    nonempty_results = 0
+    for must, must_not in cases:
+        expect = set.intersection(*(docs_with.get(t, set()) for t in must))
+        for t in must_not:
+            expect -= docs_with.get(t, set())
+        got = s.search_boolean(must, must_not)
+        assert got.dtype == np.uint64
+        assert list(got) == sorted(expect), (must, must_not)
+        nonempty_results += bool(len(got))
+    assert nonempty_results >= 4  # the suite exercised real intersections
+    # tokenizer symmetry: a raw string query stems/filters like the build
+    got = s.search_boolean("running fast", "")
+    assert list(got) == sorted(docs_with.get("run", set()) & docs_with.get("fast", set()))
+    # absent must term short-circuits; pure-NOT is rejected
+    assert len(s.search_boolean(["zzzznoterm", "running"])) == 0
+    with pytest.raises(ValueError):
+        s.search_boolean([], ["running"])
