@@ -760,6 +760,139 @@ def _q_index_merge_postings(sf_dir: str):
     )
 
 
+# Deterministic PII augmentation shared by the Ray path and the SQL oracle:
+# the synthetic corpus has no PII, so both sides append the SAME derived
+# email/phone/IP substrings per doc before scrubbing (no external data).
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@test.org or +1 ' || "
+    "(100 + doc_id % 900) || ' ' || (200 + doc_id % 800) || ' ' || "
+    "(1000 + doc_id % 9000) || ' at 10.' || (doc_id % 256) || '.0.' || "
+    "(doc_id % 100)"
+)
+
+
+def _pii_aug_py(doc_id: int, text: str) -> str:
+    return (
+        f"{text} contact user{doc_id}@test.org or +1 {100 + doc_id % 900} "
+        f"{200 + doc_id % 800} {1000 + doc_id % 9000} at "
+        f"10.{doc_id % 256}.0.{doc_id % 100}"
+    )
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrub (emails / phones / IPv4) under a full DuckDB oracle: both
+    sides apply the identical deterministic augmentation, then the identical
+    count-then-replace rule chain — the redacted STRING is hash-checked."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import pii_redact
+
+    def _aug(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": [
+                    _pii_aug_py(int(d), t or "")
+                    for d, t in zip(b["doc_id"], b["text"])
+                ],
+            }
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_aug, batch_format="pandas")
+    out = pii_redact(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_email": "int64", "n_phone": "int64", "n_ipv4": "int64"}
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from indexer_ray.pipelines.text_analysis import PII_RULES
+
+    stages, prev = [], "t0"
+    for i, (name, pat, repl) in enumerate(PII_RULES, start=1):
+        stages.append(
+            f"s{i} AS (SELECT *, len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS t{i} FROM s0)"
+            if i == 1
+            else f"s{i} AS (SELECT *, len(regexp_extract_all(t{i-1}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i-1}, '{pat}', '{repl}', 'g') AS t{i} FROM s{i-1})"
+        )
+        prev = f"t{i}"
+    last = len(PII_RULES)
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    return (
+        f"WITH s0 AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents),\n"
+        + ",\n".join(stages)
+        + f"\nSELECT doc_id, {names}, t{last} AS redacted FROM s{last}"
+    )
+
+
+def _q_bigram_top(sf_dir: str):
+    """Corpus top-100 adjacent plain-token bigrams (collocation / n-gram-LM
+    stats) via partial-Counter combine + distributed top-k without a global
+    sort; DuckDB oracle self-joins on token position."""
+    from indexer_ray.pipelines.text_analysis import bigram_counts
+
+    out = bigram_counts(_docs(sf_dir), k=100).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True).astype(
+        {"w1": "object", "w2": "object", "cnt": "int64", "rank": "int64"}
+    )
+
+
+_BIGRAM_ORACLE_SQL = f"""WITH t AS (
+  SELECT doc_id, {_PLAIN_TOKS} AS l FROM documents
+), w AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM t
+), p AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c AS (
+  SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2
+)
+SELECT w1, w2, cnt,
+       row_number() OVER (ORDER BY cnt DESC, w1, w2) - 1 AS rank
+FROM c QUALIFY rank < 100"""
+
+
+def _q_search_facets(sf_dir: str):
+    """Search facets: per-lang counts of ALL docs matching ANY query term —
+    index supplies the match set, the corpus streams through a broadcast
+    membership filter, a tiny groupby counts per facet."""
+    from indexer_ray.pipelines.query import facet_counts
+
+    s = _searcher(sf_dir, "plain")
+    frames = []
+    for qi, q in enumerate(_SEARCH_QUERIES):
+        f = facet_counts(s, _docs(sf_dir), q, facet_col="lang").to_pandas()
+        f.insert(0, "query_id", qi)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["query_id", "lang"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "lang": "object", "n_docs": "int64"}
+    )
+
+
+def _facets_oracle_sql() -> str:
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    values = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(_SEARCH_QUERIES)
+        for t in dict.fromkeys(tokenize_plain(q))
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), q(query_id, term) AS (VALUES {values}),
+m AS (
+  SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks ON toks.term = q.term
+)
+SELECT m.query_id, d.lang, count(*) AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang"""
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style per-doc repetition signals (top word / top bigram
     counts over whitespace tokens) — integer counts, so the DuckDB window
@@ -1047,6 +1180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "heavy_hitters": _q_heavy_hitters,
+        "pii_redact_docs": _q_pii_redact,
+        "bigram_top": _q_bigram_top,
+        "search_facets_plain": _q_search_facets,
         "search_boolean_plain": _q_search_boolean,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
@@ -1142,6 +1278,12 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand_plain": _search_oracle_sql("bm25"),
         # boolean AND / AND-NOT = set algebra over the tokenized docs
         "search_boolean_plain": _boolean_oracle_sql(),
+        # PII scrub: identical augmentation + rule chain on both sides
+        "pii_redact_docs": _pii_oracle_sql(),
+        # adjacent-bigram top-k: position self-join
+        "bigram_top": _BIGRAM_ORACLE_SQL,
+        # facets: per-lang counts of docs matching ANY query term
+        "search_facets_plain": _facets_oracle_sql(),
         # connected components over consecutive-same-lang edges = maximal
         # same-lang runs; cluster_id = min doc_id of the run (window fns)
         "lang_run_clusters": """WITH d AS (

@@ -589,3 +589,52 @@ class IndexSearcher:
         hits = self.search(query, k=k, **kw)
         urls = self.resolve_urls([d for d, _ in hits])
         return [(urls.get(d, str(d)), s) for d, s in hits]
+
+    def matching_doc_ids(self, query: str) -> np.ndarray:
+        """All doc_ids containing ANY query term (OR semantics, no scoring),
+        sorted ascending — the candidate set faceting/filtering runs over."""
+        parts = []
+        for t in dict.fromkeys(self._tokenize(query)):
+            tb = self._load_term_blocks(t)
+            if tb is not None:
+                parts.append(self._sorted_doc_ids(tb))
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.union1d(out, p)
+        return out
+
+
+def facet_counts(searcher: IndexSearcher, docs_ds, query: str, facet_col: str = "lang"):
+    """Facet rollup for a query: per-``facet_col`` count of ALL documents
+    matching ANY query term (standard search-engine facets; the reference
+    has no analogue — its result is a flat scored list, tree.rs:452-465).
+
+    The index supplies the match set (posting-list union — no corpus scan);
+    the corpus table is then streamed through a broadcast membership filter
+    (`ray.put` of the sorted id array, searchsorted per batch) and a tiny
+    groupby counts survivors per facet.  The broadcast is the match set,
+    not the corpus: fine to ~10^8 ids; above that, swap the filter for a
+    distributed semi-join on doc_id (the dedup family's routing-join
+    pattern, dedup._pairwise_jaccard_join_ds).
+
+    Output: (facet_col, n_docs)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ids_ref = ray.put(np.sort(searcher.matching_doc_ids(query)).astype(np.int64))
+
+    def _member(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)  # zero-copy object-store view, already sorted
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids, d)
+        keep = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == d)
+        return batch.filter(pa.array(keep))
+
+    return (
+        docs_ds.select_columns(["doc_id", facet_col])
+        .map_batches(_member, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(facet_col)
+        .aggregate(Count(alias_name="n_docs"))
+    )

@@ -587,6 +587,105 @@ def top_docs_by_length(ds, n: int = 100):
     )
 
 
+# ------------------------------------------------------- PII redaction
+
+#: (name, pattern, replacement) — applied IN ORDER, count-then-replace on the
+#: evolving string, so the DuckDB oracle (nested regexp_replace over the same
+#: stages) is exactly reproducible.  Patterns are deliberately RE2-compatible
+#: AND Python-re-compatible (no lookaround/backrefs; ASCII classes only) so
+#: both engines match identically.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2} \d{3} \d{3} \d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def _pii_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    s = batch["text"].fillna("")
+    out = {"doc_id": batch["doc_id"].astype("int64")}
+    for name, pat, repl in PII_RULES:
+        out[f"n_{name}"] = s.str.count(pat).astype("int64")
+        s = s.str.replace(pat, repl, regex=True)
+    out["redacted"] = s
+    return pd.DataFrame(out)
+
+
+def pii_redact(ds):
+    """Redact PII-shaped substrings (emails, +-prefixed phone numbers, IPv4
+    addresses) from a documents table — the standard scrub pass of a
+    web-corpus training pipeline (e.g. C4 / CCNet lineage).  Pure
+    map_batches, no shuffle; regex work is pandas-vectorized (compiled once
+    by pandas' str engine, applied column-at-a-time).
+
+    Output: (doc_id, n_email, n_phone, n_ipv4, redacted) — counts are
+    per-rule match counts at that rule's stage, so the whole transform is
+    deterministic and SQL-reproducible (nested regexp_replace oracle)."""
+    return ds.map_batches(_pii_batch, batch_format="pandas", batch_size=2048)
+
+
+# ------------------------------------------------- corpus bigram counts
+
+
+class _PartialBigrams:
+    """Per-batch partial bigram counts (plain tokens): the combiner before
+    the groupby — the shuffle moves one row per distinct bigram per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_plain(t or "")
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], type=pa.string()),
+                "w2": pa.array([p[1] for p in pairs], type=pa.string()),
+                "cnt": pa.array([c[p] for p in pairs], type=pa.int64()),
+            }
+        )
+
+
+def bigram_counts(ds, k: int = 100):
+    """Corpus-wide top-k adjacent-token bigrams (plain tokenization) — the
+    n-gram LM / collocation-stats building block.  Shape: per-batch partial
+    Counter -> groupby-sum over (w1, w2) -> distributed top-k WITHOUT a
+    global sort (each partial batch emits its local top-k under the global
+    order, one merge cuts the <=k-per-batch survivors).
+
+    Output: (w1, w2, cnt, rank), rank 0-based by (cnt desc, w1 asc, w2 asc)."""
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.map_batches(
+            _PartialBigrams,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=(1, 8),
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["cnt", "w1", "w2"], ascending=[False, True, True]).head(k)
+        b["g"] = np.int32(0)
+        return b
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "w1", "w2"], ascending=[False, True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["w1", "w2", "cnt", "rank"]]
+
+    return (
+        summed.map_batches(_local_topk, batch_format="pandas", batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------- repetition signals
 
 

@@ -187,3 +187,149 @@ def test_heavy_hitters_no_hitters_empty_result(ray_session):
     df = pd.DataFrame({"doc_id": [0], "text": ["unique words only here"]})
     out = heavy_hitters(rd.from_pandas(df), min_count=10, n_counters=64).to_pandas()
     assert len(out) == 0
+
+
+# ------------------------------------------------------------ pii_redact
+def test_pii_redact_python_matches_duckdb_on_adversarial_strings(ray_session):
+    """The rule chain must behave identically under Python re (Ray side)
+    and RE2 (DuckDB oracle side) — adversarial cases: boundary-adjacent
+    IPs, dotted local-parts, digits around phone shapes, rule interaction
+    (an email whose redaction must NOT create a later-match)."""
+    import duckdb
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import PII_RULES, pii_redact
+
+    texts = [
+        "mail a.b-c_d%e+f@sub.domain.org now",
+        "ip 10.0.0.1. end-of-sentence dot",        # trailing dot after IP
+        "255.255.255.255 at start",
+        "v1.2.3.4beta is a version not an ip",     # \b blocks? 4beta has no boundary after 4
+        "call +1 555 123 4567 or +44 207 946 0958",
+        "not a phone +1 55 123 4567",
+        "two mails x@y.co z@w.io and ip 1.2.3.4",
+        "email-with-ip user@10.0.0.1.example.com ok",
+        "", "no pii here at all",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        pii_redact(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    prev, stages = "text", []
+    for i, (name, pat, repl) in enumerate(PII_RULES, 1):
+        stages.append(
+            f"s{i} AS (SELECT *, len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS t{i} "
+            f"FROM {'d' if i == 1 else f's{i-1}'})"
+        )
+        prev = f"t{i}"
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    want = con.execute(
+        f"WITH {', '.join(stages)} SELECT doc_id, {names}, t{len(PII_RULES)} AS redacted "
+        f"FROM s{len(PII_RULES)} ORDER BY doc_id"
+    ).df()
+    for c in ["n_email", "n_phone", "n_ipv4", "redacted"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # sanity: the adversarial set actually exercises every rule
+    assert got["n_email"].sum() >= 4 and got["n_phone"].sum() >= 2
+    assert got["n_ipv4"].sum() >= 3
+
+
+# ---------------------------------------------------------- bigram_counts
+def test_bigram_counts_known(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import bigram_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b a b c",   # (a,b)x2 (b,a) (b,c)
+                "a b. c a-b",  # plain tok: a b c a b -> (a,b)x2 (b,c) (c,a)
+                "",            # empty
+            ],
+        }
+    )
+    out = bigram_counts(rd.from_pandas(df), k=3).to_pandas().sort_values("rank")
+    # order is (cnt desc, w1 asc, w2 asc)
+    assert out.iloc[0][["w1", "w2", "cnt"]].tolist() == ["a", "b", 4]
+    assert out.iloc[1][["w1", "w2", "cnt"]].tolist() == ["b", "c", 2]
+    assert out.iloc[2]["cnt"] == 1 and out.iloc[2][["w1", "w2"]].tolist() == ["b", "a"]
+    assert out["rank"].tolist() == [0, 1, 2]
+
+
+def test_bigram_counts_topk_equals_global_sort(ray_session):
+    """The no-global-sort distributed top-k must equal the brute global
+    ranking on a corpus with many distinct bigrams and boundary ties."""
+    import ray.data as rd
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+    from indexer_ray.pipelines.text_analysis import bigram_counts
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(2, 40)))
+        for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    k = 25
+    out = bigram_counts(rd.from_pandas(df), k=k).to_pandas().sort_values("rank")
+    brute = Counter()
+    for t in texts:
+        toks = tokenize_plain(t)
+        brute.update(zip(toks, toks[1:]))
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
+    assert [((r.w1, r.w2), r.cnt) for r in out.itertuples()] == want
+
+
+# ------------------------------------------------------------ facet_counts
+def test_facet_counts_vs_brute(ray_session, tiny_pages, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.conformance.lexer import tokenize
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import IndexSearcher, facet_counts
+
+    import pyarrow.parquet as pq
+
+    index_dir = str(tmp_path_factory.mktemp("fidx") / "tiny")
+    build_index([tiny_pages], index_dir, BuildConfig(n_partitions=4, id_assign="dense"))
+    t = pq.read_table(tiny_pages, columns=["url", "text", "lang"])
+    s = IndexSearcher(index_dir)
+    # pick real mid-df corpus terms so the match set is non-vacuous
+    df_counter = Counter()
+    for text in t.column("text").to_pylist():
+        df_counter.update(set(tokenize(text)))
+    mids = sorted(w for w, c in df_counter.items() if 5 <= c <= 60)[:3]
+    assert len(mids) == 3
+    query = " ".join(mids)
+    q_terms = set(tokenize(query))
+    # brute facet counts over the spec-tokenized corpus (dense ids = row no.)
+    brute = Counter()
+    match_ids = []
+    for i, (text, lang) in enumerate(
+        zip(t.column("text").to_pylist(), t.column("lang").to_pylist())
+    ):
+        if q_terms & set(tokenize(text)):
+            brute[lang] += 1
+            match_ids.append(i)
+    assert sum(brute.values()) > 0
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(t.num_rows), type=pa.int64()),
+                "lang": t.column("lang"),
+            }
+        )
+    )
+    got = facet_counts(s, docs, query, facet_col="lang").to_pandas()
+    assert dict(zip(got["lang"], got["n_docs"])) == dict(brute)
+    assert sorted(s.matching_doc_ids(query).tolist()) == match_ids
