@@ -43,7 +43,13 @@ def _sf_label(sf_dir: str) -> float | str:
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Headline pipelines, each timed end-to-end (lazy Datasets are forced
-    with materialize/count so the timing covers execution)."""
+    with materialize/count so the timing covers execution).
+
+    A small warmup build runs first (same rationale as `_build_only`): a
+    cold Ray session pays worker-process provisioning + library imports in
+    whichever pipeline runs first (~25 s measured on this box), which is
+    the cluster-boot analogue a real deployment also excludes from
+    steady-state docs/s.  The warmup is NOT included in any timed value."""
     import ray.data as rd
 
     from indexer_ray.pipelines import ann, dedup, events, text_analysis
@@ -52,6 +58,31 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     out: dict[str, float] = {}
+
+    warm_dir = os.path.join(SCRATCH, "warmup_index")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        [docs_path],
+        warm_dir,
+        BuildConfig(mode="conformance", id_column="doc_id", n_partitions=8),
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    # touch every other pipeline family on a tiny slice so their worker /
+    # actor processes (and module imports) exist before the timed runs
+    _tiny_docs = rd.read_parquet(docs_path).limit(128).materialize()
+    text_analysis.term_stats(_tiny_docs, mode="plain").materialize()
+    dedup.minhash_lsh_pairs(_tiny_docs)
+    dedup.simhash_pairs(_tiny_docs)
+    _tiny_ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet")).limit(256).materialize()
+    events.tumbling_window_stats(_tiny_ev).materialize()
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    _tiny_emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(64).materialize()
+    _tq = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).to_pandas().head(2)
+    ann.ann_brute_topk(_tiny_emb, _np.stack(_tq["embedding"].to_numpy()), k=2)
 
     def timed(name, fn):
         t0 = time.monotonic()
