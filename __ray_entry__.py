@@ -1142,6 +1142,39 @@ def entry() -> Any:
     return pd.concat([tfidf, bm25], ignore_index=True)
 
 
+def _q_user_event_deltas(sf_dir: str):
+    """Per-user LAG features (prev event id + elapsed us) — the window
+    function as a partition-routed vectorized pass."""
+    from indexer_ray.pipelines.events import user_event_deltas
+
+    return user_event_deltas(_events(sf_dir))
+
+
+def _q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context concordance for 'batch' (first occurrence,
+    3 plain tokens each side)."""
+    from indexer_ray.pipelines.text_analysis import kwic_snippets
+
+    return kwic_snippets(_docs(sf_dir), term="batch", width=3)
+
+
+def _q_phrase_match(sf_dir: str):
+    """Exact adjacent-phrase containment ('batch window') over plain
+    tokens, fully vectorized as one RE2 regex per batch."""
+    from indexer_ray.pipelines.text_analysis import phrase_match_docs
+
+    return phrase_match_docs(_docs(sf_dir), phrase="batch window")
+
+
+def _q_suggest_prefix(sf_dir: str):
+    """Index-backed autocomplete: top-10 's'-prefixed dictionary terms by
+    global df from the REAL plain-mode index's partition dictionaries
+    (range-predicate-pruned parquet reads + Sum-merge of salted dfs)."""
+    from indexer_ray.pipelines.query import prefix_suggest
+
+    return prefix_suggest(_index_dir_for(sf_dir, "plain"), prefix="s", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1187,6 +1220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
+        "user_event_deltas": _q_user_event_deltas,
+        "kwic_snippets": _q_kwic_snippets,
+        "phrase_match_docs": _q_phrase_match,
+        "suggest_prefix_plain": _q_suggest_prefix,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1390,6 +1427,42 @@ FROM f GROUP BY doc_id ORDER BY doc_id""",
         "heavy_hitters": f"""{_TOKS_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS cnt
 FROM toks GROUP BY term HAVING count(*) >= 100 ORDER BY term""",
+        # LAG() window: deterministic (ts, event_id) order within user
+        "user_event_deltas": """SELECT event_id,
+       CAST(coalesce(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event_id,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)
+         AS delta_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # first-occurrence concordance over positioned plain tokens
+        "kwic_snippets": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term,
+         unnest(range(len({_PLAIN_TOKS}))) AS pos
+  FROM documents
+), hit AS (
+  SELECT doc_id, min(pos) AS p FROM toks WHERE term = 'batch' GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(h.p AS BIGINT) AS pos,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+FROM toks t JOIN hit h
+  ON t.doc_id = h.doc_id AND t.pos BETWEEN h.p - 3 AND h.p + 3
+GROUP BY t.doc_id, h.p""",
+        # adjacency in plain tokens == words separated by non-alnum runs,
+        # bounded by non-alnum or string edges (both engines run RE2)
+        "phrase_match_docs": """SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # dict-backed autocomplete == plain-token df ranking with a
+        # prefix filter (salted per-partition dfs sum to count DISTINCT)
+        "suggest_prefix_plain": f"""{_TOKS_CTE}, c AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term LIKE 's%' GROUP BY term
+), r AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS rank
+  FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(df AS BIGINT) AS df
+FROM r WHERE rank < 10""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

@@ -134,6 +134,69 @@ def extract_props_key(events_ds, key: str = "k"):
 _SESS_PARTITIONS = 64
 
 
+def user_event_deltas(events_ds, n_parts: int = _SESS_PARTITIONS):
+    """Per-user lag features: for every event, the previous event by the
+    same user in (ts, event_id) order and the elapsed microseconds since it
+    (-1 / -1 for a user's first event) — the LAG() window function Ray
+    Data's Dataset API lacks, as a partition-routed vectorized pass.
+
+    Output: (event_id, prev_event_id, delta_us).
+
+    Same blocking pattern as sessionize: users hash-route into `n_parts`
+    partitions, ONE sort+shift pass per partition (no per-user group
+    overhead).  Partitioning assumption: one partition's events fit one
+    task; no single user spans partitions."""
+
+    def _route(batch: pa.Table) -> pa.Table:
+        from indexer_ray.functions.hashing import key_partition
+
+        part = key_partition(
+            batch.column("user_id").to_numpy(zero_copy_only=False), n_parts
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, type=pa.int32()),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "prev_event_id": pd.Series([], dtype="int64"),
+                    "delta_us": pd.Series([], dtype="int64"),
+                }
+            )
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        prev_eid = np.r_[-1, eid[:-1]]
+        delta = np.r_[-1, ts_us[1:] - ts_us[:-1]]
+        prev_eid[first] = -1
+        delta[first] = -1
+        return pd.DataFrame(
+            {
+                "event_id": eid.astype("int64"),
+                "prev_event_id": prev_eid.astype("int64"),
+                "delta_us": delta.astype("int64"),
+            }
+        )
+
+    return (
+        events_ds.map_batches(_route, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTITIONS):
     """Session windows per user: events sorted by ts within a user;
     a gap > `gap_minutes` starts a new session.  Output: one row per session

@@ -638,3 +638,61 @@ def facet_counts(searcher: IndexSearcher, docs_ds, query: str, facet_col: str = 
         .groupby(facet_col)
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+def prefix_suggest(index_dir: str, prefix: str, k: int = 10):
+    """Index-backed autocomplete: the top-`k` dictionary terms with the
+    given prefix, ranked by global df desc (term asc tie-break) — a
+    dictionary-range query the reference cannot serve without
+    deserializing every segment dict (tree.rs:397-404 re-reads them per
+    query; there is no prefix API).
+
+    Distributed over the per-partition ``dict.parquet`` files: each dict
+    is term-sorted with 16k row groups, so the [prefix, prefix+1) range
+    predicate prunes row groups at the parquet footer — only matching
+    slices of each partition's dictionary are read.  Salted hot terms
+    appear in several partitions with doc-disjoint postings, so per-
+    partition dfs SUM to the global df; the groupby moves only the
+    prefix-filtered terms, and the final top-k is a per-batch partial
+    cut + single merge (same shape as text_analysis.top_docs_by_length).
+
+    Output: (rank, term, df)."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    paths = sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet")))
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    expr = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+    ds = rd.read_parquet(paths, columns=["term", "df"], filter=expr)
+    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        # global order is (df desc, term asc); lexsort keys are last-primary
+        keep = np.lexsort((terms, -dfs))[: min(k, len(terms))]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(keep), dtype=np.int32)),
+                "term": pa.array(terms[keep], type=pa.string()),
+                "df": pa.array(dfs[keep], type=pa.int64()),
+            }
+        )
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["rank", "term", "df"]]
+
+    return (
+        agg.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )

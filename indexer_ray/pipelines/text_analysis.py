@@ -751,3 +751,85 @@ def repetition_stats(ds):
 
     return ds.map_batches(_rep, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=2048)
+
+
+# -------------------------------------------------- KWIC concordance
+
+
+def kwic_snippets(ds, term: str, width: int = 3):
+    """Keyword-in-context concordance: for every document whose plain-mode
+    token stream contains `term`, the FIRST occurrence position and a
+    snippet of the surrounding plain tokens (`width` each side, space
+    joined) — the search-result-snippet stage the reference's query path
+    stops short of (tree.rs returns only doc ids/scores).
+
+    Output: (doc_id, pos, snippet).  Docs without the term are dropped.
+
+    Embarrassingly parallel map_batches; tokenization is inherently
+    per-row (same stance as language_id), but the batch is pre-filtered
+    with a vectorized substring test so only rows that can match pay the
+    tokenize cost."""
+    import pyarrow.compute as pc
+
+    def _kwic(batch: pa.Table) -> pa.Table:
+        # cheap vectorized prefilter: term must appear as a substring of
+        # lower(text) for the token to exist (superset of token match)
+        mask = pc.match_substring(
+            pc.utf8_lower(pc.fill_null(batch.column("text"), "")), term
+        )
+        t = batch.filter(mask)
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        snip_out: list[str] = []
+        ids = t.column("doc_id").to_pylist()
+        for did, text in zip(ids, t.column("text").to_pylist()):
+            toks = tokenize_plain(text or "")
+            try:
+                p = toks.index(term)
+            except ValueError:
+                continue
+            ids_out.append(did)
+            pos_out.append(p)
+            snip_out.append(" ".join(toks[max(0, p - width) : p + width + 1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "pos": pa.array(pos_out, type=pa.int64()),
+                "snippet": pa.array(snip_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_kwic, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096)
+
+
+# ---------------------------------------------- phrase containment
+
+
+def phrase_match_docs(ds, phrase: str):
+    """Docs whose plain-mode token stream contains `phrase`'s tokens
+    ADJACENTLY (exact phrase match without a positional index): fully
+    vectorized as one RE2 regex per batch — adjacency in plain tokens is
+    exactly "phrase words separated by non-alphanumerics, bounded by
+    non-alphanumerics or string edges" over lower(text).
+
+    Output: (doc_id,)."""
+    import pyarrow.compute as pc
+
+    from indexer_ray.conformance.lexer import tokenize_plain as _tp
+
+    words = _tp(phrase)
+    if not words:
+        raise ValueError("phrase has no plain tokens")
+    pat = (
+        "(^|[^a-z0-9])" + "[^a-z0-9]+".join(re.escape(w) for w in words) + "($|[^a-z0-9])"
+    )
+
+    def _match(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(
+            pc.utf8_lower(pc.fill_null(batch.column("text"), "")), pat
+        )
+        return pa.table({"doc_id": batch.filter(mask).column("doc_id")})
+
+    return ds.map_batches(_match, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
