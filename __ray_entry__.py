@@ -1175,6 +1175,31 @@ def _q_suggest_prefix(sf_dir: str):
     return prefix_suggest(_index_dir_for(sf_dir, "plain"), prefix="s", k=10)
 
 
+def _q_search_snippets(sf_dir: str):
+    """Result-page composition over the plain query set: quantized top-10
+    tf-idf hits + first-query-token KWIC snippet fetched from the corpus
+    (broadcast top-k membership filter; only hit rows pay tokenization)."""
+    from indexer_ray.pipelines.query import search_snippets
+
+    s = _searcher(sf_dir, "plain")
+    frames = []
+    for qi, q in enumerate(_PLAIN_SEARCH_QUERIES):
+        f = search_snippets(
+            s, _docs(sf_dir), q, k=_SEARCH_K, scorer="tfidf", width=3
+        ).to_pandas()
+        f.insert(0, "query_id", np.int64(qi))
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords extracted from the REAL index's
+    postings (df served by the co-located partition dict, no df shuffle)."""
+    from indexer_ray.pipelines.query import doc_keywords
+
+    return doc_keywords(_index_dir_for(sf_dir, "plain"), m=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1224,6 +1249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_snippets": _q_kwic_snippets,
         "phrase_match_docs": _q_phrase_match,
         "suggest_prefix_plain": _q_suggest_prefix,
+        "doc_keywords": _q_doc_keywords,
+        "search_snippets_plain": _q_search_snippets,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1304,6 +1331,33 @@ sc AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
 FROM r WHERE rank < {_SEARCH_K}"""
+
+
+def _snippets_oracle_sql() -> str:
+    """Result-page oracle: the ranked tf-idf base (same CTE as the search
+    oracles) joined to positioned plain tokens — first occurrence of ANY
+    query token, snippet = 3 tokens each side."""
+    qvals = ", ".join(f"({qi}, '{t}')" for qi, t, _ in _plain_query_terms())
+    return f"""WITH base AS ({_search_oracle_sql("tfidf")}),
+ptoks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term,
+         unnest(range(len({_PLAIN_TOKS}))) AS pos
+  FROM documents
+), qq(query_id, term) AS (VALUES {qvals}),
+hit AS (
+  SELECT b.query_id, b.doc_id, min(t.pos) AS p
+  FROM base b
+  JOIN qq ON qq.query_id = b.query_id
+  JOIN ptoks t ON t.doc_id = b.doc_id AND t.term = qq.term
+  GROUP BY b.query_id, b.doc_id
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id, b.rank, b.doc_id, b.score_q,
+       CAST(h.p AS BIGINT) AS pos,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+FROM base b
+JOIN hit h ON h.query_id = b.query_id AND h.doc_id = b.doc_id
+JOIN ptoks t ON t.doc_id = b.doc_id AND t.pos BETWEEN h.p - 3 AND h.p + 3
+GROUP BY b.query_id, b.rank, b.doc_id, b.score_q, h.p"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1463,6 +1517,30 @@ WHERE regexp_matches(lower(text),
 )
 SELECT CAST(rank AS BIGINT) AS rank, term, CAST(df AS BIGINT) AS df
 FROM r WHERE rank < 10""",
+        # top-k + first-query-token concordance over the SAME ranked base
+        "search_snippets_plain": _snippets_oracle_sql(),
+        # per-doc TF-IDF keywords: same quantize-before-rank discipline as
+        # the search oracles (floor(s*1e6+0.5); score desc, term asc)
+        "doc_keywords": f"""{_TOKS_CTE}, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n FROM toks
+), sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * abs(ln(CAST(nn.n AS DOUBLE) / df.df)) * 1e6 + 0.5)
+              AS BIGINT) AS score_q
+  FROM tf JOIN df USING (term) CROSS JOIN nn
+), r AS (
+  SELECT doc_id, term, score_q,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, term) - 1 AS rank
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+       term, score_q
+FROM r WHERE rank < 3""",
         # sharded search is rank-identical to the single index by design
         # (global-stat gather) -> the SAME oracle applies
         "search_sharded_tfidf_plain": _search_oracle_sql("tfidf"),

@@ -696,3 +696,209 @@ def prefix_suggest(index_dir: str, prefix: str, k: int = 10):
         .groupby("g")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def doc_keywords(index_dir: str, m: int = 3, n_parts: int = 64):
+    """Per-document top-`m` TF-IDF keywords extracted straight off the
+    INDEX postings (no corpus re-tokenization): score = tf·|ln(N/df)|
+    (the reference's idf, tree.rs:426) quantized to int64 like the search
+    oracles, ranked (score desc, term asc) within each doc.
+
+    Scale shape: each index partition is one task — its dict supplies df
+    locally (term and its postings are co-located by the build's term-hash
+    routing, so NO df join ships anywhere); salted hot terms get their
+    global df from a driver-read correction map (the hot set is
+    manifest-bounded and tiny).  Each partition pre-reduces to at most `m`
+    candidate rows per (doc, partition) before the single doc-routed
+    shuffle, and the final per-doc merge is one vectorized lexsort pass
+    per routed partition — never a per-doc group call.
+
+    Output: (doc_id, rank, term, score_q)."""
+    import glob as _glob
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from indexer_ray.functions.hashing import key_partition
+
+    manifest = IndexManifest.load(index_dir)
+    n_docs = manifest.n_docs
+    # global df for salted hot terms: salt partitions are doc-disjoint, so
+    # their per-partition dict dfs SUM to the global df
+    hot_df: dict[str, int] = {}
+    if manifest.hot_terms:
+        hotset = set(manifest.hot_terms)
+        for f in sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet"))):
+            t = pq.read_table(f, columns=["term", "df"])
+            for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+                if term in hotset:
+                    hot_df[term] = hot_df.get(term, 0) + int(df)
+    hot_ref = ray.put(hot_df)
+
+    def _score_part(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        out = []
+        for pid in batch.column("part_id").to_pylist():
+            pdir = part_dir(index_dir, int(pid))
+            d = pq.read_table(os.path.join(pdir, "dict.parquet"), columns=["term", "df"])
+            b = pq.read_table(
+                os.path.join(pdir, "blocks.parquet"),
+                columns=["term", "n", "first_doc_id", "payload"],
+            )
+            if b.num_rows == 0:
+                continue
+            ns = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            first = b.column("first_doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            doc, tf, _, _ = decode_blocks(b.column("payload"), ns, first)
+            bterms = np.asarray(b.column("term").to_pylist(), dtype=object)
+            dterms = np.asarray(d.column("term").to_pylist(), dtype=object)
+            dfs = d.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            # dict is term-sorted: df per block row via searchsorted
+            block_df = dfs[np.searchsorted(dterms, bterms)].copy()
+            for term, gdf in hot.items():
+                block_df[bterms == term] = gdf
+            pterms = np.repeat(bterms, ns)
+            pdf = np.repeat(block_df, ns).astype(np.float64)
+            score = tf.astype(np.float64) * np.abs(np.log(n_docs / pdf))
+            score_q = np.floor(score * 1e6 + 0.5).astype(np.int64)
+            # per-doc top-m inside the partition (the combiner): global
+            # order is (doc asc, score desc, term asc)
+            order = np.lexsort((pterms, -score_q, doc))
+            sdoc = doc[order]
+            starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+            rank_in_doc = np.arange(len(sdoc)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(sdoc)])
+            )
+            keep = order[rank_in_doc < m]
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc[keep].astype("int64"), type=pa.int64()),
+                        "term": pa.array(pterms[keep], type=pa.string()),
+                        "score_q": pa.array(score_q[keep], type=pa.int64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "score_q": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    cands = rd.from_items(
+        [{"part_id": k} for k in range(manifest.n_partitions)]
+    ).map_batches(_score_part, batch_format="pyarrow", batch_size=1)
+
+    def _route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), n_parts
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        doc = g["doc_id"].to_numpy()
+        sq = g["score_q"].to_numpy()
+        terms = g["term"].to_numpy()
+        order = np.lexsort((terms, -sq, doc))
+        sdoc = doc[order]
+        starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+        rank = np.arange(len(sdoc)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(sdoc)])
+        )
+        keep = rank < m
+        return pd.DataFrame(
+            {
+                "doc_id": sdoc[keep].astype("int64"),
+                "rank": rank[keep].astype("int64"),
+                "term": terms[order][keep],
+                "score_q": sq[order][keep].astype("int64"),
+            }
+        )
+
+    return (
+        cands.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def search_snippets(
+    searcher: IndexSearcher,
+    docs_ds,
+    query: str,
+    k: int = 10,
+    scorer: str = "tfidf",
+    width: int = 3,
+):
+    """Top-k search + keyword-in-context snippet per hit: the full
+    result-page composition (index scoring -> corpus text fetch ->
+    concordance), which the reference stops short of (tree.rs returns only
+    ids/scores; main.rs prints paths).
+
+    Ranking uses the repo's cross-engine compare discipline: scores
+    quantized to int64 (floor(s*1e6+0.5)) BEFORE ranking, ties broken
+    doc_id asc.  The snippet is `width` tokens each side of the FIRST
+    occurrence of any query token, in the index's own token mode (plain
+    mode == the SQL oracle's regexp tokens).
+
+    The corpus table streams through a broadcast membership filter (the
+    top-k id set — k rows, trivially broadcastable at any corpus size);
+    only the <=k surviving rows pay tokenization.
+
+    Output: (rank, doc_id, score_q, pos, snippet)."""
+    import math as _math
+
+    import ray
+    import ray.data as rd
+
+    hits = searcher.search(query, k=None, scorer=scorer, algorithm="exhaustive")
+    ranked = sorted(
+        (-int(_math.floor(sc * 1e6 + 0.5)), int(d)) for d, sc in hits
+    )[: k]
+    rank_of = {d: (r, -negq) for r, (negq, d) in enumerate(ranked)}
+    q_tokens = list(dict.fromkeys(searcher._tokenize(query)))
+    mode = searcher.mode
+    ref = ray.put((rank_of, q_tokens))
+
+    def _snip(batch: pa.Table) -> pa.Table:
+        from indexer_ray.conformance.lexer import make_tokenizer
+
+        rank_map, qtoks = ray.get(ref)
+        tokenize_fn = make_tokenizer(mode)
+        qset = set(qtoks)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {"rank": [], "doc_id": [], "score_q": [], "pos": [], "snippet": []}
+        for did, text in zip(ids, texts):
+            hit = rank_map.get(int(did))
+            if hit is None:
+                continue
+            toks = tokenize_fn(text or "")
+            pos = next((i for i, t in enumerate(toks) if t in qset), None)
+            if pos is None:
+                continue
+            rows["rank"].append(hit[0])
+            rows["doc_id"].append(int(did))
+            rows["score_q"].append(hit[1])
+            rows["pos"].append(pos)
+            rows["snippet"].append(
+                " ".join(toks[max(0, pos - width) : pos + width + 1])
+            )
+        return pa.table(
+            {
+                "rank": pa.array(rows["rank"], type=pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "score_q": pa.array(rows["score_q"], type=pa.int64()),
+                "pos": pa.array(rows["pos"], type=pa.int64()),
+                "snippet": pa.array(rows["snippet"], type=pa.string()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _snip, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,176 @@
+"""Index-backed per-doc keyword extraction and the search+snippet
+result-page composition — brute-force oracles, incl. the salted-hot-term
+df-correction path."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from indexer_ray.conformance.lexer import tokenize_plain
+
+
+def _brute_keywords(texts_by_id: dict[int, str], m: int) -> pd.DataFrame:
+    tf: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for did, text in texts_by_id.items():
+        toks = tokenize_plain(text or "")
+        if not toks:
+            continue
+        c: dict[str, int] = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+        tf[did] = c
+        for t in c:
+            df[t] = df.get(t, 0) + 1
+    n = len(tf)
+    rows = []
+    for did, c in tf.items():
+        scored = sorted(
+            (
+                (-int(math.floor(v * abs(math.log(n / df[t])) * 1e6 + 0.5)), t)
+                for t, v in c.items()
+            )
+        )[:m]
+        rows.extend(
+            (did, r, t, -negq) for r, (negq, t) in enumerate(scored)
+        )
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "rank", "term", "score_q"])
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _build(docs: pd.DataFrame, out: str, **cfg_kw):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    src = out + "_docs.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), src)
+    build_index(
+        [src],
+        out,
+        BuildConfig(mode="plain", id_column="doc_id", **cfg_kw),
+    )
+    return out
+
+
+def test_doc_keywords_matches_brute(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import doc_keywords
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for i in range(120)
+    }
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=4)
+    got = (
+        doc_keywords(idx, m=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _brute_keywords(texts, 3)
+    pd.testing.assert_frame_equal(
+        got.astype({"score_q": "int64"}), want.astype({"score_q": "int64"})
+    )
+
+
+def test_doc_keywords_salted_hot_term_uses_global_df(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import doc_keywords
+    from indexer_ray.state.manifest import IndexManifest
+
+    # 'hotword' in half the docs -> df 100 of 200; a tiny run budget forces
+    # salting, so each salt partition sees only a SLICE of its postings.
+    # Without the global-df correction idf would use the partial df.
+    texts = {}
+    for i in range(200):
+        parts = [f"unique{i}", f"filler{i % 7}"]
+        if i < 100:
+            parts.append("hotword")
+        texts[i] = " ".join(parts)
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(
+        docs,
+        str(tmp_path / "idx"),
+        n_partitions=8,
+        target_run_postings=20,
+        hot_df_ratio=0.3,
+    )
+    man = IndexManifest.load(idx)
+    assert "hotword" in man.hot_terms and man.hot_terms["hotword"] > 1
+    got = (
+        doc_keywords(idx, m=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _brute_keywords(texts, 3)
+    pd.testing.assert_frame_equal(
+        got.astype({"score_q": "int64"}), want.astype({"score_q": "int64"})
+    )
+
+
+def test_search_snippets_known(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import IndexSearcher, search_snippets
+
+    texts = {
+        0: "alpha beta gamma needle delta",      # needle at pos 3
+        1: "needle first here",                  # pos 0
+        2: "nothing relevant at all",            # no hit
+        3: "xx yy zz haystack needle needle",    # 'haystack' (pos 3) first
+    }
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=2)
+    s = IndexSearcher(idx)
+    docs_ds = rd.from_pandas(docs)
+    out = (
+        search_snippets(s, docs_ds, "needle haystack", k=10, width=2)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # every scored doc appears exactly once with a consistent quantized score
+    hits = dict(s.search("needle haystack", k=10))
+    assert sorted(out["doc_id"]) == sorted(hits)
+    for _, r in out.iterrows():
+        assert r["score_q"] == int(math.floor(hits[r["doc_id"]] * 1e6 + 0.5))
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[0, "pos"] == 3
+    assert by_doc.loc[0, "snippet"] == "beta gamma needle delta"
+    assert by_doc.loc[1, "pos"] == 0
+    assert by_doc.loc[1, "snippet"] == "needle first here"
+    # first occurrence of ANY query token: 'haystack' precedes 'needle'
+    assert by_doc.loc[3, "pos"] == 3
+    assert by_doc.loc[3, "snippet"] == "yy zz haystack needle needle"
+    # ranks are the quantize-then-rank order, dense from 0
+    assert out["rank"].tolist() == list(range(len(out)))
+
+
+def test_search_snippets_respects_k(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import IndexSearcher, search_snippets
+
+    # doc 0 lacks the term so idf stays nonzero (tf-idf drops score==0)
+    texts = {0: "only fillers here"}
+    texts.update({i: f"common word{i}" for i in range(1, 30)})
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=2)
+    s = IndexSearcher(idx)
+    out = search_snippets(s, rd.from_pandas(docs), "common", k=5, width=1).to_pandas()
+    assert len(out) == 5
+    assert sorted(out["rank"].tolist()) == list(range(5))
