@@ -1192,6 +1192,22 @@ def _q_search_snippets(sf_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
+def _q_phrase_search_indexed(sf_dir: str):
+    """Index-accelerated phrase match: posting-list AND prunes candidates,
+    only survivors pay the adjacency-regex verification.  Same output
+    contract (and same oracle) as the scan-based phrase_match_docs."""
+    from indexer_ray.pipelines.query import phrase_search
+
+    return phrase_search(_searcher(sf_dir, "plain"), _docs(sf_dir), "batch window")
+
+
+def _q_group_sample(sf_dir: str):
+    """Deterministic uniform 3-per-source sample (bottom-k by Knuth hash)."""
+    from indexer_ray.pipelines.sampling import sample_per_group
+
+    return sample_per_group(_docs(sf_dir), k=3, group_col="source")
+
+
 def _q_doc_keywords(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords extracted from the REAL index's
     postings (df served by the co-located partition dict, no df shuffle)."""
@@ -1251,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix_plain": _q_suggest_prefix,
         "doc_keywords": _q_doc_keywords,
         "search_snippets_plain": _q_search_snippets,
+        "phrase_search_indexed": _q_phrase_search_indexed,
+        "group_sample_bottomk": _q_group_sample,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1506,6 +1524,21 @@ GROUP BY t.doc_id, h.p""",
         "phrase_match_docs": """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),
   '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # the index only PRUNES; the verified result equals the corpus scan
+        "phrase_search_indexed": """SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # bottom-k per group under the Knuth bucket order (id tie-break) —
+        # the same arithmetic as hash_split_assign
+        "group_sample_bottomk": """SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id * 2654435761) % 4294967296) % 10000, doc_id
+         ) AS rn
+  FROM documents) s
+WHERE rn <= 3""",
         # dict-backed autocomplete == plain-token df ranking with a
         # prefix filter (salted per-partition dfs sum to count DISTINCT)
         "suggest_prefix_plain": f"""{_TOKS_CTE}, c AS (

@@ -628,6 +628,8 @@ def facet_counts(searcher: IndexSearcher, docs_ds, query: str, facet_col: str = 
     def _member(batch: pa.Table) -> pa.Table:
         ids = ray.get(ids_ref)  # zero-copy object-store view, already sorted
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return batch.filter(pa.array(np.zeros(len(d), dtype=bool)))
         pos = np.searchsorted(ids, d)
         keep = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == d)
         return batch.filter(pa.array(keep))
@@ -901,4 +903,60 @@ def search_snippets(
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         _snip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def phrase_search(searcher: IndexSearcher, docs_ds, phrase: str):
+    """INDEX-ACCELERATED exact phrase match: the boolean AND of the
+    phrase's terms prunes the corpus to candidate docs via posting-list
+    intersection (no corpus scan), then only the candidates' text is
+    streamed through the adjacency regex verifier
+    (text_analysis.phrase_match_docs semantics — identical output).
+
+    At 10^12 docs the candidate set of a selective phrase is orders of
+    magnitude smaller than the corpus: the broadcast membership filter
+    ships the sorted candidate id array once (`ray.put`), every batch
+    drops non-candidates with one vectorized searchsorted, and the RE2
+    verification cost is paid only by survivors.  Falls back gracefully —
+    a phrase term absent from the dictionary yields an empty result, as
+    it must (AND semantics).
+
+    Output: (doc_id,) — docs whose plain tokens contain the phrase
+    adjacently."""
+    import re as _re
+
+    import pyarrow.compute as pc
+    import ray
+
+    if searcher.mode != "plain":
+        # a stop-filtered/stemmed dictionary can't promise the candidate
+        # superset (a stopword phrase term has no postings at all)
+        raise ValueError("phrase_search requires a plain-mode index")
+    words = tokenize_plain(phrase)
+    if not words:
+        raise ValueError("phrase has no plain tokens")
+    cand = searcher.search_boolean(words)
+    ids_ref = ray.put(np.sort(cand).astype(np.int64))
+    pat = (
+        "(^|[^a-z0-9])"
+        + "[^a-z0-9]+".join(_re.escape(w) for w in words)
+        + "($|[^a-z0-9])"
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)  # zero-copy object-store view
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            member = np.zeros(len(d), dtype=bool)
+        else:
+            pos = np.searchsorted(ids, d)
+            member = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == d)
+        t = batch.filter(pa.array(member))
+        mask = pc.match_substring_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pat
+        )
+        return pa.table({"doc_id": t.filter(mask).column("doc_id")})
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
     )

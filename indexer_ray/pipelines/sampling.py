@@ -135,3 +135,69 @@ def cap_per_group(ds, cap: int, group_col: str = "source",
         .groupby("part")
         .map_groups(_cap, batch_format="pandas")
     )
+
+
+def sample_per_group(ds, k: int, group_col: str = "source",
+                     id_col: str = "doc_id", n_parts: int = 32):
+    """Deterministic UNIFORM sample of exactly min(k, |group|) rows per
+    group: the k smallest (hashed-id bucket, id) per group — a distributed
+    reservoir sample whose "random" order is the same Knuth multiplicative
+    hash as hash_split/hash_sample, so it is reproducible across runs,
+    layouts and cluster sizes (unlike cap_per_group, which keeps the
+    smallest IDS — biased toward old docs — this draws uniformly).
+
+    Bottom-k is a semilattice combiner, so every batch PRE-REDUCES to at
+    most k rows per group it contains before the single group-routed
+    shuffle; the per-partition finisher is one vectorized sort + cumcount.
+    Output: (id_col, group_col)."""
+    import hashlib
+
+    import pandas as pd
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(ids)
+        g = t.column(group_col).combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, b, codes))
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank = np.arange(len(sc)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(sc)])
+        )
+        keep = order[rank < k]
+        uniq_h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+                    "big",
+                )
+                for v in enc.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        part = key_partition(uniq_h, n_parts)[codes[keep]]
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(keep)),
+                group_col: t.column(group_col).take(pa.array(keep)),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def _pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g[id_col].to_numpy()
+        b = _bucket_of(ids)
+        g = g.assign(_b=b).sort_values([group_col, "_b", id_col], kind="mergesort")
+        keep = g.groupby(group_col, sort=False).cumcount() < k
+        return g.loc[keep, [id_col, group_col]]
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(_pick, batch_format="pandas")
+    )

@@ -1,0 +1,140 @@
+"""Index-accelerated phrase search and deterministic per-group uniform
+sampling — brute oracles + layout-independence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _docs(texts: dict[int, str]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+
+
+def _build(docs: pd.DataFrame, out: str, mode: str = "plain"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    src = out + "_docs.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), src)
+    build_index([src], out, BuildConfig(mode=mode, id_column="doc_id", n_partitions=4))
+    return out
+
+
+def test_phrase_search_equals_scan(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import IndexSearcher, phrase_search
+    from indexer_ray.pipelines.text_analysis import phrase_match_docs
+
+    texts = {
+        0: "quick brown fox",            # adjacent -> hit
+        1: "quick and also brown",       # both words, NOT adjacent -> pruned by verify
+        2: "only quick here",            # fails the AND -> pruned by index
+        3: "Quick, brown!",              # punct separators, case fold -> hit
+        4: "brown quick reversed",       # order matters -> verify drops
+        5: "irrelevant text",
+    }
+    docs = _docs(texts)
+    idx = _build(docs, str(tmp_path / "idx"))
+    ds = rd.from_pandas(docs)
+    got = sorted(
+        phrase_search(IndexSearcher(idx), ds, "quick brown")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    want = sorted(phrase_match_docs(ds, "quick brown").to_pandas()["doc_id"].tolist())
+    assert got == want == [0, 3]
+
+
+def test_phrase_search_missing_term_empty(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import IndexSearcher, phrase_search
+
+    docs = _docs({0: "alpha beta", 1: "beta gamma"})
+    idx = _build(docs, str(tmp_path / "idx"))
+    out = phrase_search(IndexSearcher(idx), rd.from_pandas(docs), "alpha zzz")
+    assert out.count() == 0
+
+
+def test_phrase_search_rejects_conformance_index(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import IndexSearcher, phrase_search
+
+    docs = _docs({0: "alpha beta"})
+    idx = _build(docs, str(tmp_path / "idx"), mode="conformance")
+    with pytest.raises(ValueError):
+        phrase_search(IndexSearcher(idx), rd.from_pandas(docs), "alpha beta")
+
+
+def _brute_sample(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    from indexer_ray.pipelines.sampling import _bucket_of
+
+    d = df.assign(_b=_bucket_of(df["doc_id"].to_numpy()))
+    d = d.sort_values(["source", "_b", "doc_id"])
+    keep = d.groupby("source", sort=False).cumcount() < k
+    return (
+        d.loc[keep, ["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sample_per_group_matches_brute_and_counts(ray_session):
+    from indexer_ray.pipelines.sampling import sample_per_group
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype="int64"),
+            "source": rng.choice([f"dom{i}" for i in range(17)], 2000),
+        }
+    )
+    got = (
+        sample_per_group(rd.from_pandas(df), k=5, group_col="source")
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = _brute_sample(df, 5)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("source").size() == 5).all()
+
+
+def test_sample_per_group_layout_independent(ray_session):
+    """Same sample no matter how rows are batched/partitioned — the
+    determinism hash_split promises, extended to the grouped sampler."""
+    from indexer_ray.pipelines.sampling import sample_per_group
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(1000).astype("int64"),
+            "source": rng.choice(["a", "b", "c"], 1000),
+        }
+    )
+    a = (
+        sample_per_group(rd.from_pandas(df), k=7, group_col="source")
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sample_per_group(
+            rd.from_pandas(df).repartition(13), k=7, group_col="source"
+        )
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sample_per_group_small_groups_whole(ray_session):
+    from indexer_ray.pipelines.sampling import sample_per_group
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype="int64"), "source": ["x", "x", "y", "y"]}
+    )
+    got = sample_per_group(rd.from_pandas(df), k=10, group_col="source").to_pandas()
+    assert len(got) == 4

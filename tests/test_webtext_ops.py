@@ -333,3 +333,30 @@ def test_facet_counts_vs_brute(ray_session, tiny_pages, tmp_path_factory):
     got = facet_counts(s, docs, query, facet_col="lang").to_pandas()
     assert dict(zip(got["lang"], got["n_docs"])) == dict(brute)
     assert sorted(s.matching_doc_ids(query).tolist()) == match_ids
+
+
+def test_facet_counts_empty_match_set(ray_session, tiny_pages, tmp_path_factory):
+    """A query with no dictionary hits must yield zero facet rows, not an
+    indexing error in the broadcast membership filter."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import IndexSearcher, facet_counts
+
+    index_dir = str(tmp_path_factory.mktemp("fidx0") / "tiny")
+    build_index([tiny_pages], index_dir, BuildConfig(n_partitions=2, id_assign="dense"))
+    t = pq.read_table(tiny_pages, columns=["lang"])
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(t.num_rows), type=pa.int64()),
+                "lang": t.column("lang"),
+            }
+        )
+    )
+    s = IndexSearcher(index_dir)
+    out = facet_counts(s, docs, "zzzznotaword", facet_col="lang")
+    assert out.count() == 0
