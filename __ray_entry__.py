@@ -1208,6 +1208,13 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping 24-token chunks, stride 18 (RAG/training ingestion)."""
+    from indexer_ray.pipelines.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), size=24, overlap=6)
+
+
 def _q_doc_keywords(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords extracted from the REAL index's
     postings (df served by the co-located partition dict, no df shuffle)."""
@@ -1269,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets_plain": _q_search_snippets,
         "phrase_search_indexed": _q_phrase_search_indexed,
         "group_sample_bottomk": _q_group_sample,
+        "chunk_documents": _q_chunk_documents,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1524,6 +1532,21 @@ GROUP BY t.doc_id, h.p""",
         "phrase_match_docs": """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),
   '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # hopping-window-shaped chunk fan-out: token at pos belongs to
+        # chunk i = pos//18 - k while i >= 0 and pos < i*18 + 24
+        "chunk_documents": r"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), x AS (
+  SELECT doc_id, term, pos, pos // 18 - k AS ci
+  FROM w CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+  WHERE pos // 18 - k >= 0 AND pos < (pos // 18 - k) * 18 + 24
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(term, ' ' ORDER BY pos) AS chunk_text
+FROM x GROUP BY doc_id, ci""",
         # the index only PRUNES; the verified result equals the corpus scan
         "phrase_search_indexed": """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),

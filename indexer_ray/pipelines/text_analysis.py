@@ -833,3 +833,83 @@ def phrase_match_docs(ds, phrase: str):
 
     return ds.map_batches(_match, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=8192)
+
+
+# -------------------------------------------------- training chunking
+
+
+def chunk_documents(ds, size: int = 128, overlap: int = 32):
+    """Split every document into OVERLAPPING fixed-token windows — the
+    context-window chunking step of an LLM training / RAG ingestion
+    pipeline: chunk i covers whitespace-token positions
+    [i*stride, i*stride + size), stride = size - overlap, so consecutive
+    chunks share `overlap` tokens (same fan-out shape as hopping windows:
+    each token lands in at most ceil(size/stride) chunks).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text); trailing chunks may
+    be short, empty docs emit no rows.  Pure map_batches — chunking is
+    per-document, so no shuffle; the token flatten is one vectorized Arrow
+    split per batch (repetition_stats' pattern) and only the final chunk
+    assembly joins strings."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    n_k = -(-size // stride)  # ceil: max chunks containing one token
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+        flat_arr = words.flatten()
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
+        rows = rows[mask]
+        flat = flat_arr.to_numpy(zero_copy_only=False)[mask]
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        pos = np.arange(len(rows)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(rows)])
+        )
+        frames = []
+        for k in range(n_k):
+            ci = pos // stride - k
+            ok = (ci >= 0) & (pos < ci * stride + size)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[rows[ok]],
+                        "chunk_idx": ci[ok],
+                        "pos": pos[ok],
+                        "term": flat[ok],
+                    }
+                )
+            )
+        x = pd.concat(frames, ignore_index=True).sort_values(
+            ["doc_id", "chunk_idx", "pos"], kind="mergesort"
+        )
+        g = x.groupby(["doc_id", "chunk_idx"], sort=False)["term"]
+        out = g.agg(n_tokens="size", chunk_text=" ".join).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+                "chunk_idx": pa.array(out["chunk_idx"].to_numpy(), type=pa.int64()),
+                "n_tokens": pa.array(
+                    out["n_tokens"].to_numpy().astype("int64"), type=pa.int64()
+                ),
+                "chunk_text": pa.array(out["chunk_text"], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_chunk, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)

@@ -778,3 +778,74 @@ def test_hash_split_and_sample(ray_session):
         hash_split(ds, {"a": 0.7, "b": 0.6})
     with _pytest.raises(ValueError):
         hash_split(ds, {})
+
+
+def test_chunk_documents_known_windows(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": [" ".join(toks), "solo", ""],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_pandas(df), size=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # stride 3: chunks [0:4) [3:7) [6:10) [9:10)
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_idx"].tolist() == [0, 1, 2, 3]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["solo"]
+    assert (out["doc_id"] == 3).sum() == 0  # empty doc -> no rows
+
+
+def test_chunk_documents_consecutive_chunks_share_overlap(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import chunk_documents
+
+    rng = np.random.default_rng(5)
+    texts = {
+        i: " ".join(f"w{rng.integers(0, 50)}_{j}" for j in range(rng.integers(0, 60)))
+        for i in range(40)
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    size, overlap = 16, 4
+    out = chunk_documents(rd.from_pandas(df), size=size, overlap=overlap).to_pandas()
+    stride = size - overlap
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        toks = texts[did].split()
+        assert g["chunk_idx"].tolist() == list(range(len(g)))
+        for _, r in g.iterrows():
+            lo = r["chunk_idx"] * stride
+            assert r["chunk_text"].split() == toks[lo : lo + size]
+            assert r["n_tokens"] == len(toks[lo : lo + size])
+    # every doc with tokens covered
+    assert set(out["doc_id"]) == {d for d, t in texts.items() if t.split()}
+
+
+def test_chunk_documents_overlap_must_be_smaller(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import chunk_documents
+
+    df = pd.DataFrame({"doc_id": pd.array([1], dtype="int64"), "text": ["x"]})
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), size=8, overlap=8)
