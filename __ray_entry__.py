@@ -1208,6 +1208,15 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_doc_unigram_nll(sf_dir: str):
+    """Unigram-LM quality signal off the index: per-doc Σ tf·ln(total/cf),
+    each contribution quantized to int64 BEFORE summing so partial sums
+    merge exactly in any order."""
+    from indexer_ray.pipelines.query import doc_unigram_nll
+
+    return doc_unigram_nll(_index_dir_for(sf_dir, "plain"))
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping 24-token chunks, stride 18 (RAG/training ingestion)."""
     from indexer_ray.pipelines.text_analysis import chunk_documents
@@ -1277,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_indexed": _q_phrase_search_indexed,
         "group_sample_bottomk": _q_group_sample,
         "chunk_documents": _q_chunk_documents,
+        "doc_unigram_nll": _q_doc_unigram_nll,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1532,6 +1542,21 @@ GROUP BY t.doc_id, h.p""",
         "phrase_match_docs": """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),
   '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # unigram NLL: contributions quantized BEFORE the sum, so the
+        # integer total is order-independent on both engines
+        "doc_unigram_nll": f"""{_TOKS_CTE}, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), cf AS (
+  SELECT term, count(*) AS cf FROM toks GROUP BY term
+), tot AS (
+  SELECT count(*) AS total FROM toks
+)
+SELECT tf.doc_id,
+       CAST(sum(CAST(floor(tf.tf * ln(CAST(tot.total AS DOUBLE) / cf.cf)
+                           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS nll_q,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id""",
         # hopping-window-shaped chunk fan-out: token at pos belongs to
         # chunk i = pos//18 - k while i >= 0 and pos < i*18 + 24
         "chunk_documents": r"""WITH w AS (

@@ -960,3 +960,101 @@ def phrase_search(searcher: IndexSearcher, docs_ds, phrase: str):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         _verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
     )
+
+
+def doc_unigram_nll(index_dir: str, n_parts: int = 64):
+    """Per-document unigram negative log-likelihood off the INDEX — the
+    CCNet/Gopher-family LM quality signal (Wenzek et al. 2020 use a real
+    LM; the unigram corpus model is its shuffle-free first rung):
+    nll(doc) = Σ_terms tf · ln(total_tokens / cf).
+
+    Exactness trick: each (term, doc) CONTRIBUTION is quantized to int64
+    (floor(x·1e6 + 0.5)) BEFORE summation, so partial sums are exact
+    integers that merge associatively in any order — the property that
+    lets a float-flavored score be hash-checked against SQL (the repo's
+    quantize-before-rank discipline, moved one step earlier).
+
+    Scale shape (doc_keywords' pattern): contributions are scored inside
+    their own index partition (cf from the co-located dict; salted hot
+    terms corrected to global cf), PARTIAL-SUMMED per (doc, partition) —
+    the shuffle moves one row per doc per partition, not one per posting —
+    then one final Sum groupby.  total_tokens and per-doc lengths come
+    from the manifest / posting payloads; no corpus pass at all.
+
+    Output: (doc_id, nll_q, n_tokens)."""
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    manifest = IndexManifest.load(index_dir)
+    total = manifest.total_doc_len
+    hot_cf: dict[str, int] = {}
+    if manifest.hot_terms:
+        hotset = set(manifest.hot_terms)
+        for f in sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet"))):
+            t = pq.read_table(f, columns=["term", "cf"])
+            for term, cf in zip(t.column("term").to_pylist(), t.column("cf").to_pylist()):
+                if term in hotset:
+                    hot_cf[term] = hot_cf.get(term, 0) + int(cf)
+    hot_ref = ray.put(hot_cf)
+
+    def _part_nll(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        out = []
+        for pid in batch.column("part_id").to_pylist():
+            pdir = part_dir(index_dir, int(pid))
+            d = pq.read_table(os.path.join(pdir, "dict.parquet"), columns=["term", "cf"])
+            b = pq.read_table(
+                os.path.join(pdir, "blocks.parquet"),
+                columns=["term", "n", "first_doc_id", "payload"],
+            )
+            if b.num_rows == 0:
+                continue
+            ns = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            first = b.column("first_doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            doc, tf, dl, _ = decode_blocks(b.column("payload"), ns, first)
+            bterms = np.asarray(b.column("term").to_pylist(), dtype=object)
+            dterms = np.asarray(d.column("term").to_pylist(), dtype=object)
+            cfs = d.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+            block_cf = cfs[np.searchsorted(dterms, bterms)].copy()
+            for term, gcf in hot.items():
+                block_cf[bterms == term] = gcf
+            pcf = np.repeat(block_cf, ns).astype(np.float64)
+            contrib_q = np.floor(
+                tf.astype(np.float64) * np.log(total / pcf) * 1e6 + 0.5
+            ).astype(np.int64)
+            # partial sum per doc WITHIN the partition (exact: integers)
+            di = doc.astype(np.int64)
+            order = np.argsort(di, kind="mergesort")
+            sdoc = di[order]
+            starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+            sums = np.add.reduceat(contrib_q[order], starts)
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(sdoc[starts], type=pa.int64()),
+                        "nll_q": pa.array(sums, type=pa.int64()),
+                        "n_tokens": pa.array(
+                            dl[order][starts].astype("int64"), type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "nll_q": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    partials = rd.from_items(
+        [{"part_id": k} for k in range(manifest.n_partitions)]
+    ).map_batches(_part_nll, batch_format="pyarrow", batch_size=1)
+    return partials.groupby("doc_id").aggregate(
+        Sum("nll_q", alias_name="nll_q"), Max("n_tokens", alias_name="n_tokens")
+    )

@@ -174,3 +174,87 @@ def test_search_snippets_respects_k(ray_session, tmp_path):
     out = search_snippets(s, rd.from_pandas(docs), "common", k=5, width=1).to_pandas()
     assert len(out) == 5
     assert sorted(out["rank"].tolist()) == list(range(5))
+
+
+def _brute_nll(texts_by_id: dict[int, str]) -> pd.DataFrame:
+    tf: dict[int, dict[str, int]] = {}
+    cf: dict[str, int] = {}
+    for did, text in texts_by_id.items():
+        toks = tokenize_plain(text or "")
+        if not toks:
+            continue
+        c: dict[str, int] = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+            cf[t] = cf.get(t, 0) + 1
+        tf[did] = c
+    total = sum(cf.values())
+    rows = [
+        (
+            did,
+            sum(
+                int(math.floor(v * math.log(total / cf[t]) * 1e6 + 0.5))
+                for t, v in c.items()
+            ),
+            sum(c.values()),
+        )
+        for did, c in tf.items()
+    ]
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "nll_q", "n_tokens"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_doc_unigram_nll_matches_brute(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import doc_unigram_nll
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 25))) for i in range(100)
+    }
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=4)
+    got = (
+        doc_unigram_nll(idx)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"nll_q": "int64", "n_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _brute_nll(texts))
+
+
+def test_doc_unigram_nll_salted_hot_cf(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import doc_unigram_nll
+    from indexer_ray.state.manifest import IndexManifest
+
+    texts = {}
+    for i in range(200):
+        parts = [f"unique{i}", f"filler{i % 5}"]
+        if i < 120:
+            parts.extend(["hotword"] * 2)  # tf 2 so cf != df
+        texts[i] = " ".join(parts)
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(
+        docs,
+        str(tmp_path / "idx"),
+        n_partitions=8,
+        target_run_postings=20,
+        hot_df_ratio=0.3,
+    )
+    assert IndexManifest.load(idx).hot_terms.get("hotword", 0) > 1
+    got = (
+        doc_unigram_nll(idx)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"nll_q": "int64", "n_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _brute_nll(texts))
