@@ -134,6 +134,25 @@ def extract_props_key(events_ds, key: str = "k"):
 _SESS_PARTITIONS = 64
 
 
+def _route_users(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Hash-route events into user-complete partitions — the shared
+    blocking step of sessionize / user_event_deltas (one vectorized pass
+    per PARTITION downstream; no single user ever spans partitions)."""
+    from indexer_ray.functions.hashing import key_partition
+
+    part = key_partition(
+        batch.column("user_id").to_numpy(zero_copy_only=False), n_parts
+    )
+    return pa.table(
+        {
+            "part": pa.array(part, type=pa.int32()),
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+        }
+    )
+
+
 def user_event_deltas(events_ds, n_parts: int = _SESS_PARTITIONS):
     """Per-user lag features: for every event, the previous event by the
     same user in (ts, event_id) order and the elapsed microseconds since it
@@ -146,21 +165,6 @@ def user_event_deltas(events_ds, n_parts: int = _SESS_PARTITIONS):
     partitions, ONE sort+shift pass per partition (no per-user group
     overhead).  Partitioning assumption: one partition's events fit one
     task; no single user spans partitions."""
-
-    def _route(batch: pa.Table) -> pa.Table:
-        from indexer_ray.functions.hashing import key_partition
-
-        part = key_partition(
-            batch.column("user_id").to_numpy(zero_copy_only=False), n_parts
-        )
-        return pa.table(
-            {
-                "part": pa.array(part, type=pa.int32()),
-                "user_id": batch.column("user_id"),
-                "event_id": batch.column("event_id"),
-                "ts": batch.column("ts"),
-            }
-        )
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -190,8 +194,8 @@ def user_event_deltas(events_ds, n_parts: int = _SESS_PARTITIONS):
         )
 
     return (
-        events_ds.map_batches(_route, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=8192)
+        events_ds.map_batches(lambda b: _route_users(b, n_parts),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=8192)
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
@@ -209,21 +213,6 @@ def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTIT
     `_add_bucket_part`).  Partitioning assumption: one PARTITION's events
     fit one task (tune n_parts upward with event volume); no single user
     ever spans partitions."""
-
-    def _route(batch: pa.Table) -> pa.Table:
-        from indexer_ray.functions.hashing import key_partition
-
-        part = key_partition(
-            batch.column("user_id").to_numpy(zero_copy_only=False), n_parts
-        )
-        return pa.table(
-            {
-                "part": pa.array(part, type=pa.int32()),
-                "user_id": batch.column("user_id"),
-                "event_id": batch.column("event_id"),
-                "ts": batch.column("ts"),
-            }
-        )
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -264,8 +253,8 @@ def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTIT
         )
 
     return (
-        events_ds.map_batches(_route, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=8192)
+        events_ds.map_batches(lambda b: _route_users(b, n_parts),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=8192)
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )

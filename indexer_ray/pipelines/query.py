@@ -606,6 +606,19 @@ class IndexSearcher:
         return out
 
 
+def _member_mask(sorted_ids: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of `doc_ids` in a SORTED int64 id array — the
+    broadcast-filter kernel shared by facet_counts / phrase_search /
+    search_snippets.  Callers must cast to int64 BEFORE sorting (uint64
+    ids >= 2^63 reorder under the cast and would break searchsorted)."""
+    if len(sorted_ids) == 0:
+        return np.zeros(len(doc_ids), dtype=bool)
+    pos = np.searchsorted(sorted_ids, doc_ids)
+    return (pos < len(sorted_ids)) & (
+        sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == doc_ids
+    )
+
+
 def facet_counts(searcher: IndexSearcher, docs_ds, query: str, facet_col: str = "lang"):
     """Facet rollup for a query: per-``facet_col`` count of ALL documents
     matching ANY query term (standard search-engine facets; the reference
@@ -623,16 +636,14 @@ def facet_counts(searcher: IndexSearcher, docs_ds, query: str, facet_col: str = 
     import ray
     from ray.data.aggregate import Count
 
-    ids_ref = ray.put(np.sort(searcher.matching_doc_ids(query)).astype(np.int64))
+    # int64 cast BEFORE sort: hash-assigned ids >= 2^63 reorder under the
+    # cast, and searchsorted requires the CAST order
+    ids_ref = ray.put(np.sort(searcher.matching_doc_ids(query).astype(np.int64)))
 
     def _member(batch: pa.Table) -> pa.Table:
         ids = ray.get(ids_ref)  # zero-copy object-store view, already sorted
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) == 0:
-            return batch.filter(pa.array(np.zeros(len(d), dtype=bool)))
-        pos = np.searchsorted(ids, d)
-        keep = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == d)
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(_member_mask(ids, d)))
 
     return (
         docs_ds.select_columns(["doc_id", facet_col])
@@ -700,6 +711,26 @@ def prefix_suggest(index_dir: str, prefix: str, k: int = 10):
     )
 
 
+def _hot_global_counts(index_dir: str, hot_terms, col: str) -> dict[str, int]:
+    """Global df/cf for the SALTED hot terms: salt partitions hold
+    doc-disjoint runs, so their per-partition dict values SUM to the
+    global count.  The hot set is manifest-bounded and tiny; the `term in
+    hotset` parquet filter prunes to the few row groups of each
+    term-sorted dict that can contain them — never a full-vocabulary
+    driver scan."""
+    import glob as _glob
+
+    out: dict[str, int] = {}
+    if not hot_terms:
+        return out
+    flt = [("term", "in", sorted(hot_terms))]
+    for f in sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet"))):
+        t = pq.read_table(f, columns=["term", col], filters=flt)
+        for term, v in zip(t.column("term").to_pylist(), t.column(col).to_pylist()):
+            out[term] = out.get(term, 0) + int(v)
+    return out
+
+
 def doc_keywords(index_dir: str, m: int = 3, n_parts: int = 64):
     """Per-document top-`m` TF-IDF keywords extracted straight off the
     INDEX postings (no corpus re-tokenization): score = tf·|ln(N/df)|
@@ -716,8 +747,6 @@ def doc_keywords(index_dir: str, m: int = 3, n_parts: int = 64):
     per routed partition — never a per-doc group call.
 
     Output: (doc_id, rank, term, score_q)."""
-    import glob as _glob
-
     import pandas as pd
     import ray
     import ray.data as rd
@@ -726,17 +755,7 @@ def doc_keywords(index_dir: str, m: int = 3, n_parts: int = 64):
 
     manifest = IndexManifest.load(index_dir)
     n_docs = manifest.n_docs
-    # global df for salted hot terms: salt partitions are doc-disjoint, so
-    # their per-partition dict dfs SUM to the global df
-    hot_df: dict[str, int] = {}
-    if manifest.hot_terms:
-        hotset = set(manifest.hot_terms)
-        for f in sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet"))):
-            t = pq.read_table(f, columns=["term", "df"])
-            for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
-                if term in hotset:
-                    hot_df[term] = hot_df.get(term, 0) + int(df)
-    hot_ref = ray.put(hot_df)
+    hot_ref = ray.put(_hot_global_counts(index_dir, manifest.hot_terms, "df"))
 
     def _score_part(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
@@ -865,12 +884,17 @@ def search_snippets(
     rank_of = {d: (r, -negq) for r, (negq, d) in enumerate(ranked)}
     q_tokens = list(dict.fromkeys(searcher._tokenize(query)))
     mode = searcher.mode
-    ref = ray.put((rank_of, q_tokens))
+    sorted_hits = np.sort(np.fromiter(rank_of, dtype=np.int64, count=len(rank_of)))
+    ref = ray.put((sorted_hits, rank_of, q_tokens))
 
     def _snip(batch: pa.Table) -> pa.Table:
         from indexer_ray.conformance.lexer import make_tokenizer
 
-        rank_map, qtoks = ray.get(ref)
+        hit_ids, rank_map, qtoks = ray.get(ref)
+        # vectorized membership prefilter: only the <=k hit rows pay the
+        # Python-object conversion + tokenization below
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(_member_mask(hit_ids, d)))
         tokenize_fn = make_tokenizer(mode)
         qset = set(qtoks)
         ids = batch.column("doc_id").to_pylist()
@@ -936,7 +960,8 @@ def phrase_search(searcher: IndexSearcher, docs_ds, phrase: str):
     if not words:
         raise ValueError("phrase has no plain tokens")
     cand = searcher.search_boolean(words)
-    ids_ref = ray.put(np.sort(cand).astype(np.int64))
+    # int64 cast BEFORE sort (see _member_mask: hash ids >= 2^63 reorder)
+    ids_ref = ray.put(np.sort(cand.astype(np.int64)))
     pat = (
         "(^|[^a-z0-9])"
         + "[^a-z0-9]+".join(_re.escape(w) for w in words)
@@ -946,12 +971,7 @@ def phrase_search(searcher: IndexSearcher, docs_ds, phrase: str):
     def _verify(batch: pa.Table) -> pa.Table:
         ids = ray.get(ids_ref)  # zero-copy object-store view
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) == 0:
-            member = np.zeros(len(d), dtype=bool)
-        else:
-            pos = np.searchsorted(ids, d)
-            member = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == d)
-        t = batch.filter(pa.array(member))
+        t = batch.filter(pa.array(_member_mask(ids, d)))
         mask = pc.match_substring_regex(
             pc.utf8_lower(pc.fill_null(t.column("text"), "")), pat
         )
@@ -982,23 +1002,13 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     from the manifest / posting payloads; no corpus pass at all.
 
     Output: (doc_id, nll_q, n_tokens)."""
-    import glob as _glob
-
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
     manifest = IndexManifest.load(index_dir)
     total = manifest.total_doc_len
-    hot_cf: dict[str, int] = {}
-    if manifest.hot_terms:
-        hotset = set(manifest.hot_terms)
-        for f in sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet"))):
-            t = pq.read_table(f, columns=["term", "cf"])
-            for term, cf in zip(t.column("term").to_pylist(), t.column("cf").to_pylist()):
-                if term in hotset:
-                    hot_cf[term] = hot_cf.get(term, 0) + int(cf)
-    hot_ref = ray.put(hot_cf)
+    hot_ref = ray.put(_hot_global_counts(index_dir, manifest.hot_terms, "cf"))
 
     def _part_nll(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)

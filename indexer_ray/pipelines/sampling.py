@@ -75,6 +75,29 @@ def hash_sample(ds, fraction: float, id_col: str = "doc_id"):
         zero_copy_batch=True, batch_size=8192)
 
 
+def _group_parts(group_arr: "pa.Array", n_parts: int) -> np.ndarray:
+    """Partition id per row from a blake2b-64 hash of the GROUP value —
+    the shared group-routing step of cap_per_group / sample_per_group
+    (hash once per UNIQUE value via dictionary encoding, never per row)."""
+    import hashlib
+
+    from indexer_ray.functions.hashing import key_partition
+
+    enc = group_arr.combine_chunks().dictionary_encode()
+    uniq_h = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            for v in enc.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return key_partition(uniq_h, n_parts)[codes]
+
+
 def cap_per_group(ds, cap: int, group_col: str = "source",
                   id_col: str = "doc_id", n_parts: int = 32):
     """Keep at most `cap` rows per group, deterministically: the survivors
@@ -93,29 +116,10 @@ def cap_per_group(ds, cap: int, group_col: str = "source",
     cap is applied to the SMALLEST ids, so a pre-filter
     `hash_sample`-style guard can shrink giant groups before routing;
     groups at web scale are domains (<= ~10^8 rows), which fit a task."""
-    import hashlib
-
     import pandas as pd
 
-    from indexer_ray.functions.hashing import key_partition
-
     def _route(t: pa.Table) -> pa.Table:
-        g = t.column(group_col).combine_chunks()
-        enc = g.dictionary_encode()
-        uniq_h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(
-                        str(v).encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-                for v in enc.dictionary.to_pylist()
-            ],
-            dtype=np.uint64,
-        )
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        part = key_partition(uniq_h, n_parts)[codes]
+        part = _group_parts(t.column(group_col), n_parts)
         return pa.table(
             {
                 id_col: t.column(id_col),
@@ -150,11 +154,7 @@ def sample_per_group(ds, k: int, group_col: str = "source",
     most k rows per group it contains before the single group-routed
     shuffle; the per-partition finisher is one vectorized sort + cumcount.
     Output: (id_col, group_col)."""
-    import hashlib
-
     import pandas as pd
-
-    from indexer_ray.functions.hashing import key_partition
 
     def _partial(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -169,17 +169,7 @@ def sample_per_group(ds, k: int, group_col: str = "source",
             starts, np.diff(np.r_[starts, len(sc)])
         )
         keep = order[rank < k]
-        uniq_h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
-                    "big",
-                )
-                for v in enc.dictionary.to_pylist()
-            ],
-            dtype=np.uint64,
-        )
-        part = key_partition(uniq_h, n_parts)[codes[keep]]
+        part = _group_parts(t.column(group_col), n_parts)[keep]
         return pa.table(
             {
                 id_col: t.column(id_col).take(pa.array(keep)),

@@ -689,6 +689,24 @@ def bigram_counts(ds, k: int = 100):
 # ------------------------------------------------- repetition signals
 
 
+def _flatten_ws_tokens(batch: pa.Table):
+    """One vectorized Arrow whitespace split for the whole batch ->
+    (rows, flat): row index and token string per non-empty token, in
+    document order.  Arrow's split emits '' for leading/trailing/double
+    whitespace; '\\S+' semantics (and the SQL oracles) have no empty
+    tokens, so those are masked out.  Shared by repetition_stats and
+    chunk_documents."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+    flat_arr = words.flatten()
+    counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
+    return rows[mask], flat_arr.to_numpy(zero_copy_only=False)[mask]
+
+
 def repetition_stats(ds):
     """Per-document repetition signals over whitespace tokens — the
     Gopher-style (Rae et al. 2021, §A1.1) quality heuristics that catch
@@ -707,15 +725,7 @@ def repetition_stats(ds):
     def _rep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
-        words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
-        flat_arr = words.flatten()
-        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
-        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-        # Arrow's split emits '' for leading/trailing/double whitespace;
-        # '\S+' semantics (and the SQL oracle) have no empty tokens
-        mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
-        rows = rows[mask]
-        flat = flat_arr.to_numpy(zero_copy_only=False)[mask]
+        rows, flat = _flatten_ws_tokens(batch)
         n_words = np.bincount(rows, minlength=n).astype(np.int64)
 
         top_word = np.zeros(n, dtype=np.int64)
@@ -770,6 +780,11 @@ def kwic_snippets(ds, term: str, width: int = 3):
     with a vectorized substring test so only rows that can match pay the
     tokenize cost."""
     import pyarrow.compute as pc
+
+    if tokenize_plain(term) != [term]:
+        # 'Batch' or 'two words' can never equal a plain token; failing
+        # loudly beats a silently empty concordance
+        raise ValueError(f"term must be a single plain token, got {term!r}")
 
     def _kwic(batch: pa.Table) -> pa.Table:
         # cheap vectorized prefilter: term must appear as a substring of
@@ -860,14 +875,7 @@ def chunk_documents(ds, size: int = 128, overlap: int = 32):
         import pyarrow.compute as pc
 
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(ids)
-        words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
-        flat_arr = words.flatten()
-        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
-        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-        mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
-        rows = rows[mask]
-        flat = flat_arr.to_numpy(zero_copy_only=False)[mask]
+        rows, flat = _flatten_ws_tokens(batch)
         if len(rows) == 0:
             return pa.table(
                 {

@@ -138,3 +138,21 @@ def test_sample_per_group_small_groups_whole(ray_session):
     )
     got = sample_per_group(rd.from_pandas(df), k=10, group_col="source").to_pandas()
     assert len(got) == 4
+
+
+def test_member_mask_handles_hash_range_ids(ray_session):
+    """Hash-assigned doc ids span the full uint64 range; ids >= 2^63
+    reorder under an int64 cast, so the broadcast filters must cast
+    BEFORE sorting (the regression this pins: np.sort(uint64).astype(i8)
+    is NOT sorted)."""
+    from indexer_ray.pipelines.query import _member_mask
+
+    cand = np.array([3, 2**63 + 5, 17, 2**64 - 1], dtype=np.uint64)
+    bad = np.sort(cand).astype(np.int64)
+    assert not np.all(bad[:-1] <= bad[1:])  # the old code's broken precondition
+    good = np.sort(cand.astype(np.int64))
+    probe = cand.astype(np.int64)
+    others = np.array([4, -12, 2**62], dtype=np.int64)
+    assert _member_mask(good, probe).all()
+    assert not _member_mask(good, others).any()
+    assert not _member_mask(np.empty(0, dtype=np.int64), probe).any()
