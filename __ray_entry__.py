@@ -1208,6 +1208,22 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_fuzzy_suggest(sf_dir: str):
+    """'Did you mean' over the dictionary: terms within 1 edit of the
+    misspelling 'sow' ranked (dist, df desc, term)."""
+    from indexer_ray.pipelines.query import fuzzy_suggest
+
+    return fuzzy_suggest(_index_dir_for(sf_dir, "plain"), term="sow", k=10)
+
+
+def _q_related_terms(sf_dir: str):
+    """Top co-occurring terms within 'batch''s match set (df counted
+    inside the match set; index supplies the candidates)."""
+    from indexer_ray.pipelines.query import related_terms
+
+    return related_terms(_searcher(sf_dir, "plain"), _docs(sf_dir), "batch", k=10)
+
+
 def _q_doc_unigram_nll(sf_dir: str):
     """Unigram-LM quality signal off the index: per-doc Σ tf·ln(total/cf),
     each contribution quantized to int64 BEFORE summing so partial sums
@@ -1287,6 +1303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample_bottomk": _q_group_sample,
         "chunk_documents": _q_chunk_documents,
         "doc_unigram_nll": _q_doc_unigram_nll,
+        "fuzzy_suggest_plain": _q_fuzzy_suggest,
+        "related_terms_plain": _q_related_terms,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1542,6 +1560,32 @@ GROUP BY t.doc_id, h.p""",
         "phrase_match_docs": """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),
   '(^|[^a-z0-9])batch[^a-z0-9]+window($|[^a-z0-9])')""",
+        # edit-distance suggestion: DuckDB's levenshtein == the engine's
+        # unit-cost DP (no transposition)
+        "fuzzy_suggest_plain": f"""{_TOKS_CTE}, c AS (
+  SELECT term, count(DISTINCT doc_id) AS df,
+         CAST(levenshtein(term, 'sow') AS BIGINT) AS dist
+  FROM toks GROUP BY term
+), f AS (
+  SELECT term, dist, df,
+         row_number() OVER (ORDER BY dist, df DESC, term) - 1 AS rank
+  FROM c WHERE dist <= 1
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, dist, CAST(df AS BIGINT) AS df
+FROM f WHERE rank < 10""",
+        # co-occurrence rollup: df of every term WITHIN the match set
+        "related_terms_plain": f"""{_TOKS_CTE}, m AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'
+), c AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS df
+  FROM toks t JOIN m USING (doc_id)
+  WHERE t.term <> 'batch' GROUP BY t.term
+), r AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS rank
+  FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(df AS BIGINT) AS df
+FROM r WHERE rank < 10""",
         # unigram NLL: contributions quantized BEFORE the sum, so the
         # integer total is order-independent on both engines
         "doc_unigram_nll": f"""{_TOKS_CTE}, tf AS (

@@ -1068,3 +1068,176 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     return partials.groupby("doc_id").aggregate(
         Sum("nll_q", alias_name="nll_q"), Max("n_tokens", alias_name="n_tokens")
     )
+
+
+def _levenshtein_within(a: str, b: str, cap: int) -> int:
+    """Standard unit-cost Levenshtein (insert/delete/substitute — NO
+    transposition, matching DuckDB's levenshtein()) with an early-exit
+    band: returns cap+1 as soon as the distance must exceed `cap`."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_suggest(index_dir: str, term: str, k: int = 10, max_dist: int = 1):
+    """"Did you mean": the top-`k` dictionary terms within `max_dist`
+    Levenshtein edits of `term`, ranked (distance asc, global df desc,
+    term asc) — the misspelling-recovery stage the reference has no
+    analogue for (an unknown term simply scores nothing, tree.rs:406-415).
+
+    Distributed full scan of the per-partition dictionaries (edit distance
+    admits no dictionary order pruning, so unlike prefix_suggest every
+    dict row group is read — but the scan is one task per partition and
+    the per-candidate DP runs only on terms surviving a vectorized length
+    band).  Salted per-partition dfs Sum to global df; final top-k is a
+    partial cut + single merge.
+
+    Output: (rank, term, dist, df)."""
+    import glob as _glob
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if not term:
+        raise ValueError("term must be non-empty")
+    paths = sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet")))
+    ds = rd.read_parquet(paths, columns=["term", "df"])
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(batch.column("term"))
+        band = pc.and_(
+            pc.greater_equal(lens, len(term) - max_dist),
+            pc.less_equal(lens, len(term) + max_dist),
+        )
+        t = batch.filter(band)
+        terms = t.column("term").to_pylist()
+        dists = np.fromiter(
+            (_levenshtein_within(term, c, max_dist) for c in terms),
+            dtype=np.int64,
+            count=len(terms),
+        )
+        ok = dists <= max_dist
+        return pa.table(
+            {
+                "term": pa.array(np.asarray(terms, dtype=object)[ok], type=pa.string()),
+                "dist": pa.array(dists[ok], type=pa.int64()),
+                "df": t.column("df").to_numpy(zero_copy_only=False)[ok].astype("int64"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    # dist is a property of the TERM (salted copies agree), recomputed on
+    # the few surviving candidates rather than carried through the groupby
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        dists = np.fromiter(
+            (_levenshtein_within(term, c, max_dist) for c in terms),
+            dtype=np.int64,
+            count=len(terms),
+        )
+        keep = np.lexsort((terms, -dfs, dists))[: min(k, len(terms))]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(keep), dtype=np.int32)),
+                "term": pa.array(terms[keep], type=pa.string()),
+                "dist": pa.array(dists[keep], type=pa.int64()),
+                "df": pa.array(dfs[keep], type=pa.int64()),
+            }
+        )
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["dist", "df", "term"], ascending=[True, False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["rank", "term", "dist", "df"]]
+
+    return (
+        agg.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def related_terms(searcher: IndexSearcher, docs_ds, term: str, k: int = 10):
+    """"Related searches": the top-`k` terms by document frequency WITHIN
+    `term`'s match set (docs containing `term`), excluding the term itself
+    — a co-occurrence rollup composed from existing primitives: the index
+    supplies the match set (posting-list read, no corpus scan for
+    candidates), the corpus streams through the broadcast membership
+    filter, and term_stats' partial-aggregation counts survivors.
+
+    Output: (rank, term, df) — df counted within the match set."""
+    import pandas as pd
+    import ray
+
+    from indexer_ray.pipelines.text_analysis import term_stats
+
+    mode = searcher.mode
+    if mode != "plain":
+        raise ValueError("related_terms requires a plain-mode index")
+    ids_ref = ray.put(
+        np.sort(searcher.matching_doc_ids(term).astype(np.int64))
+    )
+
+    def _member(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_member_mask(ids, d)))
+
+    matched = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _member, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stats = term_stats(matched, mode="plain")
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = terms != term
+        terms, dfs = terms[ok], dfs[ok]
+        keep = np.lexsort((terms, -dfs))[: min(k, len(terms))]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(keep), dtype=np.int32)),
+                "term": pa.array(terms[keep], type=pa.string()),
+                "df": pa.array(dfs[keep], type=pa.int64()),
+            }
+        )
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["rank", "term", "df"]]
+
+    return (
+        stats.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -205,3 +205,93 @@ def test_prefix_suggest_empty_prefix_raises(ray_session, tiny_pages, tmp_path_fa
     build_index([tiny_pages], idx, BuildConfig(mode="plain", n_partitions=2))
     with pytest.raises(ValueError):
         prefix_suggest(idx, "", k=5)
+
+
+def test_levenshtein_matches_duckdb(ray_session):
+    import duckdb
+
+    from indexer_ray.pipelines.query import _levenshtein_within
+
+    rng = np.random.default_rng(23)
+    con = duckdb.connect()
+    words = [
+        "".join(rng.choice(list("abcde"), size=rng.integers(1, 8)))
+        for _ in range(60)
+    ]
+    q = "abcd"
+    for w in words:
+        want = con.execute("SELECT levenshtein(?, ?)", [q, w]).fetchone()[0]
+        got = _levenshtein_within(q, w, 3)
+        if want <= 3:
+            assert got == want, (q, w)
+        else:
+            assert got > 3, (q, w)
+
+
+def test_fuzzy_suggest_ranking(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import fuzzy_suggest
+
+    # vocab crafted around query 'cat': exact match, three dist-1 terms
+    # (sub/ins variants) with different dfs, one far term (excluded)
+    texts = (
+        ["cat mat"] * 5        # cat df 5, mat df 5
+        + ["bat"] * 9          # bat df 9
+        + ["coat"] * 3         # insert 'o' -> dist 1, df 3
+        + ["unrelatedword"] * 2
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+        }
+    )
+    src = str(tmp_path_factory.mktemp("fz") / "docs.parquet")
+    idx = src.replace("docs.parquet", "index")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    build_index([src], idx, BuildConfig(mode="plain", id_column="doc_id", n_partitions=4))
+    out = (
+        fuzzy_suggest(idx, "cat", k=10, max_dist=1)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # dist asc first (exact match wins), then df desc, then term asc
+    assert out["term"].tolist() == ["cat", "bat", "mat", "coat"]
+    assert out["dist"].tolist() == [0, 1, 1, 1]
+    assert out["df"].tolist() == [5, 9, 5, 3]
+
+
+def test_related_terms_vs_brute(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import IndexSearcher, related_terms
+
+    texts = [
+        "anchor alpha beta",
+        "anchor alpha",
+        "anchor gamma gamma",   # within-doc repeats count once (df)
+        "beta gamma",           # no anchor -> outside the match set
+        "alpha beta gamma",     # no anchor
+    ]
+    df = pd.DataFrame(
+        {"doc_id": pd.array(range(len(texts)), dtype="int64"), "text": texts}
+    )
+    src = str(tmp_path_factory.mktemp("rt") / "docs.parquet")
+    idx = src.replace("docs.parquet", "index")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    build_index([src], idx, BuildConfig(mode="plain", id_column="doc_id", n_partitions=2))
+    out = (
+        related_terms(IndexSearcher(idx), rd.from_pandas(df), "anchor", k=10)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # in match set {0,1,2}: alpha df 2, beta df 1, gamma df 1; anchor excluded
+    assert out["term"].tolist() == ["alpha", "beta", "gamma"]
+    assert out["df"].tolist() == [2, 1, 1]
