@@ -1004,7 +1004,6 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     Output: (doc_id, nll_q, n_tokens)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
 
     manifest = IndexManifest.load(index_dir)
     total = manifest.total_doc_len
@@ -1065,8 +1064,41 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     partials = rd.from_items(
         [{"part_id": k} for k in range(manifest.n_partitions)]
     ).map_batches(_part_nll, batch_format="pyarrow", batch_size=1)
-    return partials.groupby("doc_id").aggregate(
-        Sum("nll_q", alias_name="nll_q"), Max("n_tokens", alias_name="n_tokens")
+
+    # final merge: doc-routed partitions + ONE vectorized reduceat pass
+    # each (Ray's sort-based groupby().aggregate() over n_docs tiny keys
+    # measured 5x superlinear at a 25k->100k-doc probe; the routed merge
+    # is the repo's standard discipline — see doc_keywords/sessionize)
+    from indexer_ray.functions.hashing import key_partition
+
+    def _route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), n_parts
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def _merge(g):
+        doc = g["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="mergesort")
+        sdoc = doc[order]
+        starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": sdoc[starts].astype("int64"),
+                "nll_q": np.add.reduceat(g["nll_q"].to_numpy()[order], starts).astype(
+                    "int64"
+                ),
+                # every partial carries the SAME dl for a doc; take the first
+                "n_tokens": g["n_tokens"].to_numpy()[order][starts].astype("int64"),
+            }
+        )
+
+    return (
+        partials.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_merge, batch_format="pandas")
     )
 
 
