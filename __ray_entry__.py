@@ -57,21 +57,21 @@ _PLAIN_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from indexer_ray.sources.tables import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _events(sf_dir: str):
-    import ray.data as rd
+    from indexer_ray.sources.tables import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from indexer_ray.sources.tables import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 # ------------------------------------------------------------- index cache

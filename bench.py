@@ -53,6 +53,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import ray.data as rd
 
     from indexer_ray.pipelines import ann, dedup, events, text_analysis
+    from indexer_ray.sources.tables import read_parquet_clean
     from indexer_ray.pipelines.build import BuildConfig, build_index
     from indexer_ray.pipelines.query import IndexSearcher
 
@@ -69,16 +70,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     shutil.rmtree(warm_dir, ignore_errors=True)
     # touch every other pipeline family on a tiny slice so their worker /
     # actor processes (and module imports) exist before the timed runs
-    _tiny_docs = rd.read_parquet(docs_path).limit(128).materialize()
+    _tiny_docs = read_parquet_clean(docs_path).limit(128).materialize()
     text_analysis.term_stats(_tiny_docs, mode="plain").materialize()
     dedup.minhash_lsh_pairs(_tiny_docs)
     dedup.simhash_pairs(_tiny_docs)
-    _tiny_ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet")).limit(256).materialize()
+    _tiny_ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet")).limit(256).materialize()
     events.tumbling_window_stats(_tiny_ev).materialize()
     import numpy as _np
     import pyarrow.parquet as _pq
 
-    _tiny_emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(64).materialize()
+    _tiny_emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet")).limit(64).materialize()
     _tq = _pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     ).to_pandas().head(2)
@@ -111,13 +112,13 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     lat.sort()
     out["query_p95"] = round(lat[int(0.95 * len(lat))], 6)
 
-    docs = rd.read_parquet(docs_path)
+    docs = read_parquet_clean(docs_path)
     timed("term_stats", lambda: text_analysis.term_stats(docs, mode="plain").materialize())
-    timed("minhash_dedup", lambda: dedup.minhash_lsh_pairs(rd.read_parquet(docs_path)))
-    timed("simhash_dedup", lambda: dedup.simhash_pairs(rd.read_parquet(docs_path)))
+    timed("minhash_dedup", lambda: dedup.minhash_lsh_pairs(read_parquet_clean(docs_path)))
+    timed("simhash_dedup", lambda: dedup.simhash_pairs(read_parquet_clean(docs_path)))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    emb = rd.read_parquet(emb_path)
+    emb = read_parquet_clean(emb_path)
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -125,7 +126,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     Q = np.stack(t["embedding"].to_numpy())
     timed("ann_brute", lambda: ann.ann_brute_topk(emb, Q, k=10))
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     timed("events_window", lambda: events.tumbling_window_stats(ev).materialize())
     return out
 

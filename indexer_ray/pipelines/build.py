@@ -811,7 +811,11 @@ def build_index(
                     offset += md.row_group(rg).num_rows
             ds = rd.from_items(descriptors)
         else:
-            ds = rd.read_parquet(paths, columns=_input_columns(cfg))
+            from indexer_ray.sources.tables import read_parquet_clean
+
+            # metadata-stripped read: pandas-written parquet schemas are
+            # unhashable and defeat Ray's schema-dedup fast path
+            ds = read_parquet_clean(paths, columns=_input_columns(cfg))
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         # Task granularity: Ray sizes map tasks at ~max(block rows, batch
         # rows), so clamp batch_size to ~corpus/(4*cpus) rows — small corpora
