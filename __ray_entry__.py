@@ -580,7 +580,7 @@ def _boolean_oracle_sql() -> str:
             expr = leg if expr is None else f"({expr} INTERSECT {leg})"
         for t in dict.fromkeys(tokenize_plain(must_not)):
             expr = f"({expr} EXCEPT SELECT doc_id FROM toks WHERE term = '{t}')"
-        selects.append(f"SELECT {qi} AS query_id, doc_id FROM ({expr})")
+        selects.append(f"SELECT CAST({qi} AS BIGINT) AS query_id, doc_id FROM ({expr})")
     body = "\nUNION ALL\n".join(selects)
     return f"{_TOKS_CTE}\n{body}"
 
@@ -888,7 +888,7 @@ def _facets_oracle_sql() -> str:
 m AS (
   SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks ON toks.term = q.term
 )
-SELECT m.query_id, d.lang, count(*) AS n_docs
+SELECT CAST(m.query_id AS BIGINT) AS query_id, d.lang, count(*) AS n_docs
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY m.query_id, d.lang"""
 
@@ -1383,7 +1383,8 @@ sc AS (
                     doc_id) - 1 AS rank
   FROM sc WHERE score <> 0
 )
-SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score_q
 FROM r WHERE rank < {_SEARCH_K}"""
 
 
@@ -1673,7 +1674,7 @@ FROM r WHERE rank < 3""",
         # id_column builds write docmap url = str(doc_id): the Q5 url join
         # is a CAST in SQL
         "search_urls_plain": f"""WITH base AS ({_search_oracle_sql("tfidf")})
-SELECT query_id, rank, CAST(doc_id AS VARCHAR) AS url, score_q FROM base""",
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(doc_id AS VARCHAR) AS url, score_q FROM base""",
         "term_stats_plain": f"""{_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM toks GROUP BY term""",
@@ -1844,6 +1845,6 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
                             ORDER BY cosine DESC, vec_id) - 1 AS rank
   FROM s
 )
-SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
     }
