@@ -1269,12 +1269,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings": _q_index_postings,
         "index_docmap": _q_index_docmap,
         "ann_brute_topk": _q_ann_brute,
-        "events_json_extract": _q_events_json_extract,
+        # r4 rotation: these five were driver-unverified at positions 50+ in
+        # r03 (VERDICT "Next round" #1); the five rows they displace
+        # (events_json_extract, lineitem_pricing_counts, orders_by_priority,
+        # customers_by_region, bpe_token_counts) passed the driver oracle in
+        # r01-r03 and now sit past slot 50 (still oracle-backed, just
+        # outside the 50-entry capture window this round).
+        "chunk_documents": _q_chunk_documents,
+        "doc_unigram_nll": _q_doc_unigram_nll,
+        "fuzzy_suggest_plain": _q_fuzzy_suggest,
+        "related_terms_plain": _q_related_terms,
+        "incremental_delta": _q_incremental_delta,
         "events_value_histogram": _q_events_value_histogram,
-        "lineitem_pricing_counts": _q_lineitem_pricing_counts,
-        "orders_by_priority": _q_orders_by_priority,
-        "customers_by_region": _q_customers_by_region,
-        "bpe_token_counts": _q_bpe_token_counts,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
@@ -1301,10 +1307,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets_plain": _q_search_snippets,
         "phrase_search_indexed": _q_phrase_search_indexed,
         "group_sample_bottomk": _q_group_sample,
-        "chunk_documents": _q_chunk_documents,
-        "doc_unigram_nll": _q_doc_unigram_nll,
-        "fuzzy_suggest_plain": _q_fuzzy_suggest,
-        "related_terms_plain": _q_related_terms,
+        # SQL-checked but past the driver's 50-slot capture window this
+        # round (each passed the driver oracle in r01-r03):
+        "events_json_extract": _q_events_json_extract,
+        "lineitem_pricing_counts": _q_lineitem_pricing_counts,
+        "orders_by_priority": _q_orders_by_priority,
+        "customers_by_region": _q_customers_by_region,
+        "bpe_token_counts": _q_bpe_token_counts,
         # rows-only (stemming / hashing / model scoring: not SQL-expressible)
         "search_tfidf_topk": _q_search_tfidf,
         "search_bm25_wand_topk": _q_search_bm25_wand,
@@ -1324,7 +1333,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
         "search_urls_topk": _q_search_urls,
-        "incremental_delta": _q_incremental_delta,
     }
 
 

@@ -878,8 +878,15 @@ def search_snippets(
     import ray.data as rd
 
     hits = searcher.search(query, k=None, scorer=scorer, algorithm="exhaustive")
+    # signed int64 view of the (possibly uint64 hash-range) ids BEFORE
+    # ranking: the (score_q desc, doc_id asc) tie-break and the rank_map
+    # keys must use the same cast order as the corpus-side _member_mask
+    # filter below (ids >= 2^63 reorder under the cast — see
+    # test_member_mask_handles_hash_range_ids)
+    hit_arr = np.array([d for d, _ in hits], dtype=np.uint64).astype(np.int64)
     ranked = sorted(
-        (-int(_math.floor(sc * 1e6 + 0.5)), int(d)) for d, sc in hits
+        (-int(_math.floor(sc * 1e6 + 0.5)), int(ds))
+        for (_, sc), ds in zip(hits, hit_arr)
     )[: k]
     rank_of = {d: (r, -negq) for r, (negq, d) in enumerate(ranked)}
     q_tokens = list(dict.fromkeys(searcher._tokenize(query)))
@@ -897,7 +904,14 @@ def search_snippets(
         batch = batch.filter(pa.array(_member_mask(hit_ids, d)))
         tokenize_fn = make_tokenizer(mode)
         qset = set(qtoks)
-        ids = batch.column("doc_id").to_pylist()
+        # signed view to match the rank_map keys (uint64 corpus columns
+        # would otherwise yield unsigned Python ints here)
+        ids = (
+            batch.column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .tolist()
+        )
         texts = batch.column("text").to_pylist()
         rows = {"rank": [], "doc_id": [], "score_q": [], "pos": [], "snippet": []}
         for did, text in zip(ids, texts):

@@ -258,3 +258,42 @@ def test_doc_unigram_nll_salted_hot_cf(ray_session, tmp_path):
         .astype({"nll_q": "int64", "n_tokens": "int64"})
     )
     pd.testing.assert_frame_equal(got, _brute_nll(texts))
+
+
+def test_search_snippets_handles_hash_range_ids(ray_session, tmp_path):
+    """Hash-assigned doc ids >= 2^63: search() yields unsigned Python ints
+    from uint64 postings; search_snippets must (a) not overflow the int64
+    rank arrays and (b) tie-break + key rank_map on the SIGNED int64 view —
+    the same cast-before-sort convention as _member_mask (ADVICE r3)."""
+    from indexer_ray.pipelines.query import IndexSearcher, search_snippets
+
+    big0 = 2**63 + 5          # signed view: -(2**63) + 5  (negative)
+    big1 = 2**64 - 1          # signed view: -1
+    texts = {
+        7: "alpha needle omega",
+        big0: "alpha needle omega",   # identical text => identical score
+        big1: "needle solo",
+        9: "no match here",           # keeps idf nonzero (Q6 drops score==0)
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(list(texts), dtype="uint64"),
+            "text": list(texts.values()),
+        }
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=2)
+    s = IndexSearcher(idx)
+    out = (
+        search_snippets(s, rd.from_pandas(docs), "needle", k=10, width=1)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    sb0 = int(np.uint64(big0).astype(np.int64))
+    sb1 = int(np.uint64(big1).astype(np.int64))
+    assert set(out["doc_id"]) == {7, sb0, sb1}
+    # all three hits tie on score; the tie-break is the SIGNED id asc:
+    # big0's signed view (-(2^63)+5) < big1's (-1) < 7
+    assert out["doc_id"].tolist() == [sb0, sb1, 7]
+    assert (out["snippet"].str.contains("needle")).all()
