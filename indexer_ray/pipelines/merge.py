@@ -61,6 +61,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from indexer_ray.functions.hashing import (
@@ -293,14 +294,14 @@ def merge_indexes(
                 if delta_dm_files
                 else set()
             )
-            urls_ref = ray.put(delta_urls)
+            # the DELTA url set is threshold-gated (small); the filter runs
+            # over the UNBOUNDED base side, so it must be a vectorized
+            # pc.is_in, not a per-row Python membership loop
+            urls_ref = ray.put(pa.array(sorted(delta_urls), type=pa.string()))
 
             def _sup_ids(t: pa.Table) -> pa.Table:
                 us = ray.get(urls_ref)
-                mask = pa.array(
-                    [u in us for u in t.column("url").to_pylist()],
-                    type=pa.bool_(),
-                )
+                mask = pc.is_in(t.column("url"), value_set=us)
                 return pa.table({"doc_id": t.column("doc_id").filter(mask)})
 
             sup = (
@@ -334,12 +335,7 @@ def merge_indexes(
 
             def _drop_superseded_dm(t: pa.Table) -> pa.Table:
                 us = ray.get(urls_ref)
-                return t.filter(
-                    pa.array(
-                        [u not in us for u in t.column("url").to_pylist()],
-                        type=pa.bool_(),
-                    )
-                )
+                return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=us)))
 
             base_dm_keep = base_dm.map_batches(
                 _drop_superseded_dm, batch_format="pyarrow"
@@ -681,16 +677,11 @@ def merge_many(
             return None
         dm = rd.read_parquet(files)
         if newer[g]:
-            drop_ref = ray.put(newer[g])
+            drop_ref = ray.put(pa.array(sorted(newer[g]), type=pa.string()))
 
             def _keep(t: pa.Table) -> pa.Table:
                 us = ray.get(drop_ref)
-                return t.filter(
-                    pa.array(
-                        [u not in us for u in t.column("url").to_pylist()],
-                        type=pa.bool_(),
-                    )
-                )
+                return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=us)))
 
             dm = dm.map_batches(_keep, batch_format="pyarrow")
         if dense and offsets[g]:
@@ -740,11 +731,12 @@ def _superseded_ids_of(index_dir: str, newer_urls: set) -> np.ndarray:
     broadcast regime's bound: |newer_urls| <= broadcast_urls_threshold)."""
     if not newer_urls:
         return np.empty(0, dtype=np.uint64)
-    out: list[int] = []
+    vs = pa.array(sorted(newer_urls), type=pa.string())
+    parts: list[np.ndarray] = []
     for f in _docmap_files(index_dir):
         t = pq.read_table(f, columns=["doc_id", "url"])
-        ids = t.column("doc_id").to_pylist()
-        for i, u in zip(ids, t.column("url").to_pylist()):
-            if u in newer_urls:
-                out.append(int(i))
-    return np.sort(np.array(out, dtype=np.uint64))
+        kept = t.column("doc_id").filter(pc.is_in(t.column("url"), value_set=vs))
+        parts.append(kept.to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts))
