@@ -3,8 +3,9 @@
 
   * ann_brute_topk — exact cosine top-k baseline: the query matrix is
     broadcast once (ray.put) and every batch does one numpy matmul; each
-    batch emits only its LOCAL top-k per query (partial top-k combiner), so
-    the driver-side reduce sees #batches x k rows, not the corpus.
+    batch emits only its LOCAL top-k per query (partial top-k combiner),
+    and the final merge is a DISTRIBUTED groupby(query_id).map_groups —
+    the driver sees only the nq*k result rows, never the partial set.
   * ann_lsh_topk   — scale path A: random-hyperplane bucketing restricts
     scoring to vectors sharing (or neighboring, via multi-probe on 1-bit
     flips) the query's bucket.  Recall measured against brute in tests.
@@ -115,13 +116,45 @@ class _BruteScoreStage:
         )
 
 
-def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
-    partials = partials.sort_values(
-        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+_EMPTY_TOPK = {
+    "query_id": "int64",
+    "vec_id": "int64",
+    "cosine": "float64",
+    "rank": "int64",
+}
+
+
+def _final_topk_ds(partials_ds, k: int) -> pd.DataFrame:
+    """DISTRIBUTED final merge of per-batch local top-k partials: group by
+    query_id and reduce to the global top-k INSIDE map_groups, so the
+    driver only ever sees the nq*k final rows.  The partial set is
+    nq*k*n_blocks rows — collecting it driver-side (the round-1..3
+    `_final_topk(partials.to_pandas())`) grows linearly with corpus block
+    count and breaks at 10^6+ blocks.  Same pattern as the dictionary
+    suggest merge (query.py prefix_suggest).
+
+    Tie semantics unchanged: (cosine desc, vec_id asc), rank dense from 0
+    per query."""
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    out = (
+        partials_ds.groupby("query_id")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
     )
-    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
-    return out
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in _EMPTY_TOPK.items()}
+        )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def ann_brute_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
@@ -130,19 +163,15 @@ def ann_brute_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(
-            _BruteScoreStage,
-            fn_constructor_args=(qref, k),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=4096,
-            concurrency=(1, 8),
-        )
-        .to_pandas()
+    partials = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _BruteScoreStage,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
     )
-    return _final_topk(partials, k)
+    return _final_topk_ds(partials, k)
 
 
 def ann_lsh_topk(
@@ -205,15 +234,11 @@ def ann_lsh_topk(
                 }
             )
 
-    partials = (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(Stage, batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8))
-        .to_pandas()
+    partials = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Stage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8),
     )
-    if partials.empty:
-        return partials.assign(rank=pd.Series([], dtype="int64"))
-    return _final_topk(partials, k)
+    return _final_topk_ds(partials, k)
 
 
 def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
@@ -328,15 +353,11 @@ def ann_ivf_topk(
                 }
             )
 
-    partials = (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(Stage, batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8))
-        .to_pandas()
+    partials = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Stage, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096, concurrency=(1, 8),
     )
-    if partials.empty:
-        return partials.assign(rank=pd.Series([], dtype="int64"))
-    return _final_topk(partials, k)
+    return _final_topk_ds(partials, k)
 
 
 # ------------------------------------------------- persisted ANN index
@@ -550,18 +571,14 @@ def ann_index_query(
     probed_files = [
         f for b in probed for f in sorted(glob.glob(os.path.join(part_dirs[b], "*.parquet")))
     ]
-    partials = (
-        rd.read_parquet(probed_files)
-        .map_batches(
-            Score,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=4096,
-            concurrency=(1, 8),
-        )
-        .to_pandas()
+    partials = rd.read_parquet(probed_files).map_batches(
+        Score,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
     )
-    out = _final_topk(partials, k) if not partials.empty else empty
+    out = _final_topk_ds(partials, k)
     return (out, stats) if return_stats else out
 
 
