@@ -1508,7 +1508,9 @@ def dup_clusters(
         if df.empty:
             return rd.from_arrow(_EMPTY_CLUSTERS_TABLE)
         return rd.from_arrow(
-            pa.Table.from_pandas(_union_find_clusters(df), preserve_index=False)
+            pa.Table.from_pandas(
+                _union_find_clusters(df), preserve_index=False
+            ).replace_schema_metadata(None)
         )
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))

@@ -28,7 +28,9 @@ def _tumble_batch(batch: pa.Table, window: str) -> pa.Table:
         .agg(n_events=("value", "size"), sum_value=("value", "sum"))
         .reset_index()
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip the pandas schema metadata from_pandas attaches — it is an
+    # unhashable dict that defeats Ray's schema-dedup fast path downstream
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def tumbling_window_stats(events_ds, window: str = "hour"):
