@@ -695,11 +695,16 @@ def _flatten_ws_tokens(batch: pa.Table):
     document order.  Arrow's split emits '' for leading/trailing/double
     whitespace; '\\S+' semantics (and the SQL oracles) have no empty
     tokens, so those are masked out.  Shared by repetition_stats and
-    chunk_documents."""
+    chunk_documents.
+
+    ASCII whitespace on purpose: the DuckDB oracles tokenize with RE2
+    '\\S+' whose \\s is ASCII-only, so Unicode spaces (NBSP etc.) must
+    stay INSIDE tokens to match — ascii_split_whitespace, not
+    utf8_split_whitespace."""
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    words = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+    words = pc.ascii_split_whitespace(batch.column("text").combine_chunks())
     flat_arr = words.flatten()
     counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
     rows = np.repeat(np.arange(n, dtype=np.int64), counts)
