@@ -1120,13 +1120,15 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_media_features_real(sf_dir: str):
-    """REAL decode path over deterministic BMP payloads (decoded from
-    scratch per the published format, no codec library); rows-only."""
+    """REAL decode path over a deterministic mixed corpus — BMP and PNG
+    payloads decoded from scratch per the published formats (BMP layout,
+    RFC 2083 PNG: zlib + the five scanline filters), interleaved with
+    undecodable fake rows that must come back ok=False; rows-only."""
     import ray.data as rd
 
     from indexer_ray.pipelines.multimodal import decode_features, synth_media_table
 
-    media = rd.from_arrow(synth_media_table(100, seed=42, fmt="bmp"))
+    media = rd.from_arrow(synth_media_table(99, seed=42, fmt="mixed"))
     return decode_features(media, decoder="real", feat_dim=16)
 
 

@@ -3,10 +3,12 @@ metadata, decoded / feature-extracted in actor-pool map_batches stages.
 
 Decoders: `decoder="real"` decodes the formats expressible with
 stdlib+numpy from their PUBLISHED specs — uncompressed BMP (24/32-bit),
-binary PPM (P6) and PCM WAV (via the stdlib `wave` module); payloads in
-any other format (jpeg/png/mp4 need external codec libraries that are not
-in this container) come back `ok=False` and are skipped, with the
-integration point documented on MediaDecodeStage._decode_real.
+binary PPM (P6), baseline PNG (RFC 2083: zlib IDAT + the five scanline
+filters; 8-bit gray/gray+alpha/RGB/RGBA/palette) and PCM WAV (via the
+stdlib `wave` module); payloads in any other format (jpeg/mp4 need
+external codec libraries that are not in this container) come back
+`ok=False` and are skipped, with the integration point documented on
+MediaDecodeStage._decode_real.
 `decoder="fake"` is a deterministic stand-in (hash-derived pixels) that
 keeps the Ray-side plumbing — schema, batch sizing for large binary rows,
 actor signature, output layout — exercised without any codec.
@@ -81,15 +83,220 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (RFC 2083 §6 / PNG spec
+    §9 'Filtering'): raw is the inflated IDAT stream, one filter byte +
+    `stride` bytes per scanline.  Returns (h, stride) uint8 of
+    reconstructed bytes.  All arithmetic is mod-256 per the spec.
+
+    None/Up are whole-row vectorized; Sub is an exact per-pixel-lane
+    cumulative sum (addition mod 256 is associative); Average/Paeth are
+    sequential in the pixel axis by definition, so they loop over pixels
+    within the row with the byte lanes vectorized."""
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    npix = stride // bpp
+    for r in range(h):
+        ft = ftypes[r]
+        cur = rows[r, 1:].copy()
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub: x + recon(left)
+            lanes = cur.reshape(npix, bpp).astype(np.uint64)
+            cur = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: x + recon(above)
+            cur += prev
+        elif ft == 3:  # Average: x + floor((left + above) / 2)
+            pcur = cur.reshape(npix, bpp)
+            pprev = prev.reshape(npix, bpp).astype(np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for i in range(npix):
+                pcur[i] += ((left + pprev[i]) >> 1).astype(np.uint8)
+                left = pcur[i].astype(np.uint16)
+        elif ft == 4:  # Paeth predictor (spec pseudocode, int arithmetic)
+            pcur = cur.reshape(npix, bpp)
+            pprev = prev.reshape(npix, bpp).astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for i in range(npix):
+                above = pprev[i]
+                p = left + above - ul
+                pa_ = np.abs(p - left)
+                pb_ = np.abs(p - above)
+                pc_ = np.abs(p - ul)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, above, ul)
+                )
+                pcur[i] += pred.astype(np.uint8)
+                left = pcur[i].astype(np.int32)
+                ul = above
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray | None:
+    """Baseline PNG -> (H, W, 3) uint8, implemented from the published
+    spec (RFC 2083 / W3C PNG): chunk walk, zlib-inflated IDAT, the five
+    scanline filters, 8-bit gray / gray+alpha / truecolor / RGBA /
+    palette.  Out of scope (returns None, never raises): 1/2/4/16-bit
+    depths, Adam7 interlace, malformed/truncated streams.  Alpha is
+    dropped (no compositing target in a feature pipeline); gray
+    replicates to 3 channels; palette maps through PLTE."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    pos, n = len(_PNG_SIG), len(b)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data_start = pos + 8
+        if data_start + clen + 4 > n:
+            return None  # truncated chunk
+        data = b[data_start : data_start + clen]
+        pos = data_start + clen + 4  # skip CRC (integrity, not structure)
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8)
+            if len(plte) % 3:
+                return None
+            plte = plte.reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+        or (color == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    try:
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    except ValueError:
+        return None
+    if color == 2:  # RGB
+        return px
+    if color == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:  # grayscale
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color == 3: palette indices through PLTE
+    idx = px[:, :, 0]
+    if idx.max(initial=0) >= len(plte):
+        return None
+    return plte[idx]
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3|4) or (H, W) uint8 -> PNG bytes, one fixed scanline
+    filter for all rows (exercises every decode_png unfilter path in
+    tests).  Inverse of decode_png for filter-reachable images."""
+    import zlib
+
+    if px.ndim == 2:
+        color, channels = 0, 1
+        flat = px
+    elif px.shape[2] == 3:
+        color, channels = 2, 3
+        flat = px
+    elif px.shape[2] == 4:
+        color, channels = 6, 4
+        flat = px
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w = px.shape[:2]
+    stride = w * channels
+    rows = np.ascontiguousarray(flat, dtype=np.uint8).reshape(h, stride)
+
+    def _filt(r: int) -> bytes:
+        cur = rows[r].astype(np.int32)
+        prev = rows[r - 1].astype(np.int32) if r else np.zeros(stride, dtype=np.int32)
+        left = np.zeros(stride, dtype=np.int32)
+        left[channels:] = cur[:-channels]
+        ul = np.zeros(stride, dtype=np.int32)
+        ul[channels:] = prev[:-channels]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, ul)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        return bytes([filter_type]) + (out % 256).astype(np.uint8).tobytes()
+
+    body = zlib.compress(b"".join(_filt(r) for r in range(h)))
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", body)
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_image(b: bytes) -> np.ndarray | None:
-    """Magic-byte dispatch over the stdlib-decodable IMAGE formats ->
+    """Magic-byte dispatch over the from-spec-decodable IMAGE formats ->
     (H, W, 3) uint8 or None.  The single integration point for adding
-    codecs (jpeg/png need external libraries): both MediaDecodeStage and
+    codecs (jpeg/mp4 need external libraries): both MediaDecodeStage and
     ResizeStage route through here."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:2] == b"P6":
         return decode_ppm(b)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
     return None
 
 
@@ -154,19 +361,26 @@ def synth_media_table(
 ) -> pa.Table:
     """Deterministic media corpus for tests/benches (payload bytes are a
     pure function of (seed, media_id)).  `fmt="fake"` emits opaque hash
-    bytes (codec-free plumbing); `fmt="bmp"` emits REAL decodable BMP
-    payloads for the decoder="real" path."""
-    if fmt not in ("fake", "bmp"):
+    bytes (codec-free plumbing); `fmt="bmp"` / `fmt="png"` emit REAL
+    decodable payloads for the decoder="real" path (PNG rotates through
+    the five scanline filters); `fmt="mixed"` interleaves bmp/png/fake so
+    a corpus exercises both the decode and the ok=False skip paths."""
+    if fmt not in ("fake", "bmp", "png", "mixed"):
         raise ValueError(f"unknown synth media fmt: {fmt}")
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
-        if fmt == "bmp":
+        row_fmt = fmt if fmt != "mixed" else ("bmp", "png", "fake")[i % 3]
+        if row_fmt in ("bmp", "png"):
             w = 8 + int(rng.integers(0, 24))
             h = 8 + int(rng.integers(0, 24))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(encode_bmp(px))
-            mimes.append("image/bmp")
+            if row_fmt == "png":
+                payloads.append(encode_png(px, filter_type=i % 5))
+                mimes.append("image/png")
+            else:
+                payloads.append(encode_bmp(px))
+                mimes.append("image/bmp")
             widths.append(w)
             heights.append(h)
         else:
@@ -205,7 +419,7 @@ class MediaDecodeStage:
     @staticmethod
     def _decode_real(payload: bytes) -> np.ndarray | None:
         """Stdlib-decodable formats via decode_image/decode_wav; None for
-        anything else (jpeg/png/mp4 need external codecs — extend
+        anything else (jpeg/mp4 need external codecs — extend
         decode_image, keeping the surrounding Ray plumbing unchanged)."""
         px = decode_image(payload)
         if px is not None:
