@@ -138,6 +138,38 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
     ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     timed("events_window", lambda: events.tumbling_window_stats(ev).materialize())
+
+    # round-3 operator families (same protocol: the family warmups above
+    # already provisioned the actor pools these reuse)
+    import pandas as _pd
+
+    head = pq.read_table(docs_path, columns=["doc_id", "text"]).to_pandas()
+    head = head.sort_values("doc_id").head(5).reset_index(drop=True)
+    probe = rd.from_pandas(_pd.DataFrame({"doc_id": range(5), "text": head["text"]}))
+    timed(
+        "decontamination",
+        lambda: dedup.cross_corpus_overlap_ds(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]), probe, min_shared=2
+        ).materialize(),
+    )
+    timed(
+        "chunk_dedup_stats",
+        lambda: dedup.chunk_dedup_stats(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]), chunk_words=20
+        ).materialize(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: text_analysis.pack_sequences(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            budget=512,
+            scheme="whitespace",
+            n_parts=32,
+        ).materialize(),
+    )
+    from indexer_ray.pipelines.query import doc_unigram_nll
+
+    timed("doc_unigram_nll", lambda: doc_unigram_nll(idx).materialize())
     return out
 
 

@@ -762,6 +762,8 @@ def doc_keywords(index_dir: str, m: int = 3, n_parts: int = 64):
         out = []
         for pid in batch.column("part_id").to_pylist():
             pdir = part_dir(index_dir, int(pid))
+            if not os.path.exists(os.path.join(pdir, "blocks.parquet")):
+                continue  # empty partition: the build writes no dir for it
             d = pq.read_table(os.path.join(pdir, "dict.parquet"), columns=["term", "df"])
             b = pq.read_table(
                 os.path.join(pdir, "blocks.parquet"),
@@ -1028,6 +1030,8 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
         out = []
         for pid in batch.column("part_id").to_pylist():
             pdir = part_dir(index_dir, int(pid))
+            if not os.path.exists(os.path.join(pdir, "blocks.parquet")):
+                continue  # empty partition: the build writes no dir for it
             d = pq.read_table(os.path.join(pdir, "dict.parquet"), columns=["term", "cf"])
             b = pq.read_table(
                 os.path.join(pdir, "blocks.parquet"),

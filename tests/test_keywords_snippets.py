@@ -297,3 +297,44 @@ def test_search_snippets_handles_hash_range_ids(ray_session, tmp_path):
     # big0's signed view (-(2^63)+5) < big1's (-1) < 7
     assert out["doc_id"].tolist() == [sb0, sb1, 7]
     assert (out["snippet"].str.contains("needle")).all()
+
+
+def test_index_stats_tolerate_sparse_partitions(ray_session, tmp_path):
+    """n_partitions >> vocabulary leaves some partitions EMPTY; the build
+    writes no dir for those, and the full-index scan ops must skip them
+    instead of raising FileNotFoundError (caught by the r04 bench over a
+    500-doc corpus at n_partitions=32)."""
+    import os
+
+    from indexer_ray.pipelines.query import doc_keywords, doc_unigram_nll
+    from indexer_ray.state.manifest import IndexManifest, part_dir
+
+    texts = {0: "alpha beta alpha", 1: "beta gamma", 2: "alpha delta"}
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=16)
+    m = IndexManifest.load(idx)
+    missing = [
+        p
+        for p in range(m.n_partitions)
+        if not os.path.exists(os.path.join(part_dir(idx, p), "blocks.parquet"))
+    ]
+    assert missing, "fixture must actually produce empty partitions"
+
+    kw = doc_keywords(idx, m=2).to_pandas()
+    assert set(kw["doc_id"]) == {0, 1, 2}
+    want = _brute_keywords(texts, 2)
+    pd.testing.assert_frame_equal(
+        kw.sort_values(["doc_id", "rank"]).reset_index(drop=True).astype({"score_q": "int64"}),
+        want.astype({"score_q": "int64"}),
+    )
+
+    nll = (
+        doc_unigram_nll(idx)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"nll_q": "int64", "n_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(nll, _brute_nll(texts))
