@@ -566,6 +566,23 @@ def encode_partition(
         )
     dict_tbl = dict_tbl.sort_by([("term", "ascending")])
     pq.write_table(dict_tbl, os.path.join(out_dir, "dict.parquet"), row_group_size=16384)
+    # length-banded dict sidecar: (term_len, term)-sorted with small row
+    # groups, so edit-distance candidate scans (fuzzy_suggest) prune to the
+    # |len - len(q)| <= max_dist band via row-group stats instead of reading
+    # every dict row group — the same pruning prefix_suggest gets from the
+    # term sort.  Tiny relative to blocks.parquet (terms + df only).
+    import pyarrow.compute as pc
+
+    dict_len = pa.table(
+        {
+            "term_len": pc.utf8_length(dict_tbl.column("term")).cast(pa.int32()),
+            "term": dict_tbl.column("term"),
+            "df": dict_tbl.column("df"),
+        }
+    ).sort_by([("term_len", "ascending"), ("term", "ascending")])
+    pq.write_table(
+        dict_len, os.path.join(out_dir, "dict_len.parquet"), row_group_size=2048
+    )
     # no-silent-caps: a partition whose raw postings dwarf the sizing target
     # means a hot term escaped the sample (all its postings hash-route
     # here); surface it loudly in the lineage instead of just being slow

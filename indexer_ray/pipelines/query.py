@@ -1153,12 +1153,15 @@ def fuzzy_suggest(index_dir: str, term: str, k: int = 10, max_dist: int = 1):
     term asc) — the misspelling-recovery stage the reference has no
     analogue for (an unknown term simply scores nothing, tree.rs:406-415).
 
-    Distributed full scan of the per-partition dictionaries (edit distance
-    admits no dictionary order pruning, so unlike prefix_suggest every
-    dict row group is read — but the scan is one task per partition and
-    the per-candidate DP runs only on terms surviving a vectorized length
-    band).  Salted per-partition dfs Sum to global df; final top-k is a
-    partial cut + single merge.
+    Scan pruning: indexes built with the length-banded dict sidecar
+    (dict_len.parquet, (term_len, term)-sorted, small row groups) read
+    ONLY the row groups intersecting the |len - len(q)| <= max_dist
+    band — edit distance admits no TERM-order pruning, but it does bound
+    candidate LENGTH, and the sidecar clusters by length so parquet
+    row-group stats turn that bound into pruned bytes.  Older indexes
+    without the sidecar fall back to the full dict scan.  The
+    per-candidate DP runs only on surviving terms; salted per-partition
+    dfs Sum to global df; final top-k is a partial cut + single merge.
 
     Output: (rank, term, dist, df)."""
     import glob as _glob
@@ -1169,8 +1172,15 @@ def fuzzy_suggest(index_dir: str, term: str, k: int = 10, max_dist: int = 1):
 
     if not term:
         raise ValueError("term must be non-empty")
-    paths = sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet")))
-    ds = rd.read_parquet(paths, columns=["term", "df"])
+    dict_paths = sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict.parquet")))
+    len_paths = sorted(_glob.glob(os.path.join(index_dir, "parts", "*", "dict_len.parquet")))
+    if len(len_paths) == len(dict_paths) and len_paths:
+        expr = (pads.field("term_len") >= len(term) - max_dist) & (
+            pads.field("term_len") <= len(term) + max_dist
+        )
+        ds = rd.read_parquet(len_paths, columns=["term", "df"], filter=expr)
+    else:
+        ds = rd.read_parquet(dict_paths, columns=["term", "df"])
 
     def _candidates(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
