@@ -1210,6 +1210,30 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Domain-mixture sampling: per-source Knuth-bucket keep rates (the
+    dataset-mixing step of a training pipeline); deterministic, nested,
+    and SQL-recomputable."""
+    from indexer_ray.pipelines.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir), {"src0": 1.0, "src1": 0.25, "src2": 0.0}, default=0.5
+    )
+
+
+def _q_token_budget_sample(sf_dir: str):
+    """Token-budget subset: hash-ordered prefix of docs whose running
+    \\S+-token total stays <= 20k (distributed ordered prefix-sum)."""
+    from indexer_ray.pipelines.sampling import token_budget_sample
+
+    out = token_budget_sample(_docs(sf_dir), budget=20_000, n_parts=16).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_tokens": "int64"})
+    )
+
+
 def _q_fuzzy_suggest(sf_dir: str):
     """'Did you mean' over the dictionary: terms within 1 edit of the
     misspelling 'sow' ranked (dist, df desc, term)."""
@@ -1335,6 +1359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
         "search_urls_topk": _q_search_urls,
+        "mixture_sample": _q_mixture_sample,
+        "token_budget_sample": _q_token_budget_sample,
     }
 
 
@@ -1857,4 +1883,23 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
+        # same Knuth lattice as hash_split_assign; rate 10000ths per source
+        "mixture_sample": """SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+      CASE source WHEN 'src0' THEN 10000
+                  WHEN 'src1' THEN 2500
+                  WHEN 'src2' THEN 0
+                  ELSE 5000 END
+ORDER BY doc_id""",
+        # hash-ordered running \S+-token total <= budget (inclusive)
+        "token_budget_sample": """SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY b, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+        FROM documents) t
+) s WHERE run <= 20000 ORDER BY doc_id""",
     }

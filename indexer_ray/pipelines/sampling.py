@@ -191,3 +191,127 @@ def sample_per_group(ds, k: int, group_col: str = "source",
         .groupby("part")
         .map_groups(_pick, batch_format="pandas")
     )
+
+
+def mixture_sample(ds, rates: dict[str, float], default: float = 0.0,
+                   group_col: str = "source", id_col: str = "doc_id"):
+    """Domain-mixture sampling: keep each row with its GROUP's target rate
+    (e.g. {"web": 0.3, "wiki": 1.0, "forum": 0.05}) — the re-weighting
+    step that turns a raw web crawl into a curated training mixture
+    (per-source sampling rates are the standard published knob, e.g. the
+    GPT-3 / The Pile dataset mixing tables).  Groups not named in `rates`
+    keep `default`.
+
+    Same Knuth-bucket lattice as hash_split/hash_sample, so the draw is
+    deterministic, layout-independent, NESTED across rate increases, and
+    SQL-expressible (oracle: bucket(doc_id) < CASE source ... END).
+    Pure map_batches filter — no shuffle."""
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default <= 1.0):
+        raise ValueError(f"default rate must be in [0, 1], got {default}")
+    cuts = {g: int(round(r * _BUCKETS)) for g, r in rates.items()}
+    dcut = int(round(default * _BUCKETS))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(ids)
+        enc = t.column(group_col).combine_chunks().dictionary_encode()
+        uniq_cuts = np.array(
+            [cuts.get(v, dcut) for v in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(b < uniq_cuts[codes]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
+
+
+def token_budget_sample(ds, budget: int, id_col: str = "doc_id",
+                        text_col: str = "text", n_parts: int = 32):
+    """Select documents to an exact TOKEN budget: walk docs in the
+    deterministic hash order (bucket(id), id) and keep every doc whose
+    RUNNING token total (inclusive) stays <= `budget` — "give me a fair
+    ~2B-token subset" is how training mixtures are actually sized, and a
+    hash-ordered prefix makes the subset reproducible and nested (a 1B
+    budget is a prefix of the 2B budget).
+
+    Distributed shape — an ordered prefix-sum (scan), two passes:
+      1. one map_batches computes (id, bucket, n_tokens) and routes rows
+         to `n_parts` ORDERED bucket-range partitions;
+      2. per-partition token sums (n_parts tiny rows) come to the driver,
+         an exclusive prefix over partitions gives each partition its
+         starting offset, and a second vectorized pass cuts each
+         partition at its local threshold.
+    Nothing unbounded materializes on the driver (n_parts rows).  Token
+    counting is RE2 '\\S+' runs (count_substring_regex), matching the SQL
+    oracle's tokenization exactly.
+
+    Output: (id_col, n_tokens), the selected docs."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    part_w = -(-_BUCKETS // n_parts)  # bucket-range width per ordered partition
+
+    def _count(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(ids)
+        ntok = pc.fill_null(
+            pc.count_substring_regex(
+                pc.cast(t.column(text_col), pa.string()), pattern=r"\S+"
+            ),
+            0,
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "bucket": pa.array(b, type=pa.int64()),
+                "n_tokens": ntok.cast(pa.int64()),
+                "part": pa.array(b // part_w, type=pa.int32()),
+            }
+        )
+
+    counted = ds.map_batches(_count, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192).materialize()
+
+    # pass 1: per-partition totals (n_parts rows — bounded, driver-safe)
+    from ray.data.aggregate import Sum
+
+    totals = counted.groupby("part").aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
+    totals = totals.sort_values("part")
+    offsets = dict(
+        zip(
+            totals["part"].to_numpy(),
+            np.r_[0, np.cumsum(totals["tot"].to_numpy())[:-1]],
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 2: cut each ordered partition at its local threshold.  The cut
+    # EMITS a keep flag instead of dropping rows (an all-empty map_groups
+    # output loses its schema); the Arrow filter below preserves the
+    # schema even when every row is dropped (budget < first doc).
+    import pandas as pd
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        start = ray.get(off_ref).get(int(g["part"].iloc[0]), 0)
+        g = g.sort_values(["bucket", id_col], kind="mergesort")
+        run = start + g["n_tokens"].cumsum()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "n_tokens": g["n_tokens"],
+                "keep": (run <= budget).to_numpy(),
+            }
+        )
+
+    flagged = counted.groupby("part").map_groups(_cut, batch_format="pandas")
+    return flagged.map_batches(
+        lambda t: t.filter(t.column("keep")).drop_columns(["keep"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

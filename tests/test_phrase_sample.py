@@ -156,3 +156,133 @@ def test_member_mask_handles_hash_range_ids(ray_session):
     assert _member_mask(good, probe).all()
     assert not _member_mask(good, others).any()
     assert not _member_mask(np.empty(0, dtype=np.int64), probe).any()
+
+
+def test_mixture_sample_matches_brute_and_is_nested(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import _bucket_of, mixture_sample
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["web", "wiki", "forum", "code"], size=n),
+            "text": ["x"] * n,
+        }
+    )
+    rates = {"web": 0.3, "wiki": 1.0, "forum": 0.0}
+    got = (
+        mixture_sample(rd.from_pandas(df), rates, default=0.05)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = _bucket_of(df["doc_id"].to_numpy())
+    cut = df["source"].map(lambda s: int(round(rates.get(s, 0.05) * 10000))).to_numpy()
+    want = df[b < cut].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["source"] != "forum").all()
+    assert set(got[got["source"] == "wiki"]["doc_id"]) == set(
+        df[df["source"] == "wiki"]["doc_id"]
+    )
+    # nested: raising every rate only ADDS rows
+    bigger = (
+        mixture_sample(rd.from_pandas(df), {"web": 0.6, "wiki": 1.0, "forum": 0.2}, default=0.1)
+        .to_pandas()
+    )
+    assert set(got["doc_id"]).issubset(set(bigger["doc_id"]))
+
+
+def test_mixture_sample_rejects_bad_rates(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import mixture_sample
+
+    df = pd.DataFrame({"doc_id": [1], "source": ["a"], "text": ["x"]})
+    with pytest.raises(ValueError):
+        mixture_sample(rd.from_pandas(df), {"a": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(rd.from_pandas(df), {"a": 0.5}, default=-0.1)
+
+
+def _brute_token_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    import re
+
+    from indexer_ray.pipelines.sampling import _bucket_of
+
+    d = df.copy()
+    d["bucket"] = _bucket_of(d["doc_id"].to_numpy())
+    d["n_tokens"] = [len(re.findall(r"\S+", t or "")) for t in d["text"]]
+    d = d.sort_values(["bucket", "doc_id"], kind="mergesort")
+    run = d["n_tokens"].cumsum()
+    return (
+        d.loc[run <= budget, ["doc_id", "n_tokens"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_token_budget_sample_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import token_budget_sample
+
+    rng = np.random.default_rng(22)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(["w"] * int(rng.integers(0, 40))) for _ in range(n)],
+        }
+    )
+    # budget=0 selects nothing (Ray's to_pandas drops the schema of a
+    # fully-empty Dataset, so compare the count rather than the frame)
+    assert token_budget_sample(rd.from_pandas(df), 0, n_parts=8).count() == 0
+    for budget in (137, 5000, 10**9):
+        got = (
+            token_budget_sample(rd.from_pandas(df), budget, n_parts=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_tokens": "int64"})
+        )
+        want = _brute_token_budget(df, budget)
+        pd.testing.assert_frame_equal(got, want)
+    # budget larger than the corpus keeps everything
+    assert len(_brute_token_budget(df, 10**9)) == n
+
+
+def test_token_budget_sample_nested_and_layout_independent(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import token_budget_sample
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(["t"] * int(rng.integers(1, 30))) for _ in range(n)],
+        }
+    )
+    small = set(
+        token_budget_sample(rd.from_pandas(df), 2000, n_parts=8).to_pandas()["doc_id"]
+    )
+    big = set(
+        token_budget_sample(rd.from_pandas(df), 6000, n_parts=8).to_pandas()["doc_id"]
+    )
+    assert small.issubset(big)
+    # different partition count and block layout -> identical selection
+    alt = set(
+        token_budget_sample(
+            rd.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(7),
+            2000,
+            n_parts=3,
+        )
+        .to_pandas()["doc_id"]
+    )
+    assert alt == small
