@@ -1210,6 +1210,26 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_source_len_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 document length (n_chars) per source —
+    PERCENTILE_DISC semantics over a (group, value) count rollup."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.relational import group_quantiles
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+    out = group_quantiles(
+        docs, [0.5, 0.9, 0.99], value_col="n_chars", group_col="source"
+    ).to_pandas()
+    return (
+        out.sort_values(["source", "q_pct"])
+        .reset_index(drop=True)
+        .astype({"q_pct": "int64", "value": "int64"})
+    )
+
+
 def _q_mixture_sample(sf_dir: str):
     """Domain-mixture sampling: per-source Knuth-bucket keep rates (the
     dataset-mixing step of a training pipeline); deterministic, nested,
@@ -1361,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_urls_topk": _q_search_urls,
         "mixture_sample": _q_mixture_sample,
         "token_budget_sample": _q_token_budget_sample,
+        "source_len_quantiles": _q_source_len_quantiles,
     }
 
 
@@ -1902,4 +1923,17 @@ ORDER BY doc_id""",
                ((doc_id * 2654435761) % 4294967296) % 10000 AS b
         FROM documents) t
 ) s WHERE run <= 20000 ORDER BY doc_id""",
+        # PERCENTILE_DISC == DuckDB quantile_disc (verified: ceil(q*n) position)
+        "source_len_quantiles": """SELECT source, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(value AS BIGINT) AS value
+FROM (
+  SELECT source, 50 AS q_pct, quantile_disc(n_chars, 0.50) AS value
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT source, 90 AS q_pct, quantile_disc(n_chars, 0.90) AS value
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT source, 99 AS q_pct, quantile_disc(n_chars, 0.99) AS value
+  FROM documents GROUP BY source
+) ORDER BY source, q_pct""",
     }
