@@ -1210,6 +1210,19 @@ def _q_group_sample(sf_dir: str):
     return sample_per_group(_docs(sf_dir), k=3, group_col="source")
 
 
+def _q_drop_dup_chunks(sf_dir: str):
+    """C4-style duplicated-span removal (5-word spans): global
+    first-occurrence kept, docs rebuilt from their kept chunks."""
+    from indexer_ray.pipelines.dedup import drop_duplicate_chunks
+
+    out = drop_duplicate_chunks(_docs(sf_dir), chunk_words=5).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_dropped": "int64"})
+    )
+
+
 def _q_source_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 document length (n_chars) per source —
     PERCENTILE_DISC semantics over a (group, value) count rollup."""
@@ -1382,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "token_budget_sample": _q_token_budget_sample,
         "source_len_quantiles": _q_source_len_quantiles,
+        "drop_dup_chunks": _q_drop_dup_chunks,
     }
 
 
@@ -1936,4 +1950,21 @@ FROM (
   SELECT source, 99 AS q_pct, quantile_disc(n_chars, 0.99) AS value
   FROM documents GROUP BY source
 ) ORDER BY source, q_pct""",
+        # global-first-occurrence span dedup; text rebuilt from kept chunks
+        "drop_dup_chunks": """WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\\S+')))) AS pos
+  FROM documents),
+chunks AS (
+  SELECT doc_id, pos // 5 AS ci, string_agg(term, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY doc_id, pos // 5),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+  FROM chunks)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci) AS text,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+HAVING count(*) FILTER (rn = 1) > 0
+ORDER BY doc_id""",
     }

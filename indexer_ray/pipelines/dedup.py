@@ -1888,3 +1888,148 @@ def chunk_dedup_stats(ds, chunk_words: int = 20, n_parts: int = 32):
             Sum("n_dup_chunks", alias_name="n_dup_chunks"),
         )
     )
+
+
+def drop_duplicate_chunks(
+    ds,
+    chunk_words: int = 20,
+    n_parts: int = 32,
+    broadcast_threshold: int = 100_000,
+):
+    """C4-style duplicated-span REMOVAL (Raffel et al. 2020 §2.2 — they
+    drop all but one occurrence of any repeated three-sentence span; here
+    the span is a fixed `chunk_words`-word window, the same chunking as
+    `chunk_dedup_stats`): every chunk occurrence except the globally
+    FIRST (smallest (doc_id, chunk_idx)) of its content is dropped, and
+    each document's text is rebuilt as the space-join of its kept chunks
+    in order.
+
+    Output: (doc_id, text, n_dropped) — one row per doc that keeps >= 1
+    chunk (docs with no tokens, or whose every chunk duplicates an earlier
+    one, are removed from the corpus).  Whitespace NORMALIZES to single
+    spaces (output tokens == kept chunk tokens) so the rule — and the SQL
+    oracle — is uniform across touched and untouched docs.
+
+    Shape: the census pass is chunk_dedup_stats' machinery (one 28-byte
+    hash row per chunk, hash-routed so equal chunks co-locate, vectorized
+    duplicated() per partition) emitting the DROP SET (doc_id, chunk_idx)
+    instead of counts; text never enters a shuffle.  Rebuild routing is
+    regime-gated like every dedup family here: drop set <= threshold ->
+    broadcast dict read once per task; above -> per-doc drop lists
+    aggregate distributed and LEFT OUTER hash-join the corpus."""
+    import ray
+    import ray.data as rd
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, his, los = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            w = (t or "").split()
+            for ci in range(0, -(-len(w) // chunk_words)):
+                chunk = " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
+                d = hashlib.blake2b(chunk.encode("utf-8"), digest_size=16).digest()
+                his.append(int.from_bytes(d[:8], "big", signed=True))
+                los.append(int.from_bytes(d[8:], "big", signed=True))
+                ids_out.append(doc_id)
+                idx_out.append(ci)
+        part = key_partition(np.array(his, dtype=np.int64).astype(np.uint64), n_parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "chunk_idx": pa.array(idx_out, type=pa.int64()),
+                "hash_hi": pa.array(his, type=pa.int64()),
+                "hash_lo": pa.array(los, type=pa.int64()),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def _drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["hash_hi", "hash_lo", "doc_id", "chunk_idx"], kind="mergesort"
+        )
+        dup = g.duplicated(["hash_hi", "hash_lo"], keep="first")
+        return g.loc[dup, ["doc_id", "chunk_idx"]].astype(
+            {"doc_id": "int64", "chunk_idx": "int64"}
+        )
+
+    drops = (
+        ds.map_batches(_chunks, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=2048)
+        .groupby("part")
+        .map_groups(_drops, batch_format="pandas")
+        .materialize()
+    )
+
+    def _rebuild_tbl(batch: pa.Table, drop_of) -> pa.Table:
+        ids_out, texts, ndrop = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            w = (t or "").split()
+            if not w:
+                continue
+            bad = drop_of(doc_id)
+            kept = [
+                " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
+                for ci in range(0, -(-len(w) // chunk_words))
+                if ci not in bad
+            ]
+            if not kept:
+                continue
+            ids_out.append(doc_id)
+            texts.append(" ".join(kept))
+            ndrop.append(len(bad))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "n_dropped": pa.array(ndrop, type=pa.int64()),
+            }
+        )
+
+    n_drops = drops.count()
+    if n_drops <= broadcast_threshold:
+        df = drops.to_pandas() if n_drops else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "chunk_idx": pd.Series([], dtype="int64")}
+        )
+        by_doc: dict[int, frozenset] = {
+            int(d): frozenset(int(i) for i in g["chunk_idx"])
+            for d, g in df.groupby("doc_id")
+        }
+        ref = ray.put(by_doc)
+
+        def _rebuild_bcast(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            return _rebuild_tbl(batch, lambda did: m.get(did, frozenset()))
+
+        return ds.map_batches(_rebuild_bcast, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=2048)
+
+    # distributed regime: per-doc drop lists join the corpus by doc_id
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "drop_csv": [",".join(map(str, sorted(g["chunk_idx"])))],
+            }
+        )
+
+    per_doc = drops.groupby("doc_id").map_groups(_pack, batch_format="pandas")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = max(2, ncpu // 2)
+    joined = ds.join(per_doc, "left_outer", jp, on=("doc_id",))
+
+    def _rebuild_joined(batch: pa.Table) -> pa.Table:
+        csvs = batch.column("drop_csv").to_pylist()
+        sets = [
+            frozenset(int(x) for x in c.split(",")) if c else frozenset()
+            for c in csvs
+        ]
+        by_row = dict(zip(batch.column("doc_id").to_pylist(), sets))
+        return _rebuild_tbl(batch, lambda did: by_row.get(did, frozenset()))
+
+    return joined.map_batches(_rebuild_joined, batch_format="pyarrow")

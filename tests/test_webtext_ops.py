@@ -360,3 +360,88 @@ def test_facet_counts_empty_match_set(ray_session, tiny_pages, tmp_path_factory)
     s = IndexSearcher(index_dir)
     out = facet_counts(s, docs, "zzzznotaword", facet_col="lang")
     assert out.count() == 0
+
+
+def _brute_drop_chunks(texts: dict[int, str], chunk_words: int) -> pd.DataFrame:
+    seen: set[str] = set()
+    rows = []
+    for did in sorted(texts):
+        w = (texts[did] or "").split()
+        kept, ndrop = [], 0
+        for ci in range(0, -(-len(w) // chunk_words)):
+            chunk = " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
+            if chunk in seen:
+                ndrop += 1
+            else:
+                seen.add(chunk)
+                kept.append(chunk)
+        if kept:
+            rows.append((did, " ".join(kept), ndrop))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "n_dropped"]).astype(
+        {"doc_id": "int64", "n_dropped": "int64"}
+    )
+
+
+def test_drop_duplicate_chunks_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import drop_duplicate_chunks
+
+    texts = {
+        0: "a b c d  e f",          # chunks (w=2): 'a b','c d','e f'
+        1: "c d a b x y",           # 'c d','a b' dup doc0 -> only 'x y' kept
+        2: "x y",                   # dup of doc1's kept chunk -> doc DROPPED
+        3: "",                      # no tokens -> dropped
+        4: "e f g",                 # 'e f' dup; trailing partial 'g' kept
+        5: "g",                     # partial chunk 'g' dup of doc4's -> dropped
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    want = _brute_drop_chunks(texts, 2)
+    got = (
+        drop_duplicate_chunks(rd.from_pandas(df), chunk_words=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["doc_id"]) == {0, 1, 4}
+    assert got.loc[got["doc_id"] == 1, "text"].iloc[0] == "x y"
+
+    # distributed join regime (threshold 0) must match the broadcast path
+    got2 = (
+        drop_duplicate_chunks(rd.from_pandas(df), chunk_words=2, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_drop_duplicate_chunks_random_corpus_regimes_agree(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import drop_duplicate_chunks
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many chunk collisions
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for i in range(300)
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    want = _brute_drop_chunks(texts, 3)
+    for thr in (10**9, 0):
+        got = (
+            drop_duplicate_chunks(rd.from_pandas(df), chunk_words=3,
+                                  broadcast_threshold=thr)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
