@@ -760,6 +760,56 @@ def _q_index_merge_postings(sf_dir: str):
     )
 
 
+def _q_index_delete_postings(sf_dir: str):
+    """Tombstone deletion lifecycle (merge.delete_docs) under the external
+    oracle: full index over the documents table, delete the urls of
+    doc_id%7==0, then the compacted index's probe-term postings must equal
+    SQL term frequencies over the SURVIVING rows only."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.merge import delete_docs
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    base = f"/tmp/indexer_ray_entry/{tag}_delete"
+    os.makedirs(base, exist_ok=True)
+    del_idx = os.path.join(base, "deleted_index")
+    if not os.path.exists(os.path.join(del_idx, "manifest.json")):
+        ids = docs.column("doc_id").to_pylist()
+        pages = pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in ids], type=pa.string()),
+                "warc_ts": pa.array([0] * len(ids), type=pa.timestamp("us")),
+                "html": pa.array([b""] * len(ids), type=pa.binary()),
+                "text": docs.column("text"),
+            }
+        )
+        src = os.path.join(base, "pages.parquet")
+        pq.write_table(pages, src)
+        cfg = BuildConfig(mode="plain", n_partitions=4, id_assign="hash")
+        build_index([src], os.path.join(base, "full_index"), cfg)
+        delete_docs(
+            os.path.join(base, "full_index"),
+            [f"doc://{i}" for i in ids if i % 7 == 0],
+            del_idx,
+        )
+    s = IndexSearcher(del_idx)
+    rows = []
+    for term in _PROBE_TERMS:
+        d, t = s.term_postings(term)
+        urls = s.resolve_urls([int(x) for x in d])
+        for did, tf in zip(d, t):
+            rows.append((term, int(urls[int(did)][len("doc://") :]), int(tf)))
+    out = pd.DataFrame(rows, columns=["term", "doc_id", "tf"])
+    return (
+        out.sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "tf": "int64"})
+    )
+
+
 # Deterministic PII augmentation shared by the Ray path and the SQL oracle:
 # the synthetic corpus has no PII, so both sides append the SAME derived
 # email/phone/IP substrings per doc before scrubbing (no external data).
@@ -1396,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _q_token_budget_sample,
         "source_len_quantiles": _q_source_len_quantiles,
         "drop_dup_chunks": _q_drop_dup_chunks,
+        "index_delete_postings": _q_index_delete_postings,
     }
 
 
@@ -1950,6 +2001,14 @@ FROM (
   SELECT source, 99 AS q_pct, quantile_disc(n_chars, 0.99) AS value
   FROM documents GROUP BY source
 ) ORDER BY source, q_pct""",
+        # postings over the SURVIVORS only (deleted urls = doc_id%7==0)
+        "index_delete_postings": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT term, doc_id, count(*) AS tf
+FROM toks WHERE term IN ({probe})
+GROUP BY term, doc_id""",
         # global-first-occurrence span dedup; text rebuilt from kept chunks
         "drop_dup_chunks": """WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term,

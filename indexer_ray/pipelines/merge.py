@@ -740,3 +740,199 @@ def _superseded_ids_of(index_dir: str, newer_urls: set) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return np.sort(np.concatenate(parts))
+
+
+def delete_docs(
+    base_dir: str,
+    urls,
+    out_dir: str,
+    resume: bool = False,
+    n_partitions: int | None = None,
+    broadcast_urls_threshold: int = 1 << 20,
+    join_partitions: int | None = None,
+) -> IndexManifest:
+    """Tombstone deletion as compaction: produce a fresh index at
+    `out_dir` equal to `base_dir` minus the documents whose url is in
+    `urls` — the LSM lifecycle step merge_indexes does NOT cover
+    (takedowns / GDPR erasure / opt-out lists delete docs without a
+    replacement delta).  No re-tokenization: base postings stream through
+    a doc-id filter and re-encode with the base's own hot-term salting,
+    partitioning and checkpointed phase-2 tail.
+
+    `urls` is a list[str] (driver-sized, always broadcast) or a Dataset
+    with a `url` column (regime-gated like merge_indexes: broadcast set
+    under `broadcast_urls_threshold`, distributed LEFT OUTER marker join
+    above).  Deleting a url absent from the index is a no-op, like the
+    reference's skip semantics.  Resumable exactly like merge/build."""
+    import ray
+    import ray.data as rd
+
+    base_m = IndexManifest.load(base_dir)
+    if not resume and (
+        os.path.exists(os.path.join(out_dir, "progress.json"))
+        or os.path.exists(os.path.join(out_dir, "manifest.json"))
+    ):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    raw_root = os.path.join(out_dir, "raw")
+    docmap_dir = os.path.join(out_dir, "docmap")
+    progress = load_progress(out_dir) if resume else {}
+
+    if "n_partitions" in progress:
+        P = int(progress["n_partitions"])
+        hot_out = dict(progress["hot_terms"])
+        id_space = progress["id_space"]
+    else:
+        total_postings = sum(
+            int(m.get("n_postings", 0)) for m in base_m.partitions.values()
+        )
+        tgt = int(base_m.config.get("target_partition_postings", 4 << 20))
+        P = n_partitions or _auto_partitions(total_postings, tgt)
+        hot_out = dict(base_m.hot_terms)
+        dense_or_col = bool(base_m.config.get("id_assign") == "dense") or bool(
+            base_m.config.get("id_column")
+        )
+        id_space = (_max_docmap_id(base_dir) + 1) if dense_or_col else None
+        progress.update(
+            {"n_partitions": P, "hot_terms": hot_out, "id_space": id_space}
+        )
+        save_progress(out_dir, progress)
+
+    t0 = time.monotonic()
+    if not progress.get("phase1_complete"):
+        shutil.rmtree(raw_root, ignore_errors=True)
+        shutil.rmtree(docmap_dir, ignore_errors=True)
+
+        base_dm_files = _docmap_files(base_dir)
+        base_post = postings_ds(base_dir)
+        base_dm = (
+            rd.read_parquet(base_dm_files)
+            if base_dm_files
+            else rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.uint64())}))
+        )
+
+        url_list = None
+        if isinstance(urls, (list, tuple, set, frozenset)):
+            url_list = sorted(str(u) for u in urls)
+        elif hasattr(urls, "count"):  # Dataset with a url column
+            if urls.count() <= broadcast_urls_threshold:
+                url_list = sorted(
+                    str(r["url"]) for r in urls.select_columns(["url"]).take_all()
+                )
+        else:
+            raise TypeError(f"urls must be a list or a Dataset, got {type(urls)}")
+
+        if url_list is not None:
+            # ---- broadcast regime (same kernels as merge_indexes) ----
+            urls_ref = ray.put(pa.array(url_list, type=pa.string()))
+
+            def _del_ids(t: pa.Table) -> pa.Table:
+                us = ray.get(urls_ref)
+                mask = pc.is_in(t.column("url"), value_set=us)
+                return pa.table({"doc_id": t.column("doc_id").filter(mask)})
+
+            sup = (
+                np.sort(
+                    np.array(
+                        [
+                            r["doc_id"]
+                            for r in base_dm.map_batches(
+                                _del_ids, batch_format="pyarrow"
+                            ).take_all()
+                        ],
+                        dtype=np.uint64,
+                    )
+                )
+                if url_list
+                else np.empty(0, dtype=np.uint64)
+            )
+            sup_ref = ray.put(sup)
+
+            def _drop_deleted(t: pa.Table) -> pa.Table:
+                s = ray.get(sup_ref)
+                if not len(s) or not t.num_rows:
+                    return t
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+                return t.filter(pa.array(~(s[pos] == ids)))
+
+            base_post = base_post.map_batches(
+                _drop_deleted, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+            def _drop_deleted_dm(t: pa.Table) -> pa.Table:
+                us = ray.get(urls_ref)
+                return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=us)))
+
+            dm_out = base_dm.map_batches(_drop_deleted_dm, batch_format="pyarrow")
+        else:
+            # ---- join regime: the url Dataset stays distributed ----
+            jp = join_partitions or max(
+                2, int(ray.cluster_resources().get("CPU", 8)) // 2
+            )
+            marker = urls.select_columns(["url"]).map_batches(
+                lambda t: t.append_column(
+                    "m", pa.array(np.ones(t.num_rows, dtype=np.int8), type=pa.int8())
+                ),
+                batch_format="pyarrow",
+            )
+            dm_joined = base_dm.join(marker, "left_outer", jp, on=("url",)).materialize()
+            dm_out = dm_joined.map_batches(
+                lambda t: t.filter(pc.is_null(t.column("m"))).drop_columns(["m"]),
+                batch_format="pyarrow",
+            )
+
+            def _del_keys(t: pa.Table) -> pa.Table:
+                kept = t.filter(pc.is_valid(t.column("m")))
+                ids = (
+                    kept.column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                return pa.table(
+                    {
+                        "jkey": pa.array(ids.view(np.int64), type=pa.int64()),
+                        "m2": pa.array(
+                            np.ones(len(ids), dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                )
+
+            del_keys = dm_joined.map_batches(_del_keys, batch_format="pyarrow")
+            base_post = (
+                base_post.map_batches(_jkey, batch_format="pyarrow")
+                .join(del_keys, "left_outer", jp, on=("jkey",))
+                .map_batches(
+                    lambda t: t.filter(pc.is_null(t.column("m2"))).drop_columns(
+                        ["jkey", "m2"]
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+        _POST_COLS = ["term", "doc_id", "tf", "dl"]
+        routed = base_post.map_batches(
+            lambda t: t.select(_POST_COLS), batch_format="pyarrow"
+        ).map_batches(
+            _route_batch,
+            fn_kwargs={
+                "hot_salts": hot_out,
+                "n_partitions": P,
+                "id_space": id_space,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        routed.write_parquet(raw_root, partition_cols=["part_id"])
+        if base_dm_files:
+            dm_cols = pq.ParquetFile(base_dm_files[0]).schema_arrow.names
+            dm_out = dm_out.map_batches(
+                lambda t: t.select(dm_cols), batch_format="pyarrow"
+            )
+        dm_out.write_parquet(docmap_dir)
+        os.makedirs(docmap_dir, exist_ok=True)  # 0-row write creates no dir
+        progress["phase1_complete"] = True
+        progress["phase1_sec"] = round(time.monotonic() - t0, 3)
+        save_progress(out_dir, progress)
+
+    return _encode_and_commit(out_dir, base_m.config, P, hot_out, progress, [base_dir])

@@ -315,3 +315,85 @@ def test_merge_many_cascade_equals_single_pass(tmp_path, ray_session):
         ds_, ts_ = ss.term_postings(t)
         dc_, tc_ = sc.term_postings(t)
         assert np.array_equal(ds_, dc_) and np.array_equal(ts_, tc_), t
+
+
+# ------------------------------------------------------------ delete_docs
+@pytest.fixture()
+def delete_setup(tmp_path, ray_session):
+    """full corpus index + fresh index over the corpus minus the deleted
+    urls, one per id mode on demand."""
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    def make(id_assign):
+        root = tmp_path / f"del_{id_assign}"
+        root.mkdir(exist_ok=True)
+        texts = _corpus()
+        deleted = {i for i in range(len(texts)) if i % 5 == 0}
+        pq.write_table(_pages(texts, set()), str(root / "full.parquet"))
+        kept_tbl = _pages(texts, set()).filter(
+            pa.array([i not in deleted for i in range(len(texts))])
+        )
+        pq.write_table(kept_tbl, str(root / "kept.parquet"))
+        cfg = BuildConfig(mode="plain", n_partitions=8, id_assign=id_assign)
+        build_index([str(root / "full.parquet")], str(root / "idx_full"), cfg)
+        build_index([str(root / "kept.parquet")], str(root / "idx_kept_fresh"), cfg)
+        urls = [f"u://{i}" for i in sorted(deleted)]
+        return root, urls
+
+    return make
+
+
+def test_delete_docs_hash_ids_equals_fresh_build(delete_setup):
+    from indexer_ray.pipelines.merge import delete_docs
+
+    root, urls = delete_setup("hash")
+    m = delete_docs(str(root / "idx_full"), urls, str(root / "idx_del"))
+    assert m.n_docs == 300 - len(urls)
+    _assert_equivalent(str(root / "idx_del"), str(root / "idx_kept_fresh"), by_url=False)
+    # deleted urls are gone from the docmap
+    um = _urlmap(str(root / "idx_del"))
+    assert set(urls).isdisjoint(set(um.values()))
+
+
+def test_delete_docs_dataset_join_regime_equals_broadcast(delete_setup, ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.merge import delete_docs
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    root, urls = delete_setup("hash")
+    url_ds = rd.from_arrow(pa.table({"url": pa.array(urls, type=pa.string())}))
+    delete_docs(
+        str(root / "idx_full"), urls, str(root / "idx_del_b")
+    )
+    delete_docs(
+        str(root / "idx_full"), url_ds, str(root / "idx_del_j"),
+        broadcast_urls_threshold=0,
+    )
+    sb = IndexSearcher(str(root / "idx_del_b"))
+    sj = IndexSearcher(str(root / "idx_del_j"))
+    for q in ("w0 w2", "w5 w30 w1", "w100"):
+        assert [(d, round(s, 9)) for d, s in sb.search(q, k=15)] == [
+            (d, round(s, 9)) for d, s in sj.search(q, k=15)
+        ]
+    for t in ("w0", "w10", "w80"):
+        db, tb = sb.term_postings(t)
+        dj, tj = sj.term_postings(t)
+        assert np.array_equal(db, dj) and np.array_equal(tb, tj)
+
+
+def test_delete_docs_noop_and_unknown_urls(delete_setup):
+    from indexer_ray.pipelines.merge import delete_docs
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    root, _ = delete_setup("hash")
+    m = delete_docs(
+        str(root / "idx_full"), ["u://nope", "x://absent"], str(root / "idx_noop")
+    )
+    assert m.n_docs == 300
+    s0 = IndexSearcher(str(root / "idx_full"))
+    s1 = IndexSearcher(str(root / "idx_noop"))
+    for q in ("w0 w2", "w100"):
+        assert [(d, round(s, 9)) for d, s in s0.search(q, k=15)] == [
+            (d, round(s, 9)) for d, s in s1.search(q, k=15)
+        ]
