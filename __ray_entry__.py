@@ -1273,6 +1273,28 @@ def _q_drop_dup_chunks(sf_dir: str):
     )
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights toward a target slice (rows-only: the
+    hashed n-gram featurization is not SQL-expressible — decontamination's
+    carve-out): target = the 5 smallest-doc_id documents, weights over the
+    whole table; quantized log weights are bit-deterministic."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import dsir_weights
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    head = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    head = head.sort_values("doc_id").head(5).reset_index(drop=True)
+    out = dsir_weights(
+        _docs(sf_dir), rd.from_pandas(head[["doc_id", "text"]]), n_buckets=4096
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_features": "int64", "logw_q": "int64"})
+    )
+
+
 def _q_source_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 document length (n_chars) per source —
     PERCENTILE_DISC semantics over a (group, value) count rollup."""
@@ -1447,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_len_quantiles": _q_source_len_quantiles,
         "drop_dup_chunks": _q_drop_dup_chunks,
         "index_delete_postings": _q_index_delete_postings,
+        "dsir_weights": _q_dsir_weights,
     }
 
 

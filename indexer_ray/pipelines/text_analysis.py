@@ -926,3 +926,109 @@ def chunk_documents(ds, size: int = 128, overlap: int = 32):
 
     return ds.map_batches(_chunk, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=2048)
+
+
+# ------------------------------------------------ DSIR importance weights
+
+
+def _dsir_bucket_counts(tokens: list[str], n_buckets: int) -> dict[int, int]:
+    """Hashed unigram+bigram feature counts for one document (the DSIR
+    featurization, Xie et al. 2023 'Data Selection for Language Models
+    via Importance Resampling': n-gram features hashed into a fixed
+    bucket space so the distribution fit is bounded at any corpus/vocab
+    size)."""
+    import hashlib
+
+    c: dict[int, int] = {}
+    prev = None
+    for tok in tokens:
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        ) % n_buckets
+        c[h] = c.get(h, 0) + 1
+        if prev is not None:
+            h2 = int.from_bytes(
+                hashlib.blake2b(
+                    (prev + " " + tok).encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            ) % n_buckets
+            c[h2] = c.get(h2, 0) + 1
+        prev = tok
+    return c
+
+
+def _dsir_dist(ds, n_buckets: int) -> "np.ndarray":
+    """Bucket-count vector over a corpus: per-batch partial counts (one
+    fixed-size int64 vector per batch — a semilattice combiner), summed
+    on the driver.  Driver memory is O(n_buckets), never corpus-sized."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.zeros(n_buckets, dtype=np.int64)
+        for t in batch.column("text").to_pylist():
+            for b, c in _dsir_bucket_counts((t or "").lower().split(), n_buckets).items():
+                v[b] += c
+        return pa.table({"bucket": pa.array(np.arange(n_buckets), type=pa.int64()),
+                         "cnt": pa.array(v, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=1024)
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # n_buckets rows — bounded
+    )
+    v = np.zeros(n_buckets, dtype=np.int64)
+    v[agg["bucket"].to_numpy()] = agg["cnt"].to_numpy()
+    return v
+
+
+def dsir_weights(ds, target_ds, n_buckets: int = 16_384):
+    """DSIR importance weights (Xie et al. 2023): score every corpus doc
+    by how much more likely its hashed n-gram features are under a TARGET
+    distribution (e.g. a quality reference corpus) than under the corpus'
+    own distribution — the data-selection step that reweights a raw crawl
+    toward a target domain.  log w(doc) = Σ_f n_f(doc)·(ln p̂_t[f] −
+    ln p̂_s[f]), add-1 smoothed.
+
+    Exactness: the per-bucket log ratio is quantized to int64 (×1e6) ONCE
+    in a broadcast table, so each doc's weight is an exact integer dot
+    product — order-independent and reproducible (the repo's
+    quantize-before-sum discipline).  Rows-only at the driver (the
+    feature hashing is not SQL-expressible — same carve-out as
+    decontamination); the pytest oracle is a brute reimplementation.
+
+    Scale shape: two bounded-size distribution fits (one fixed-length
+    vector per batch through a tiny groupby) + one pure scoring map.
+    Output: (doc_id, n_features, logw_q), logw_q = quantized log weight."""
+    import ray
+
+    tgt = _dsir_dist(target_ds, n_buckets).astype(np.float64)
+    src = _dsir_dist(ds, n_buckets).astype(np.float64)
+    lr = np.log((tgt + 1.0) / (tgt.sum() + n_buckets)) - np.log(
+        (src + 1.0) / (src.sum() + n_buckets)
+    )
+    lr_q = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    ref = ray.put(lr_q)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids, nf, w = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c = _dsir_bucket_counts((t or "").lower().split(), n_buckets)
+            ids.append(doc_id)
+            nf.append(sum(c.values()))
+            w.append(int(sum(n * int(table[b]) for b, n in c.items())))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_features": pa.array(nf, type=pa.int64()),
+                "logw_q": pa.array(w, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=1024)

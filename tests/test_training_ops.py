@@ -849,3 +849,106 @@ def test_chunk_documents_overlap_must_be_smaller(ray_session):
     df = pd.DataFrame({"doc_id": pd.array([1], dtype="int64"), "text": ["x"]})
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(df), size=8, overlap=8)
+
+
+# ---------------------------------------------------------- DSIR weights
+def _brute_dsir(corpus: dict[int, str], target: list[str], B: int) -> pd.DataFrame:
+    import hashlib
+
+    def feats(text):
+        toks = (text or "").lower().split()
+        c = {}
+        prev = None
+        for tok in toks:
+            for s in ([tok] if prev is None else [tok, prev + " " + tok]):
+                h = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                ) % B
+                c[h] = c.get(h, 0) + 1
+            prev = tok
+        return c
+
+    tgt = np.zeros(B)
+    for t in target:
+        for b, n in feats(t).items():
+            tgt[b] += n
+    src = np.zeros(B)
+    for t in corpus.values():
+        for b, n in feats(t).items():
+            src[b] += n
+    lr = np.log((tgt + 1) / (tgt.sum() + B)) - np.log((src + 1) / (src.sum() + B))
+    lr_q = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    rows = []
+    for did in sorted(corpus):
+        c = feats(corpus[did])
+        rows.append(
+            (did, sum(c.values()), int(sum(n * int(lr_q[b]) for b, n in c.items())))
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "n_features", "logw_q"]).astype(
+        {"doc_id": "int64", "n_features": "int64", "logw_q": "int64"}
+    )
+
+
+def test_dsir_weights_match_brute_and_rank_target_like_docs(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import dsir_weights
+
+    rng = np.random.default_rng(51)
+    web = [f"junk{i}" for i in range(30)]
+    sci = ["theorem", "proof", "lemma", "tensor", "gradient", "matrix"]
+    corpus = {}
+    for i in range(60):
+        vocab = sci if i % 3 == 0 else web
+        corpus[i] = " ".join(rng.choice(vocab, size=20))
+    target = [" ".join(rng.choice(sci, size=25)) for _ in range(10)]
+    B = 512
+
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(corpus), dtype="int64"),
+         "text": [corpus[k] for k in sorted(corpus)]}
+    )
+    tgt_df = pd.DataFrame(
+        {"doc_id": pd.array(range(len(target)), dtype="int64"), "text": target}
+    )
+    got = (
+        dsir_weights(rd.from_pandas(df), rd.from_pandas(tgt_df), n_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_features": "int64", "logw_q": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _brute_dsir(corpus, target, B))
+    # every science-vocab doc must outweigh every web-vocab doc
+    sci_w = got[got["doc_id"] % 3 == 0]["logw_q"]
+    web_w = got[got["doc_id"] % 3 != 0]["logw_q"]
+    assert sci_w.min() > web_w.max()
+
+
+def test_dsir_weights_deterministic_across_layouts(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import dsir_weights
+
+    rng = np.random.default_rng(52)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": [" ".join(rng.choice([f"t{i}" for i in range(40)], size=15))
+                     for _ in range(100)],
+        }
+    )
+    tgt = df.head(10)[["doc_id", "text"]]
+    a = (
+        dsir_weights(rd.from_pandas(df), rd.from_pandas(tgt), n_buckets=256)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dsir_weights(
+            rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(7),
+            rd.from_pandas(tgt).repartition(3),
+            n_buckets=256,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
