@@ -1273,6 +1273,14 @@ def _q_drop_dup_chunks(sf_dir: str):
     )
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per tumbling hour (pair-dedup pre-reduction;
+    the HLL sketch's exact sibling)."""
+    from indexer_ray.pipelines.events import window_distinct_users
+
+    return window_distinct_users(_events(sf_dir))
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights toward a target slice (rows-only: the
     hashed n-gram featurization is not SQL-expressible — decontamination's
@@ -1470,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_chunks": _q_drop_dup_chunks,
         "index_delete_postings": _q_index_delete_postings,
         "dsir_weights": _q_dsir_weights,
+        "window_distinct_users": _q_window_distinct_users,
     }
 
 
@@ -1881,6 +1890,9 @@ FROM documents GROUP BY lang, source""",
         "events_tumbling_hour": """SELECT date_trunc('hour', ts) AS window_start,
        event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2""",
+        "window_distinct_users": """SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

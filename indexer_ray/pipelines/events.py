@@ -260,3 +260,52 @@ def sessionize(events_ds, gap_minutes: float = 30.0, n_parts: int = _SESS_PARTIT
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def window_distinct_users(events_ds, window: str = "hour"):
+    """(window_start, n_users) EXACT distinct users per tumbling window —
+    the cardinality rollup next to tumbling_window_stats' counts/sums
+    (the HLL sketch in sketches.py is the approximate sibling; this is
+    the exact path, still shuffle-light).
+
+    Shape: each batch pre-dedupes to its distinct (window, user_id)
+    pairs, a distributed groupby dedupes pairs globally (the shuffle
+    moves one row per distinct pair per batch, never per event), and a
+    vectorized per-group count finishes.  Exact and order-independent,
+    so SQL count(DISTINCT ...) is the oracle."""
+    from ray.data.aggregate import Count
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(batch.column("ts"), unit=window).cast(
+            pa.timestamp("us")
+        )
+        df = pa.table(
+            {"window_start": bucket, "user_id": batch.column("user_id")}
+        ).to_pandas()
+        g = df.drop_duplicates(["window_start", "user_id"])
+        return (
+            pa.Table.from_pandas(g, preserve_index=False)
+            .replace_schema_metadata(None)
+            .set_column(
+                0, "window_start",
+                pa.Array.from_pandas(g["window_start"]).cast(pa.timestamp("us")),
+            )
+        )
+
+    pairs = events_ds.map_batches(_pairs, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
+    # global pair dedup + per-window count in one aggregate pass each
+    deduped = pairs.groupby(["window_start", "user_id"]).aggregate(
+        Count(alias_name="_c")
+    )
+    agg = deduped.groupby("window_start").aggregate(Count(alias_name="n_users"))
+
+    def _fix(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        out = b.set_column(
+            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
+        )
+        j = out.schema.get_field_index("n_users")
+        return out.set_column(j, "n_users", out.column("n_users").cast(pa.int64()))
+
+    return agg.map_batches(_fix, batch_format="pyarrow")

@@ -126,3 +126,41 @@ def test_interval_join_semantics(ray_session):
         {"event_id": [1, 2, 3, 4, 5, 6], "interval_id": [-1, 100, 100, -1, 200, -1]}
     ).astype("int64")
     pd.testing.assert_frame_equal(out, expect)
+
+
+def test_window_distinct_users_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.events import window_distinct_users
+
+    rng = np.random.default_rng(61)
+    n = 5000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 72 * 3600, size=n), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.integers(0, 50, size=n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], size=n),
+            "value": rng.random(n),
+            "props": ["{}"] * n,
+        }
+    )
+    got = (
+        window_distinct_users(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.assign(w=df["ts"].dt.floor("h"))
+        .groupby("w")["user_id"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"w": "window_start", "user_id": "n_users"})
+        .astype({"n_users": "int64"})
+    )
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want)
