@@ -269,43 +269,58 @@ def window_distinct_users(events_ds, window: str = "hour"):
     the exact path, still shuffle-light).
 
     Shape: each batch pre-dedupes to its distinct (window, user_id)
-    pairs, a distributed groupby dedupes pairs globally (the shuffle
-    moves one row per distinct pair per batch, never per event), and a
-    vectorized per-group count finishes.  Exact and order-independent,
-    so SQL count(DISTINCT ...) is the oracle."""
-    from ray.data.aggregate import Count
+    pairs and hash-routes them by WINDOW (the shuffle moves one row per
+    distinct pair per batch, never per event); one vectorized
+    drop_duplicates + nunique pass per routed partition finishes — a
+    single shuffle with a window-complete partitioning, not a
+    groupby(window, user).aggregate over n_pairs tiny keys (the
+    sort-groupby pathology the chunk-census fix measured at 10x).
+    Exact and order-independent, so SQL count(DISTINCT ...) is the
+    oracle."""
+    from indexer_ray.functions.hashing import key_partition
+
+    n_parts = 32
 
     def _pairs(batch: pa.Table) -> pa.Table:
-        bucket = pc.floor_temporal(batch.column("ts"), unit=window).cast(
-            pa.timestamp("us")
+        bucket = (
+            pc.floor_temporal(batch.column("ts"), unit=window)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
-        df = pa.table(
-            {"window_start": bucket, "user_id": batch.column("user_id")}
-        ).to_pandas()
-        g = df.drop_duplicates(["window_start", "user_id"])
-        return (
-            pa.Table.from_pandas(g, preserve_index=False)
-            .replace_schema_metadata(None)
-            .set_column(
-                0, "window_start",
-                pa.Array.from_pandas(g["window_start"]).cast(pa.timestamp("us")),
-            )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"w_us": bucket, "user_id": uid}).drop_duplicates()
+        part = key_partition(df["w_us"].to_numpy().astype(np.uint64), n_parts)
+        return pa.table(
+            {
+                "w_us": pa.array(df["w_us"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "part": pa.array(part, type=pa.int32()),
+            }
         )
 
-    pairs = events_ds.map_batches(_pairs, batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=8192)
-    # global pair dedup + per-window count in one aggregate pass each
-    deduped = pairs.groupby(["window_start", "user_id"]).aggregate(
-        Count(alias_name="_c")
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["w_us", "user_id"])
+            .groupby("w_us")["user_id"]
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out.astype({"w_us": "int64", "n_users": "int64"})
+
+    agg = (
+        events_ds.map_batches(_pairs, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(_count, batch_format="pandas")
     )
-    agg = deduped.groupby("window_start").aggregate(Count(alias_name="n_users"))
 
     def _fix(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("window_start")
-        out = b.set_column(
-            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "window_start": b.column("w_us").cast(pa.timestamp("us")),
+                "n_users": b.column("n_users").cast(pa.int64()),
+            }
         )
-        j = out.schema.get_field_index("n_users")
-        return out.set_column(j, "n_users", out.column("n_users").cast(pa.int64()))
 
     return agg.map_batches(_fix, batch_format="pyarrow")
