@@ -1273,6 +1273,19 @@ def _q_drop_dup_chunks(sf_dir: str):
     )
 
 
+def _q_doc_bigram_nll(sf_dir: str):
+    """Bigram-LM quality score over corpus MLE counts (two-routing
+    decomposition; each ln(count) quantized to int64 before summing)."""
+    from indexer_ray.pipelines.text_analysis import doc_bigram_nll
+
+    out = doc_bigram_nll(_docs(sf_dir)).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_bigrams": "int64", "nll2_q": "int64"})
+    )
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact distinct users per tumbling hour (pair-dedup pre-reduction;
     the HLL sketch's exact sibling)."""
@@ -1479,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_delete_postings": _q_index_delete_postings,
         "dsir_weights": _q_dsir_weights,
         "window_distinct_users": _q_window_distinct_users,
+        "doc_bigram_nll": _q_doc_bigram_nll,
     }
 
 
@@ -1893,6 +1907,25 @@ FROM events GROUP BY 1, 2""",
         "window_distinct_users": """SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1""",
+        # bigram MLE NLL: q(ln c(w1.)) - q(ln c(w1w2)) per occurrence
+        "doc_bigram_nll": f"""WITH t AS (
+  SELECT doc_id, {_PLAIN_TOKS} AS l FROM documents
+), w AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM t
+), p AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c12 AS (
+  SELECT w1, w2, count(*) AS n12 FROM p GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS n1 FROM p GROUP BY w1
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(floor(ln(c1.n1) * 1e6 + 0.5)
+              - floor(ln(c12.n12) * 1e6 + 0.5)) AS BIGINT) AS nll2_q
+FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY p.doc_id""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

@@ -1032,3 +1032,138 @@ def dsir_weights(ds, target_ds, n_buckets: int = 16_384):
 
     return ds.map_batches(_score, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=1024)
+
+
+def doc_bigram_nll(ds, n_parts: int = 32):
+    """Per-document bigram-LM negative log-likelihood over corpus MLE
+    counts — the next rung above doc_unigram_nll on the CCNet/Gopher LM
+    quality ladder:  nll2(doc) = Σ_{bigrams} [ln c(w1·) − ln c(w1 w2)]
+    (≥ 0; c(w1·) = total bigram continuations of w1).  Plain
+    tokenization, so SQL recomputes it exactly.
+
+    Exactness: ln of each count quantizes to int64 (×1e6) BEFORE any
+    summation, so every partial is an exact integer — order-independent
+    and hash-checkable (the repo's quantize-before-sum discipline).
+
+    Scale shape — the two count keys need different co-locations, so the
+    score DECOMPOSES into two routed partial sums that never broadcast a
+    count table:
+      * occurrences (doc, w1, w2, n) route by hash(w1, w2): inside a
+        partition the per-bigram sums ARE the global c(w1 w2), so the
+        −q(ln c12)·n partials per doc are computed locally;
+      * a second routing by hash(w1) makes per-partition sums the global
+        c(w1·), giving the +q(ln c1)·n partials;
+      * a doc-routed vectorized reduceat merge adds the two streams.
+    The shuffle moves per-(doc, bigram) count rows and per-(doc,
+    partition) partials — never text, never a global count table.
+    Output: (doc_id, n_bigrams, nll2_q)."""
+    from indexer_ray.functions.hashing import key_partition
+
+    def _occ(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, ns = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = tokenize_plain(t or "")
+            if len(toks) < 2:
+                continue
+            c = Counter(zip(toks[:-1], toks[1:]))
+            for (a, b), n in c.items():
+                ids.append(doc_id)
+                w1s.append(a)
+                w2s.append(b)
+                ns.append(n)
+        w1a = pa.array(w1s, type=pa.string())
+        w2a = pa.array(w2s, type=pa.string())
+        # stable routing hashes (Python hash() is per-process salted)
+        import hashlib as _hl
+
+        h12 = np.array(
+            [
+                int.from_bytes(
+                    _hl.blake2b(f"{a}\x00{b}".encode(), digest_size=8).digest(), "big"
+                )
+                for a, b in zip(w1s, w2s)
+            ],
+            dtype=np.uint64,
+        )
+        h1 = np.array(
+            [
+                int.from_bytes(_hl.blake2b(a.encode(), digest_size=8).digest(), "big")
+                for a in w1s
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "w1": w1a,
+                "w2": w2a,
+                "n": pa.array(ns, type=pa.int64()),
+                "part12": pa.array(key_partition(h12, n_parts), type=pa.int32()),
+                "part1": pa.array(key_partition(h1, n_parts), type=pa.int32()),
+            }
+        )
+
+    occ = ds.map_batches(_occ, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=1024).materialize()
+
+    def _partial12(g: pd.DataFrame) -> pd.DataFrame:
+        c12 = g.groupby(["w1", "w2"])["n"].transform("sum").to_numpy()
+        q = np.floor(np.log(c12.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+        s = pd.DataFrame(
+            {"doc_id": g["doc_id"], "s_q": -q * g["n"].to_numpy(), "nb": g["n"]}
+        )
+        out = s.groupby("doc_id", as_index=False).sum()
+        return out.astype({"doc_id": "int64", "s_q": "int64", "nb": "int64"})
+
+    def _partial1(g: pd.DataFrame) -> pd.DataFrame:
+        c1 = g.groupby("w1")["n"].transform("sum").to_numpy()
+        q = np.floor(np.log(c1.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+        s = pd.DataFrame({"doc_id": g["doc_id"], "s_q": q * g["n"].to_numpy()})
+        out = s.groupby("doc_id", as_index=False).sum()
+        out["nb"] = np.int64(0)
+        return out.astype({"doc_id": "int64", "s_q": "int64", "nb": "int64"})
+
+    partials = (
+        occ.groupby("part12")
+        .map_groups(
+            lambda g: _partial12(g.drop(columns=["part1"])), batch_format="pandas"
+        )
+        .union(
+            occ.groupby("part1").map_groups(
+                lambda g: _partial1(g.drop(columns=["part12"])),
+                batch_format="pandas",
+            )
+        )
+    )
+
+    def _route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64),
+            n_parts,
+        )
+        return batch.append_column("dpart", pa.array(part, type=pa.int32()))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="mergesort")
+        sdoc = doc[order]
+        starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": sdoc[starts].astype("int64"),
+                "n_bigrams": np.add.reduceat(
+                    g["nb"].to_numpy()[order], starts
+                ).astype("int64"),
+                "nll2_q": np.add.reduceat(
+                    g["s_q"].to_numpy()[order], starts
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        partials.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dpart")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -952,3 +952,77 @@ def test_dsir_weights_deterministic_across_layouts(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- bigram-LM NLL
+def _brute_bigram_nll(texts: dict[int, str]) -> pd.DataFrame:
+    from collections import Counter
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for did in sorted(texts):
+        toks = tokenize_plain(texts[did] or "")
+        bg = Counter(zip(toks[:-1], toks[1:]))
+        if bg:
+            per_doc[did] = bg
+            c12.update(bg)
+            for (a, _), n in bg.items():
+                c1[a] += n
+    q = lambda x: int(np.floor(np.log(x) * 1e6 + 0.5))
+    rows = []
+    for did, bg in per_doc.items():
+        s = sum(n * (q(c1[a]) - q(c12[(a, b)])) for (a, b), n in bg.items())
+        rows.append((did, sum(bg.values()), s))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "nll2_q"]).astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "nll2_q": "int64"}
+    )
+
+
+def test_doc_bigram_nll_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import doc_bigram_nll
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for i in range(150)
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    got = (
+        doc_bigram_nll(rd.from_pandas(df), n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_bigrams": "int64", "nll2_q": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _brute_bigram_nll(texts))
+    assert (got["nll2_q"] >= 0).all()  # MLE NLL is non-negative
+
+
+def test_doc_bigram_nll_layout_independent(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import doc_bigram_nll
+
+    rng = np.random.default_rng(72)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "text": [" ".join(rng.choice([f"v{i}" for i in range(15)], size=12))
+                     for _ in range(80)],
+        }
+    )
+    a = (doc_bigram_nll(rd.from_pandas(df), n_parts=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (doc_bigram_nll(rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(5),
+                        n_parts=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
