@@ -1273,6 +1273,32 @@ def _q_drop_dup_chunks(sf_dir: str):
     )
 
 
+def _q_canonical_urls(sf_dir: str):
+    """URL canonicalization under a full string oracle: both sides
+    synthesize the SAME deterministic messy url per doc_id (mixed-case
+    scheme/host, default :80 ports, unsorted query params, fragments,
+    trailing slashes — the corpus has no url column, so the mess is
+    derived, no external data), then apply the identical R1-R5 chain."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import canonicalize_urls
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    messy = [
+        f"HTTP://WWW.Src{i % 7}.EXAMPLE.COM{':80' if i % 2 == 0 else ''}"
+        f"/Path/{i}{'/' if i % 3 == 0 else ''}"
+        f"{'?b=2&a=1' if i % 4 == 0 else ''}{'#frag' if i % 5 == 0 else ''}"
+        for i in ids
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "url": messy}))
+    out = canonicalize_urls(ds).to_pandas()[["doc_id", "canon_url", "host"]]
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def _q_doc_bigram_nll(sf_dir: str):
     """Bigram-LM quality score over corpus MLE counts (two-routing
     decomposition; each ln(count) quantized to int64 before summing)."""
@@ -1493,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "window_distinct_users": _q_window_distinct_users,
         "doc_bigram_nll": _q_doc_bigram_nll,
+        "canonical_urls": _q_canonical_urls,
     }
 
 
@@ -1926,6 +1953,45 @@ SELECT p.doc_id,
               - floor(ln(c12.n12) * 1e6 + 0.5)) AS BIGINT) AS nll2_q
 FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY p.doc_id""",
+        # same synthesized mess + the same R1-R5 canonicalization chain
+        "canonical_urls": """WITH m AS (
+  SELECT doc_id,
+         'HTTP://WWW.Src' || (doc_id % 7) || '.EXAMPLE.COM' ||
+         (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+         '/Path/' || doc_id ||
+         (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, split_part(url, '#', 1) AS u1 FROM m
+), parts AS (
+  SELECT doc_id,
+         split_part(u1, '?', 1) AS base,
+         CASE WHEN contains(u1, '?') THEN split_part(u1, '?', 2) ELSE '' END AS q
+  FROM s
+), auth AS (
+  SELECT doc_id, base, q,
+         lower(split_part(base, '://', 1)) AS scheme,
+         regexp_replace(lower(split_part(split_part(base, '://', 2), '/', 1)),
+                        ':(80|443)$', '') AS a,
+         substr(split_part(base, '://', 2),
+                length(split_part(split_part(base, '://', 2), '/', 1)) + 1) AS path
+  FROM parts
+), built AS (
+  SELECT doc_id,
+         scheme || '://' || a || path ||
+         (CASE WHEN q <> '' THEN '?' ||
+            array_to_string(list_sort(string_split(q, '&')), '&')
+          ELSE '' END) AS out,
+         a AS host
+  FROM auth
+)
+SELECT doc_id,
+       CASE WHEN out LIKE '%/' THEN substr(out, 1, length(out) - 1)
+            ELSE out END AS canon_url,
+       host
+FROM built ORDER BY doc_id""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

@@ -1,0 +1,93 @@
+"""URL canonicalization and host-level rollups over a web-page corpus —
+the normalization step before any url-keyed dedup / freshness join
+(reference analogue: the indexer keys documents by raw url,
+lib.rs:http-path handling; a real crawl needs the key normalized first).
+
+Canonical form (fixed, documented rules — the DuckDB oracle applies the
+identical chain, so the canonical STRING is hash-checkable):
+  R1 drop the '#fragment';
+  R2 sort query parameters lexicographically by their full 'k=v' text
+     (duplicates kept, order-normalized); empty query ('?') drops;
+  R3 lowercase the scheme and authority (path/query stay case-sensitive);
+  R4 strip an explicit default port (':80' / ':443') from the authority;
+  R5 strip one trailing '/' (root or path — 'http://x.com/' and
+     '/a/b/' both normalize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _canon_one(u: str) -> str:
+    u = u.split("#", 1)[0]  # R1
+    base, sep, query = u.partition("?")
+    if sep and query:  # R2
+        query = "&".join(sorted(query.split("&")))
+    # R3/R4: lowercase scheme://authority, strip default port
+    if "://" in base:
+        head, _, tail = base.partition("://")
+        auth, slash, path = tail.partition("/")
+        auth = auth.lower()
+        if auth.endswith(":80") or auth.endswith(":443"):
+            auth = auth.rsplit(":", 1)[0]
+        base = head.lower() + "://" + auth + slash + path
+    out = base + ("?" + query if sep and query else "")
+    if out.endswith("/"):  # R5
+        out = out[:-1]
+    return out
+
+
+def canonicalize_urls(ds, url_col: str = "url"):
+    """Adds `canon_url` and `host` columns.  Pure map_batches — no
+    shuffle; the per-row work is string slicing (the query-param sort is
+    per row by necessity, over the handful of params a url carries)."""
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        canon = [_canon_one(u or "") for u in urls]
+        hosts = []
+        for c in canon:
+            if "://" in c:
+                auth = c.partition("://")[2].partition("/")[0].partition("?")[0]
+                hosts.append(auth.rsplit(":", 1)[0] if ":" in auth else auth)
+            else:
+                hosts.append("")
+        return batch.append_column(
+            "canon_url", pa.array(canon, type=pa.string())
+        ).append_column("host", pa.array(hosts, type=pa.string()))
+
+    return ds.map_batches(_canon, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)
+
+
+def host_doc_counts(ds, url_col: str = "url"):
+    """(host, n_docs) rollup over canonical hosts — the per-domain
+    balance statistic cap_per_group consumes.  Partial counts per batch
+    before the (host-cardinality-bounded) groupby."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        hosts = {}
+        for u in urls:
+            c = _canon_one(u or "")
+            auth = c.partition("://")[2].partition("/")[0].partition("?")[0]
+            h = auth.rsplit(":", 1)[0] if ":" in auth else auth
+            hosts[h] = hosts.get(h, 0) + 1
+        ks = sorted(hosts)
+        return pa.table(
+            {
+                "host": pa.array(ks, type=pa.string()),
+                "n_docs": pa.array([hosts[k] for k in ks], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("host")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

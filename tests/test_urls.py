@@ -1,0 +1,65 @@
+"""URL canonicalization (R1-R5) and host rollups."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from indexer_ray.pipelines.urls import _canon_one, canonicalize_urls, host_doc_counts
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("HTTP://WWW.Ex.COM/Path", "http://www.ex.com/Path"),  # R3 path case kept
+        ("http://ex.com:80/a", "http://ex.com/a"),  # R4 default port
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default kept
+        ("http://ex.com/a#frag", "http://ex.com/a"),  # R1
+        ("http://ex.com/a?b=2&a=1", "http://ex.com/a?a=1&b=2"),  # R2 sort
+        ("http://ex.com/a?", "http://ex.com/a"),  # empty query drops
+        ("http://ex.com/", "http://ex.com"),  # R5 root slash
+        ("http://ex.com/a/b/", "http://ex.com/a/b"),  # R5 path slash
+        ("http://ex.com/a/?b=2&a=1#f", "http://ex.com/a/?a=1&b=2"),  # combined
+        ("", ""),
+    ],
+)
+def test_canon_rules(raw, canon):
+    assert _canon_one(raw) == canon
+
+
+def test_canonicalize_and_host_rollup(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(6), dtype="int64"),
+            "url": [
+                "HTTP://A.COM:80/x",
+                "http://a.com/x/",
+                "https://B.com:443/y#z",
+                "http://b.COM:8080/y",
+                "http://a.com/x?q=1",
+                "http://A.com/x",
+            ],
+        }
+    )
+    out = canonicalize_urls(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["canon_url"].tolist() == [
+        "http://a.com/x",
+        "http://a.com/x",
+        "https://b.com/y",
+        "http://b.com:8080/y",
+        "http://a.com/x?q=1",
+        "http://a.com/x",
+    ]
+    assert out["host"].tolist() == [
+        "a.com", "a.com", "b.com", "b.com", "a.com", "a.com",
+    ]
+    hc = (
+        host_doc_counts(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert hc.to_dict("records") == [
+        {"host": "a.com", "n_docs": 4},
+        {"host": "b.com", "n_docs": 2},
+    ]
