@@ -1299,6 +1299,31 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_host_doc_counts(sf_dir: str):
+    """Per-canonical-host doc counts over the same synthesized messy urls
+    as canonical_urls."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import host_doc_counts
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    messy = [
+        f"HTTP://WWW.Src{i % 7}.EXAMPLE.COM{':80' if i % 2 == 0 else ''}"
+        f"/Path/{i}{'/' if i % 3 == 0 else ''}"
+        f"{'?b=2&a=1' if i % 4 == 0 else ''}{'#frag' if i % 5 == 0 else ''}"
+        for i in ids
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"url": messy}))
+    out = host_doc_counts(ds).to_pandas()
+    return (
+        out.sort_values("host").reset_index(drop=True).astype({"n_docs": "int64"})
+    )
+
+
 def _q_doc_bigram_nll(sf_dir: str):
     """Bigram-LM quality score over corpus MLE counts (two-routing
     decomposition; each ln(count) quantized to int64 before summing)."""
@@ -1520,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "doc_bigram_nll": _q_doc_bigram_nll,
         "canonical_urls": _q_canonical_urls,
+        "host_doc_counts": _q_host_doc_counts,
     }
 
 
@@ -1992,6 +2018,10 @@ SELECT doc_id,
             ELSE out END AS canon_url,
        host
 FROM built ORDER BY doc_id""",
+        "host_doc_counts": """SELECT
+  'www.src' || (doc_id % 7) || '.example.com' AS host,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

@@ -487,19 +487,26 @@ def ann_index_query(
             for c in order[qi]:
                 wanted.setdefault(int(c), []).append(qi)
 
-    vec_root = os.path.join(index_dir, "vectors")
-    part_dirs = {
-        int(os.path.basename(d).split("=")[1]): d
-        for d in glob.glob(os.path.join(vec_root, "bucket=*"))
-    }
+    # committed generation roots: "vectors" (the base build) plus any
+    # ann_index_append generations listed in meta — an unlisted gen dir
+    # (crashed append) is invisible, keeping the meta-last commit protocol
+    gen_roots = [os.path.join(index_dir, g) for g in meta.get("generations", ["vectors"])]
+    part_dirs: dict[int, list[str]] = {}
+    for root in gen_roots:
+        for d in glob.glob(os.path.join(root, "bucket=*")):
+            part_dirs.setdefault(int(os.path.basename(d).split("=")[1]), []).append(d)
     probed = sorted(b for b in wanted if b in part_dirs)
     stats = {
         "partitions_read": len(probed),
         "partitions_total": len(part_dirs),
         "files_read": sum(
-            len(glob.glob(os.path.join(part_dirs[b], "*.parquet"))) for b in probed
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for b in probed
+            for d in part_dirs[b]
         ),
-        "files_total": len(glob.glob(os.path.join(vec_root, "*", "*.parquet"))),
+        "files_total": sum(
+            len(glob.glob(os.path.join(root, "*", "*.parquet"))) for root in gen_roots
+        ),
     }
     empty = pd.DataFrame(
         {
@@ -569,7 +576,10 @@ def ann_index_query(
 
     Score.__call__ = _call
     probed_files = [
-        f for b in probed for f in sorted(glob.glob(os.path.join(part_dirs[b], "*.parquet")))
+        f
+        for b in probed
+        for d in part_dirs[b]
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
     partials = rd.read_parquet(probed_files).map_batches(
         Score,
@@ -625,3 +635,83 @@ def embedding_clusters(
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def ann_index_append(index_dir: str, emb_ds) -> dict:
+    """Append vectors to a persisted ANN index WITHOUT rebuilding — the
+    delta path of the index lifecycle (the inverted index has
+    build/merge/delete; this is the ANN sibling).  New vectors bucket
+    with the ORIGINAL parameters (LSH planes regenerated from meta; IVF
+    uses the stored centroids), so probe sets stay valid and a query
+    over the appended index equals a query over a fresh index built from
+    the union corpus with the same parameters (tested).
+
+    Commit protocol: the new generation writes to its own
+    `vectors_gen<N>/` dir and meta.json (listing committed generations)
+    rewrites LAST via tmp+rename — a crashed append leaves an UNLISTED
+    gen dir that queries never read.  Compaction = rebuild."""
+    import ray
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    gens = meta.get("generations", ["vectors"])
+    new_gen = f"vectors_gen{len(gens)}"
+    out_dir = os.path.join(index_dir, new_gen)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if meta["method"] == "lsh":
+        dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+
+        class Assign:
+            def __init__(self):
+                self.planes = _lsh_planes(dim, n_planes, seed)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+                b = _bucket_sig(Xn, self.planes).astype(np.int64)
+                return pa.table(
+                    {
+                        "vec_id": batch.column("vec_id"),
+                        "embedding": batch.column("embedding"),
+                        "bucket": pa.array(b, type=pa.int64()),
+                    }
+                )
+
+    elif meta["method"] == "ivf":
+        cref = ray.put(np.asarray(meta["centroids"], dtype=np.float64))
+
+        class Assign:
+            def __init__(self):
+                self.C = ray.get(cref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+                cell = np.argmax(Xn @ self.C.T, axis=1).astype(np.int64)
+                return pa.table(
+                    {
+                        "vec_id": batch.column("vec_id"),
+                        "embedding": batch.column("embedding"),
+                        "bucket": pa.array(cell, type=pa.int64()),
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown ANN index method: {meta['method']}")
+
+    emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Assign,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+
+    meta["generations"] = gens + [new_gen]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta

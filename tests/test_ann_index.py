@@ -174,3 +174,107 @@ def test_kmeans_seeding_survives_zero_vectors():
     # all 8 centroids distinct and none is the zero vector
     assert len(np.unique(np.round(C, 9), axis=0)) == 8
     assert (np.linalg.norm(C, axis=1) > 0.5).all()
+
+
+def test_ann_index_append_equals_union_rebuild(ray_session, tmp_path):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.ann import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_query,
+    )
+
+    rng = np.random.default_rng(81)
+    dim = 16
+    base = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [r.tolist() for r in rng.standard_normal((300, dim)).astype(np.float32)],
+        }
+    )
+    extra = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, 450, dtype=np.int64),
+            "embedding": [r.tolist() for r in rng.standard_normal((150, dim)).astype(np.float32)],
+        }
+    )
+    Q = rng.standard_normal((5, dim))
+
+    # LSH planes are a pure function of (dim, n_planes, seed), so append
+    # must equal a fresh build over the union corpus exactly
+    inc = str(tmp_path / "inc_lsh")
+    full = str(tmp_path / "full_lsh")
+    ann_index_build(rd.from_pandas(base), inc, method="lsh", seed=11)
+    meta = ann_index_append(inc, rd.from_pandas(extra))
+    assert meta["generations"] == ["vectors", "vectors_gen1"]
+    ann_index_build(
+        rd.from_pandas(pd.concat([base, extra], ignore_index=True)),
+        full,
+        method="lsh",
+        seed=11,
+    )
+    a = ann_index_query(inc, Q, k=10).reset_index(drop=True)
+    b = ann_index_query(full, Q, k=10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # IVF centroids are FITTED, so a rebuild legitimately differs; the
+    # append contract there is: appends reuse the stored centroids, so
+    # one append == the same rows appended in two calls
+    one = str(tmp_path / "ivf_one")
+    two = str(tmp_path / "ivf_two")
+    for p in (one, two):
+        ann_index_build(rd.from_pandas(base), p, method="ivf", seed=13)
+    ann_index_append(one, rd.from_pandas(extra))
+    ann_index_append(two, rd.from_pandas(extra.iloc[:70]))
+    ann_index_append(two, rd.from_pandas(extra.iloc[70:]))
+    a = ann_index_query(one, Q, k=10, nprobe=3).reset_index(drop=True)
+    b = ann_index_query(two, Q, k=10, nprobe=3).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["vec_id"]) & set(extra["vec_id"])  # appends are reachable
+
+
+def test_ann_index_append_crash_is_invisible(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.ann import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_query,
+    )
+
+    rng = np.random.default_rng(82)
+    base = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": [r.tolist() for r in rng.standard_normal((200, 8)).astype(np.float32)],
+        }
+    )
+    idx = str(tmp_path / "crash_idx")
+    ann_index_build(rd.from_pandas(base), idx, method="lsh", seed=11)
+    Q = rng.standard_normal((3, 8))
+    before = ann_index_query(idx, Q, k=5).reset_index(drop=True)
+
+    # simulate a crashed append: gen dir written, meta NOT updated
+    extra = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, 260, dtype=np.int64),
+            "embedding": [r.tolist() for r in rng.standard_normal((60, 8)).astype(np.float32)],
+        }
+    )
+    meta_bytes = open(os.path.join(idx, "meta.json")).read()
+    ann_index_append(idx, rd.from_pandas(extra))
+    open(os.path.join(idx, "meta.json"), "w").write(meta_bytes)  # roll meta back
+
+    after = ann_index_query(idx, Q, k=5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, before)  # orphan gen dir invisible
+
+    # a retried append RECLAIMS the orphaned generation name (the gen dir
+    # is wiped and rewritten before the meta commit) and the vectors land
+    meta = ann_index_append(idx, rd.from_pandas(extra))
+    assert meta["generations"] == ["vectors", "vectors_gen1"]
+    got = ann_index_query(idx, Q, k=5)
+    assert len(got) >= len(before)
