@@ -931,31 +931,51 @@ def chunk_documents(ds, size: int = 128, overlap: int = 32):
 # ------------------------------------------------ DSIR importance weights
 
 
-def _dsir_bucket_counts(tokens: list[str], n_buckets: int) -> dict[int, int]:
+_DSIR_CACHES: dict[int, dict] = {}
+
+
+def _dsir_hash_cache(n_buckets: int) -> dict:
+    """Worker-process-global feature->bucket memo (one per bucket count).
+    Ray worker processes persist across map tasks, so the cache warms
+    once per worker and serves every batch of every stage — the task-pool
+    equivalent of actor-held state, without actor-pool startup cost."""
+    c = _DSIR_CACHES.get(n_buckets)
+    if c is None:
+        c = _DSIR_CACHES[n_buckets] = {}
+    return c
+
+
+def _dsir_bucket_counts(
+    tokens: list[str], n_buckets: int, cache: dict | None = None
+) -> dict[int, int]:
     """Hashed unigram+bigram feature counts for one document (the DSIR
     featurization, Xie et al. 2023 'Data Selection for Language Models
     via Importance Resampling': n-gram features hashed into a fixed
     bucket space so the distribution fit is bounded at any corpus/vocab
-    size)."""
+    size).  String-feature counting runs at C speed (Counter over
+    zipped pairs); blake2b runs once per UNIQUE feature, memoized in
+    `cache` across documents and batches (worker-process lifetime) —
+    feature frequencies are Zipf, so the memo serves almost every
+    lookup."""
     import hashlib
 
-    c: dict[int, int] = {}
-    prev = None
-    for tok in tokens:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-        ) % n_buckets
-        c[h] = c.get(h, 0) + 1
-        if prev is not None:
-            h2 = int.from_bytes(
-                hashlib.blake2b(
-                    (prev + " " + tok).encode("utf-8"), digest_size=8
-                ).digest(),
-                "big",
-            ) % n_buckets
-            c[h2] = c.get(h2, 0) + 1
-        prev = tok
-    return c
+    if cache is None:
+        cache = {}
+    c: Counter = Counter(tokens)
+    if len(tokens) > 1:
+        c.update(map(" ".join, zip(tokens, tokens[1:])))
+    out: dict[int, int] = {}
+    for f, n in c.items():
+        b = cache.get(f)
+        if b is None:
+            b = cache[f] = (
+                int.from_bytes(
+                    hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                % n_buckets
+            )
+        out[b] = out.get(b, 0) + n
+    return out
 
 
 def _dsir_dist(ds, n_buckets: int) -> "np.ndarray":
@@ -963,9 +983,12 @@ def _dsir_dist(ds, n_buckets: int) -> "np.ndarray":
     fixed-size int64 vector per batch — a semilattice combiner), summed
     on the driver.  Driver memory is O(n_buckets), never corpus-sized."""
     def _partial(batch: pa.Table) -> pa.Table:
+        cache = _dsir_hash_cache(n_buckets)
         v = np.zeros(n_buckets, dtype=np.int64)
         for t in batch.column("text").to_pylist():
-            for b, c in _dsir_bucket_counts((t or "").lower().split(), n_buckets).items():
+            for b, c in _dsir_bucket_counts(
+                (t or "").lower().split(), n_buckets, cache
+            ).items():
                 v[b] += c
         return pa.table({"bucket": pa.array(np.arange(n_buckets), type=pa.int64()),
                          "cnt": pa.array(v, type=pa.int64())})
@@ -1014,11 +1037,12 @@ def dsir_weights(ds, target_ds, n_buckets: int = 16_384):
 
     def _score(batch: pa.Table) -> pa.Table:
         table = ray.get(ref)
+        cache = _dsir_hash_cache(n_buckets)
         ids, nf, w = [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            c = _dsir_bucket_counts((t or "").lower().split(), n_buckets)
+            c = _dsir_bucket_counts((t or "").lower().split(), n_buckets, cache)
             ids.append(doc_id)
             nf.append(sum(c.values()))
             w.append(int(sum(n * int(table[b]) for b, n in c.items())))
