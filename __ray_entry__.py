@@ -1299,6 +1299,34 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Quality-bucket curation: strata over n_chars at boundaries
+    (200, 400], per-stratum Knuth-bucket keep rates (1.0 / 0.25 / 0.0)."""
+    from indexer_ray.pipelines.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir), "n_chars", [200.0, 400.0], [1.0, 0.25, 0.0]
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "stratum": "int64"})
+    )
+
+
+def _q_build_vocab(sf_dir: str):
+    """Word-vocabulary export: top-100 terms by cf with df >= 5,
+    (cf desc, term asc) rank."""
+    from indexer_ray.pipelines.text_analysis import build_vocab
+
+    out = build_vocab(_docs(sf_dir), size=100, min_df=5).to_pandas()
+    return (
+        out.sort_values("rank")
+        .reset_index(drop=True)
+        .astype({"df": "int64", "cf": "int64", "rank": "int64"})
+    )
+
+
 def _q_host_doc_counts(sf_dir: str):
     """Per-canonical-host doc counts over the same synthesized messy urls
     as canonical_urls."""
@@ -1546,6 +1574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_nll": _q_doc_bigram_nll,
         "canonical_urls": _q_canonical_urls,
         "host_doc_counts": _q_host_doc_counts,
+        "stratified_sample": _q_stratified_sample,
+        "vocab_top": _q_build_vocab,
     }
 
 
@@ -2022,6 +2052,25 @@ FROM built ORDER BY doc_id""",
   'www.src' || (doc_id % 7) || '.example.com' AS host,
   CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1 ORDER BY 1""",
+        # boundary equality goes to the LOWER stratum (score <= b -> stratum)
+        "stratified_sample": """SELECT doc_id, text, lang, source, n_chars,
+       CAST(stratum AS BIGINT) AS stratum
+FROM (
+  SELECT *, CASE WHEN n_chars <= 200 THEN 0
+                 WHEN n_chars <= 400 THEN 1
+                 ELSE 2 END AS stratum
+  FROM documents) s
+WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+      CASE stratum WHEN 0 THEN 10000 WHEN 1 THEN 2500 ELSE 0 END
+ORDER BY doc_id""",
+        "vocab_top": f"""{_TOKS_CTE}, cf AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cnt AS BIGINT) AS cf,
+       row_number() OVER (ORDER BY cnt DESC, term) - 1 AS rank
+FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

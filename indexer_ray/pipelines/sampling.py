@@ -315,3 +315,45 @@ def token_budget_sample(ds, budget: int, id_col: str = "doc_id",
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def stratified_sample(ds, score_col: str, boundaries: list[float],
+                      rates: list[float], id_col: str = "doc_id"):
+    """Per-stratum sampling over a score column — the CCNet-style
+    quality-bucket curation step (keep the head, thin the middle, drop
+    the tail): stratum i covers scores in (boundaries[i-1], boundaries[i]]
+    with stratum 0 = (-inf, boundaries[0]] and a final stratum above the
+    last boundary, so len(rates) == len(boundaries) + 1.
+
+    Boundaries are EXPLICIT (compose with `relational.group_quantiles`
+    for a bounded-domain score, or a `hash_sample` estimate otherwise) —
+    the op itself is a pure map: stratum by searchsorted, keep by the
+    same Knuth bucket lattice as hash_split, so the draw is
+    deterministic, layout-independent, nested per stratum, and
+    SQL-recomputable.  Adds a `stratum` column to the kept rows."""
+    if len(rates) != len(boundaries) + 1:
+        raise ValueError(
+            f"need len(rates) == len(boundaries)+1, got {len(rates)} rates "
+            f"for {len(boundaries)} boundaries"
+        )
+    for r in rates:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rates must be in [0, 1], got {r}")
+    if sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be sorted ascending")
+    bnd = np.asarray(boundaries, dtype=np.float64)
+    cut = np.array([int(round(r * _BUCKETS)) for r in rates], dtype=np.int64)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        score = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        stratum = np.searchsorted(bnd, score, side="left")
+        b = _bucket_of(ids)
+        keep = b < cut[stratum]
+        out = t.filter(pa.array(keep))
+        return out.append_column(
+            "stratum", pa.array(stratum[keep].astype(np.int64), type=pa.int64())
+        )
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)

@@ -1191,3 +1191,37 @@ def doc_bigram_nll(ds, n_parts: int = 32):
         .groupby("dpart")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def build_vocab(ds, size: int, min_df: int = 1, mode: str = "plain"):
+    """Tokenizer-vocabulary export: the `size` highest-cf terms with
+    df >= min_df, ranked (cf desc, term asc) — the frequency-cut vocab a
+    word-level tokenizer trains from (the published word-vocab recipe;
+    BPE replaces the cut with merges but consumes the same counts).
+
+    Shape: term_stats' partial-aggregate rollup, then distributed top-k
+    WITHOUT a global sort (per-batch local top-`size` under the global
+    order, one constant-key merge — bigram_counts' pattern).
+    Output: (term, df, cf, rank)."""
+
+    stats = term_stats(ds, mode=mode)
+
+    def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["df"] >= min_df]
+        b = b.sort_values(["cf", "term"], ascending=[False, True]).head(size)
+        b["g"] = np.int32(0)
+        return b
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cf", "term"], ascending=[False, True]).head(size)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["term", "df", "cf", "rank"]].astype(
+            {"df": "int64", "cf": "int64"}
+        )
+
+    return (
+        stats.map_batches(_local_topk, batch_format="pandas", batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -286,3 +286,51 @@ def test_token_budget_sample_nested_and_layout_independent(ray_session):
         .to_pandas()["doc_id"]
     )
     assert alt == small
+
+
+def test_stratified_sample_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import _bucket_of, stratified_sample
+
+    rng = np.random.default_rng(91)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": rng.integers(0, 1000, size=n).astype(np.int64),
+        }
+    )
+    boundaries, rates = [250.0, 700.0], [1.0, 0.3, 0.0]
+    got = (
+        stratified_sample(rd.from_pandas(df), "score", boundaries, rates)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stratum = np.searchsorted(np.array(boundaries), df["score"].to_numpy(), side="left")
+    cut = np.array([10000, 3000, 0])[stratum]
+    keep = _bucket_of(df["doc_id"].to_numpy()) < cut
+    want = df[keep].assign(stratum=stratum[keep].astype("int64")).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got[got["stratum"] == 0].shape[0] == (stratum == 0).sum())  # rate 1.0 keeps all
+    assert (got["stratum"] != 2).all()  # rate 0.0 drops all
+    # boundary equality goes to the LOWER stratum (score <= b0 -> stratum 0)
+    eq = df[df["score"] == 250]
+    if len(eq):
+        kept_eq = got[got["doc_id"].isin(eq["doc_id"])]
+        assert (kept_eq["stratum"] == 0).all()
+
+
+def test_stratified_sample_validation(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import stratified_sample
+
+    df = pd.DataFrame({"doc_id": [1], "score": [1.0]})
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_pandas(df), "score", [1.0], [0.5])  # len mismatch
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_pandas(df), "score", [2.0, 1.0], [0.1, 0.2, 0.3])
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_pandas(df), "score", [1.0], [0.5, 1.5])

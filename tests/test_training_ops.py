@@ -1026,3 +1026,41 @@ def test_doc_bigram_nll_layout_independent(ray_session):
                         n_parts=16).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_build_vocab_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+    from indexer_ray.pipelines.text_analysis import build_vocab
+
+    rng = np.random.default_rng(92)
+    vocab = [f"t{i}" for i in range(50)]
+    probs = 1.0 / np.arange(1, 51)
+    probs /= probs.sum()
+    texts = {
+        i: " ".join(rng.choice(vocab, size=30, p=probs)) for i in range(200)
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    from collections import Counter
+
+    cf, dfc = Counter(), Counter()
+    for t in texts.values():
+        toks = tokenize_plain(t)
+        cf.update(toks)
+        dfc.update(set(toks))
+    want = sorted(
+        ((term, dfc[term], c) for term, c in cf.items() if dfc[term] >= 5),
+        key=lambda r: (-r[2], r[0]),
+    )[:20]
+    got = (
+        build_vocab(rd.from_pandas(df), size=20, min_df=5)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert [(r.term, r.df, r.cf) for r in got.itertuples()] == want
+    assert got["rank"].tolist() == list(range(len(want)))
