@@ -1299,6 +1299,22 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_resumable_write_roundtrip(sf_dir: str):
+    """Generic resumable partitioned sink: write the documents table to a
+    checkpointed partition layout under /tmp, read it back through the
+    manifest gate — the roundtrip must be the identity (the oracle is the
+    table itself)."""
+    from indexer_ray.sources.writer import read_partitioned, write_partitioned_resumable
+
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    out = f"/tmp/indexer_ray_entry/{tag}_sink"
+    write_partitioned_resumable(
+        _docs(sf_dir), out, "doc_id", n_parts=16, sort_cols=["doc_id"]
+    )
+    back = read_partitioned(out).to_pandas()
+    return back.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def _q_stratified_sample(sf_dir: str):
     """Quality-bucket curation: strata over n_chars at boundaries
     (200, 400], per-stratum Knuth-bucket keep rates (1.0 / 0.25 / 0.0)."""
@@ -1576,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": _q_host_doc_counts,
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
+        "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
     }
 
 
@@ -2071,6 +2088,9 @@ ORDER BY doc_id""",
 SELECT term, CAST(df AS BIGINT) AS df, CAST(cnt AS BIGINT) AS cf,
        row_number() OVER (ORDER BY cnt DESC, term) - 1 AS rank
 FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
+        # the sink roundtrip is the identity over the source table
+        "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min
