@@ -1299,6 +1299,28 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_curate_corpus(sf_dir: str):
+    """The full admission -> exact-dedup -> mixture chain, hash-checked
+    end to end (quality predicates + min-doc_id keeper + bucket rates all
+    replicated in one SQL oracle)."""
+    from indexer_ray.pipelines.curate import curate_corpus
+
+    out = curate_corpus(
+        _docs(sf_dir),
+        {"src0": 1.0, "src1": 0.25, "src2": 0.0},
+        default=0.5,
+        min_tokens=60,
+        max_digit_pct=30,
+        min_alpha_pct=82,
+    ).to_pandas()
+    return (
+        out[["doc_id", "text", "lang", "source", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+
+
 def _q_resumable_write_roundtrip(sf_dir: str):
     """Generic resumable partitioned sink: write the documents table to a
     checkpointed partition layout under /tmp, read it back through the
@@ -1593,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
         "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -2091,6 +2114,23 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # full curation chain: admission AND dedup-keeper AND mixture draw
+        "curate_corpus": f"""WITH adm AS (
+  SELECT doc_id FROM documents
+  WHERE len({_PLAIN_TOKS}) >= 60
+    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 100 <= length(text) * 30
+    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 82
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN adm USING (doc_id) JOIN keep USING (doc_id)
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 <
+      CASE d.source WHEN 'src0' THEN 10000
+                    WHEN 'src1' THEN 2500
+                    WHEN 'src2' THEN 0
+                    ELSE 5000 END
+ORDER BY d.doc_id""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

@@ -445,3 +445,69 @@ def test_drop_duplicate_chunks_random_corpus_regimes_agree(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+_ALPHA_VOCAB = [
+    "".join(np.random.default_rng(100 + j).choice(list("abcdefghijklmnopqrstuvwxyz"), 6))
+    for j in range(40)
+]
+
+
+def test_curate_corpus_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+    from indexer_ray.pipelines.curate import curate_corpus
+    from indexer_ray.pipelines.sampling import _bucket_of
+
+    rng = np.random.default_rng(95)
+    n = 400
+    texts = []
+    for i in range(n):
+        if i % 10 == 0:
+            texts.append("12345 67890 " * 5)  # digit-heavy -> filtered
+        elif i % 7 == 0:
+            texts.append("shared duplicate body text here")  # exact dup family
+        else:
+            # alphabetic vocab: digit-bearing tokens would fail the
+            # digit-percentage admission and empty the fixture
+            texts.append(" ".join(rng.choice(_ALPHA_VOCAB, size=12)))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "source": [f"s{i % 3}" for i in range(n)],
+        }
+    )
+    got = (
+        curate_corpus(
+            rd.from_pandas(df), {"s0": 1.0, "s1": 0.0}, default=0.4,
+            min_tokens=5, max_digit_pct=30, min_alpha_pct=50,
+        )
+        .to_pandas()
+        .sort_values("doc_id")["doc_id"]
+        .tolist()
+    )
+
+    def _admit(t):
+        nd = sum(c.isdigit() for c in t)
+        na = sum(c.isalpha() for c in t)
+        return (
+            len(tokenize_plain(t)) >= 5
+            and nd * 100 <= len(t) * 30
+            and na * 100 >= len(t) * 50
+        )
+
+    first = {}
+    for i, t in enumerate(texts):
+        first.setdefault(t, i)
+    rates = {"s0": 10000, "s1": 0}
+    want = [
+        int(i)
+        for i, t in enumerate(texts)
+        if _admit(t)
+        and first[t] == i
+        and _bucket_of(np.array([i]))[0] < rates.get(f"s{i % 3}", 4000)
+    ]
+    assert got == want
+    assert want, "fixture must curate a non-empty corpus"
