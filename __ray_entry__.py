@@ -2084,8 +2084,7 @@ GROUP BY p.doc_id""",
   FROM auth
 )
 SELECT doc_id,
-       CASE WHEN out LIKE '%/' THEN substr(out, 1, length(out) - 1)
-            ELSE out END AS canon_url,
+       regexp_replace(out, '/+$', '') AS canon_url,
        host
 FROM built ORDER BY doc_id""",
         "host_doc_counts": """SELECT

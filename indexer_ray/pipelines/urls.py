@@ -10,8 +10,9 @@ identical chain, so the canonical STRING is hash-checkable):
      (duplicates kept, order-normalized); empty query ('?') drops;
   R3 lowercase the scheme and authority (path/query stay case-sensitive);
   R4 strip an explicit default port (':80' / ':443') from the authority;
-  R5 strip one trailing '/' (root or path — 'http://x.com/' and
-     '/a/b/' both normalize).
+  R5 strip ALL trailing '/' (root, path, or repeated — 'http://x.com/',
+     '/a/b/' and '/a//' all normalize; never strips into '://', so the
+     rule is idempotent — pinned by a hypothesis property test).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def _canon_one(u: str) -> str:
             auth = auth.rsplit(":", 1)[0]
         base = head.lower() + "://" + auth + slash + path
     out = base + ("?" + query if sep and query else "")
-    if out.endswith("/"):  # R5
+    while out.endswith("/") and not out.endswith("://"):  # R5
         out = out[:-1]
     return out
 

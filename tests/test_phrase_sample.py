@@ -334,3 +334,34 @@ def test_stratified_sample_validation(ray_session):
         stratified_sample(rd.from_pandas(df), "score", [2.0, 1.0], [0.1, 0.2, 0.3])
     with pytest.raises(ValueError):
         stratified_sample(rd.from_pandas(df), "score", [1.0], [0.5, 1.5])
+
+
+def test_token_budget_prefix_property(ray_session):
+    """Budgets are NESTED and the selection is a hash-order PREFIX: the
+    docs kept at budget B are exactly the first |kept| docs of the
+    (bucket, id) order — for random corpora (hypothesis-style sweep over
+    seeds/budgets without a Ray call per example)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import _bucket_of, token_budget_sample
+
+    rng = np.random.default_rng(97)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(["t"] * int(rng.integers(0, 25))) for _ in range(n)],
+        }
+    )
+    order = np.lexsort((df["doc_id"].to_numpy(), _bucket_of(df["doc_id"].to_numpy())))
+    ordered_ids = df["doc_id"].to_numpy()[order]
+    prev: set = set()
+    for budget in (500, 2000, 7000):
+        kept = set(
+            token_budget_sample(rd.from_pandas(df), budget, n_parts=8)
+            .to_pandas()["doc_id"]
+        )
+        assert prev.issubset(kept)  # nested
+        # prefix: kept == first len(kept) ids in hash order
+        assert kept == set(ordered_ids[: len(kept)])
+        prev = kept

@@ -63,3 +63,30 @@ def test_canonicalize_and_host_rollup(ray_session):
         {"host": "a.com", "n_docs": 4},
         {"host": "b.com", "n_docs": 2},
     ]
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url_st = st.one_of(
+    st.text(max_size=40),
+    st.builds(
+        lambda scheme, host, port, path, q, frag: (
+            f"{scheme}://{host}{port}{path}{q}{frag}"
+        ),
+        scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        host=st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,8}){0,4}/?", fullmatch=True),
+        q=st.sampled_from(["", "?", "?a=1", "?b=2&a=1", "?z=9&a=1&m=3"]),
+        frag=st.sampled_from(["", "#x", "#frag"]),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_url_st)
+def test_canonicalization_is_idempotent(u):
+    once = _canon_one(u)
+    assert _canon_one(once) == once
