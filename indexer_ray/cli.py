@@ -20,6 +20,13 @@ sense for a parquet-corpus engine:
             POST /query -> newline-joined urls (scores dropped, matching
             server.rs:70-75).
 
+Beyond the reference surface, the index LIFECYCLE commands:
+
+  merge   — compact a base + delta index pair (newest-url-wins) into a
+            fresh index (pipelines/merge.merge_indexes).
+  delete  — tombstone deletion as compaction: base index minus a url
+            list (one per line) -> fresh index (merge.delete_docs).
+
 The CLI owns its Ray session (the library never calls ray.init; the
 `__ray_entry__` driver contract owns the session there).
 """
@@ -99,6 +106,29 @@ def cmd_index(args) -> int:
         m = build_index(files, args.output, cfg, resume=args.resume)
     total_postings = sum(p["n_postings"] for p in m.partitions.values())
     print(f"Indexed {m.n_docs} docs, {total_postings} postings, {m.n_partitions} partitions -> {args.output}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from indexer_ray.pipelines.merge import merge_indexes
+
+    _init_ray(args.ray_address)
+    m = merge_indexes(args.base, args.delta, args.output, resume=args.resume)
+    print(f"Merged -> {args.output}: {m.n_docs} docs, {m.n_partitions} partitions")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from indexer_ray.pipelines.merge import delete_docs
+
+    with open(args.urls) as f:
+        urls = [ln.strip() for ln in f if ln.strip()]
+    _init_ray(args.ray_address)
+    m = delete_docs(args.index, urls, args.output, resume=args.resume)
+    print(
+        f"Deleted {len(urls)} urls -> {args.output}: "
+        f"{m.n_docs} docs remain, {m.n_partitions} partitions"
+    )
     return 0
 
 
@@ -198,6 +228,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--resume", action="store_true", help="resume an interrupted build")
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("merge", help="compact base + delta indexes (newest url wins)")
+    p.add_argument("-b", "--base", required=True)
+    p.add_argument("-d", "--delta", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--ray-address", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("delete", help="delete documents by url (compaction)")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-u", "--urls", required=True, help="file with one url per line")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--ray-address", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_delete)
 
     p = sub.add_parser("search", help="query an index")
     p.add_argument("-i", "--index", required=True)

@@ -783,11 +783,10 @@ def delete_docs(
         hot_out = dict(progress["hot_terms"])
         id_space = progress["id_space"]
     else:
-        total_postings = sum(
-            int(m.get("n_postings", 0)) for m in base_m.partitions.values()
-        )
-        tgt = int(base_m.config.get("target_partition_postings", 4 << 20))
-        P = n_partitions or _auto_partitions(total_postings, tgt)
+        # deletion only SHRINKS content, so the base's partition count is
+        # the right default (autosizing would bounce a 4-part index to the
+        # 32-part floor)
+        P = n_partitions or int(base_m.n_partitions)
         hot_out = dict(base_m.hot_terms)
         dense_or_col = bool(base_m.config.get("id_assign") == "dense") or bool(
             base_m.config.get("id_column")

@@ -215,3 +215,42 @@ def test_init_ray_address_resolution(monkeypatch):
     cli._init_ray()
     assert calls["address"] == "local"
     assert calls["kw"] == {"include_dashboard": False}
+
+
+def test_cli_delete_lifecycle(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexer_ray.cli import main
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    pages = pa.table(
+        {
+            "url": pa.array([f"u://{i}" for i in range(20)], type=pa.string()),
+            "warc_ts": pa.array([0] * 20, type=pa.timestamp("us")),
+            "html": pa.array([b""] * 20, type=pa.binary()),
+            # kept docs alternate keepword/otherword so keepword's idf
+            # stays positive after deletion (a term in EVERY remaining doc
+            # scores ln(1)=0 and zero scores drop, per reference Q5/Q6)
+            "text": pa.array(
+                [
+                    ("dropword filler" if i % 2 == 0
+                     else ("keepword filler" if i % 4 == 1 else "otherword filler"))
+                    for i in range(20)
+                ]
+            ),
+        }
+    )
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "idx_del")
+    urls_file = str(tmp_path / "urls.txt")
+    with open(urls_file, "w") as f:
+        f.write("\n".join(f"u://{i}" for i in range(0, 20, 2)) + "\n")
+
+    assert main(["index", "-p", src, "-o", idx, "--mode", "plain", "--partitions", "4"]) == 0
+    assert main(["delete", "-i", idx, "-u", urls_file, "-o", out]) == 0
+    s = IndexSearcher(out)
+    assert s.search("dropword", k=20) == []  # even docs (dropword) deleted
+    assert len(s.search("keepword", k=20)) == 5  # odd i with i%4==1
