@@ -1299,6 +1299,19 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_more_like_this(sf_dir: str):
+    """Related-document retrieval: the smallest-doc_id document's top-5
+    TF-IDF keywords queried back through the index, seed excluded."""
+    from indexer_ray.pipelines.query import more_like_this
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    seed = int(
+        pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pandas().min()
+    )
+    out = more_like_this(_searcher(sf_dir, "plain"), _docs(sf_dir), seed, m=5, k=10)
+    return out.astype({"rank": "int64", "doc_id": "int64", "score_q": "int64"})
+
+
 def _q_curate_corpus(sf_dir: str):
     """The full admission -> exact-dedup -> mixture chain, hash-checked
     end to end (quality predicates + min-doc_id keeper + bucket rates all
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": _q_build_vocab,
         "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
         "curate_corpus": _q_curate_corpus,
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -2130,6 +2144,37 @@ WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 <
                     WHEN 'src2' THEN 0
                     ELSE 5000 END
 ORDER BY d.doc_id""",
+        # MoreLikeThis: seed keywords (quantized tf-idf, q>0, top-5 by
+        # q desc/term) queried back; score quantized BEFORE ranking
+        "more_like_this": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfx AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+), kq AS (
+  SELECT tf.term,
+         floor(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / dfx.df)) * 1e6 + 0.5) AS q
+  FROM tf JOIN dfx USING (term) CROSS JOIN nn
+  WHERE tf.doc_id = (SELECT min(doc_id) FROM documents)
+), kw AS (
+  SELECT term FROM kq WHERE q > 0
+  QUALIFY row_number() OVER (ORDER BY q DESC, term) <= 5
+), sc AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / dfx.df))) AS s
+  FROM tf JOIN kw USING (term) JOIN dfx USING (term) CROSS JOIN nn
+  WHERE tf.doc_id <> (SELECT min(doc_id) FROM documents)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY floor(s * 1e6 + 0.5) DESC, doc_id) - 1
+            AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS score_q
+FROM sc WHERE s > 0
+QUALIFY rank < 10 ORDER BY rank""",
         # hopping windows: window i covers [i*15min, i*15min + 60min), so
         # each event lands in exactly 4 windows (unnested ks) — unix-epoch
         # aligned on both sides (time_bucket's default origin is 15-min

@@ -1301,3 +1301,90 @@ def related_terms(searcher: IndexSearcher, docs_ds, term: str, k: int = 10):
         .groupby("g")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def more_like_this(
+    searcher: IndexSearcher,
+    docs_ds,
+    doc_id: int,
+    m: int = 5,
+    k: int = 10,
+    scorer: str = "tfidf",
+):
+    """"More like this": rank documents similar to a SEED document — the
+    classic MoreLikeThis design (Lucene's published recipe): extract the
+    seed's top-`m` TF-IDF terms, run them as a query, drop the seed from
+    the results.  Keyword score = tf·|ln(N/df)| quantized (the repo's
+    doc_keywords formula); df comes from the INDEX's pruned point reads,
+    never a corpus scan — only the seed's own text is tokenized.
+
+    Plain-mode indexes only (like phrase_search/related_terms: plain
+    [a-z0-9]+ terms re-tokenize to themselves, so the keyword query round-
+    trips through search() unchanged; conformance-mode stems would
+    re-stem).
+
+    Output: (rank, doc_id, score_q) — score quantized like the search
+    oracles; the seed never appears."""
+    import pandas as pd
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    if searcher.mode != "plain":
+        raise ValueError("more_like_this requires a plain-mode index")
+
+    seed = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .filter(lambda r: r["doc_id"] == doc_id)
+        .take(1)
+    )
+    if not seed:
+        raise KeyError(f"doc_id {doc_id} not found in docs_ds")
+    toks = tokenize_plain(seed[0]["text"] or "")
+    if not toks:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score_q": pd.Series([], dtype="int64"),
+            }
+        )
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    n = searcher.n_docs
+    scored = []
+    for t, c in tf.items():
+        df = searcher.term_df(t)
+        if df == 0:
+            continue
+        q = int(np.floor(c * abs(np.log(n / df)) * 1e6 + 0.5))
+        if q > 0:  # terms in every doc carry no signal (idf 0)
+            scored.append((-q, t))
+    keywords = [t for _, t in sorted(scored)[:m]]
+    if not keywords:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score_q": pd.Series([], dtype="int64"),
+            }
+        )
+
+    # over-fetch one slot: the seed itself usually tops its own query
+    hits = searcher.search(" ".join(keywords), k=k + 1, scorer=scorer)
+    sid = np.uint64(doc_id).astype(np.int64) if doc_id >= 0 else np.int64(doc_id)
+    rows = []
+    for d, s in hits:
+        d_signed = int(np.uint64(d).astype(np.int64))
+        if d_signed == int(sid):
+            continue
+        rows.append((d_signed, int(np.floor(s * 1e6 + 0.5))))
+        if len(rows) == k:
+            break
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(rows)), dtype="int64"),
+            "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "score_q": pd.Series([r[1] for r in rows], dtype="int64"),
+        }
+    )

@@ -338,3 +338,89 @@ def test_index_stats_tolerate_sparse_partitions(ray_session, tmp_path):
         .astype({"nll_q": "int64", "n_tokens": "int64"})
     )
     pd.testing.assert_frame_equal(nll, _brute_nll(texts))
+
+
+def _brute_mlt(texts: dict[int, str], seed: int, m: int, k: int):
+    tf_by_doc: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for did, text in texts.items():
+        toks = tokenize_plain(text or "")
+        if not toks:
+            continue
+        c: dict[str, int] = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+        tf_by_doc[did] = c
+        for t in c:
+            df[t] = df.get(t, 0) + 1
+    n = len(tf_by_doc)
+    seed_tf = tf_by_doc[seed]
+    scored = sorted(
+        (
+            (-int(math.floor(c * abs(math.log(n / df[t])) * 1e6 + 0.5)), t)
+            for t, c in seed_tf.items()
+            if int(math.floor(c * abs(math.log(n / df[t])) * 1e6 + 0.5)) > 0
+        )
+    )
+    kws = [t for _, t in scored[:m]]
+    hits = []
+    for did, c in tf_by_doc.items():
+        if did == seed:
+            continue
+        s = sum(c.get(t, 0) * abs(math.log(n / df[t])) for t in kws if t in c)
+        if s > 0:
+            hits.append((did, int(math.floor(s * 1e6 + 0.5))))
+    hits.sort(key=lambda r: (-r[1], r[0]))
+    return hits[:k]
+
+
+def test_more_like_this_matches_brute(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import more_like_this
+
+    rng = np.random.default_rng(101)
+    themes = {
+        "astro": ["galaxy", "nebula", "orbit", "telescope", "stellar"],
+        "cook": ["recipe", "flour", "oven", "saute", "broth"],
+        "law": ["statute", "plaintiff", "verdict", "appeal", "counsel"],
+    }
+    common = ["the", "and", "report", "notes"]
+    texts = {}
+    for i in range(90):
+        th = list(themes)[i % 3]
+        texts[i] = " ".join(
+            list(rng.choice(themes[th], size=8)) + list(rng.choice(common, size=4))
+        )
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[kk] for kk in sorted(texts)]}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=4)
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    s = IndexSearcher(idx)
+    ds = rd.from_pandas(docs)
+    for seed in (0, 1, 2):
+        got = more_like_this(s, ds, seed, m=4, k=8)
+        want = _brute_mlt(texts, seed, 4, 8)
+        assert list(zip(got["doc_id"], got["score_q"])) == want, seed
+        assert got["rank"].tolist() == list(range(len(want)))
+        # same-theme docs dominate the neighbors
+        theme = list(themes)[seed % 3]
+        top = got["doc_id"].head(4).tolist()
+        assert all(int(d) % 3 == seed % 3 for d in top), (seed, top)
+
+
+def test_more_like_this_guards(ray_session, tmp_path):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.query import IndexSearcher, more_like_this
+
+    docs = pd.DataFrame({"doc_id": pd.array([0, 1], dtype="int64"),
+                         "text": ["alpha beta", "beta gamma"]})
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=2)
+    s = IndexSearcher(idx)
+    with pytest.raises(KeyError):
+        more_like_this(s, rd.from_pandas(docs), 99)
