@@ -4,10 +4,11 @@ metadata, decoded / feature-extracted in actor-pool map_batches stages.
 Decoders: `decoder="real"` decodes the formats expressible with
 stdlib+numpy from their PUBLISHED specs — uncompressed BMP (24/32-bit),
 binary PPM (P6), baseline PNG (RFC 2083: zlib IDAT + the five scanline
-filters; 8-bit gray/gray+alpha/RGB/RGBA/palette) and PCM WAV (via the
-stdlib `wave` module); payloads in any other format (jpeg/mp4 need
-external codec libraries that are not in this container) come back
-`ok=False` and are skipped, with the integration point documented on
+filters; 8-bit gray/gray+alpha/RGB/RGBA/palette), baseline JPEG
+(ITU-T T.81 sequential DCT — see pipelines/jpeg.py) and PCM WAV (via the
+stdlib `wave` module); payloads in any other format (mp4 / progressive
+JPEG need external codec libraries that are not in this container) come
+back `ok=False` and are skipped, with the integration point documented on
 MediaDecodeStage._decode_real.
 `decoder="fake"` is a deterministic stand-in (hash-derived pixels) that
 keeps the Ray-side plumbing — schema, batch sizing for large binary rows,
@@ -289,7 +290,7 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_image(b: bytes) -> np.ndarray | None:
     """Magic-byte dispatch over the from-spec-decodable IMAGE formats ->
     (H, W, 3) uint8 or None.  The single integration point for adding
-    codecs (jpeg/mp4 need external libraries): both MediaDecodeStage and
+    codecs (mp4 still needs external libraries): both MediaDecodeStage and
     ResizeStage route through here."""
     if b[:2] == b"BM":
         return decode_bmp(b)
@@ -297,6 +298,10 @@ def decode_image(b: bytes) -> np.ndarray | None:
         return decode_ppm(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from indexer_ray.pipelines.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     return None
 
 
@@ -361,23 +366,33 @@ def synth_media_table(
 ) -> pa.Table:
     """Deterministic media corpus for tests/benches (payload bytes are a
     pure function of (seed, media_id)).  `fmt="fake"` emits opaque hash
-    bytes (codec-free plumbing); `fmt="bmp"` / `fmt="png"` emit REAL
-    decodable payloads for the decoder="real" path (PNG rotates through
-    the five scanline filters); `fmt="mixed"` interleaves bmp/png/fake so
-    a corpus exercises both the decode and the ok=False skip paths."""
-    if fmt not in ("fake", "bmp", "png", "mixed"):
+    bytes (codec-free plumbing); `fmt="bmp"` / `fmt="png"` / `fmt="jpeg"`
+    emit REAL decodable payloads for the decoder="real" path (PNG rotates
+    through the five scanline filters; JPEG alternates 4:4:4 / 4:2:0);
+    `fmt="mixed"` interleaves bmp/png/jpeg/fake so a corpus exercises both
+    the decode and the ok=False skip paths."""
+    if fmt not in ("fake", "bmp", "png", "jpeg", "mixed"):
         raise ValueError(f"unknown synth media fmt: {fmt}")
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
-        row_fmt = fmt if fmt != "mixed" else ("bmp", "png", "fake")[i % 3]
-        if row_fmt in ("bmp", "png"):
+        row_fmt = fmt if fmt != "mixed" else ("bmp", "png", "jpeg", "fake")[i % 4]
+        if row_fmt in ("bmp", "png", "jpeg"):
             w = 8 + int(rng.integers(0, 24))
             h = 8 + int(rng.integers(0, 24))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             if row_fmt == "png":
                 payloads.append(encode_png(px, filter_type=i % 5))
                 mimes.append("image/png")
+            elif row_fmt == "jpeg":
+                from indexer_ray.pipelines.jpeg import encode_jpeg_baseline
+
+                payloads.append(
+                    encode_jpeg_baseline(
+                        px, quant=1, subsampling=("4:4:4", "4:2:0")[i % 2]
+                    )
+                )
+                mimes.append("image/jpeg")
             else:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
@@ -419,8 +434,9 @@ class MediaDecodeStage:
     @staticmethod
     def _decode_real(payload: bytes) -> np.ndarray | None:
         """Stdlib-decodable formats via decode_image/decode_wav; None for
-        anything else (jpeg/mp4 need external codecs — extend
-        decode_image, keeping the surrounding Ray plumbing unchanged)."""
+        anything else (mp4 / progressive JPEG need external codecs —
+        extend decode_image, keeping the surrounding Ray plumbing
+        unchanged)."""
         px = decode_image(payload)
         if px is not None:
             return px.astype(np.float32).ravel() / 255.0
