@@ -1351,6 +1351,59 @@ def _q_resumable_write_roundtrip(sf_dir: str):
     return back.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_warc_ingest(sf_dir: str):
+    """WARC crawl ingestion under a full SQL oracle: both sides derive the
+    SAME deterministic crawl from the documents table (url and WARC-Date
+    are pure functions of doc_id; the record body is the document text),
+    so reading the synthesized .warc/.warc.gz shards back through
+    read_warc must reproduce the table exactly.  The four shards rotate
+    (plain, gzip) x (resource records, HTTP-response envelopes) to put
+    every reader path under the oracle."""
+    from datetime import datetime, timedelta, timezone
+
+    from indexer_ray.sources.warc import read_warc, write_warc
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    import shutil
+
+    epoch = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    root = f"/tmp/indexer_ray_entry/{tag}_warc"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    shards: list[list[dict]] = [[], [], [], []]
+    for i, txt in zip(ids, texts):
+        shards[i % 4].append(
+            {
+                "url": f"https://corpus.test/{i}",
+                "date": (epoch + timedelta(seconds=i)).isoformat().replace(
+                    "+00:00", "Z"
+                ),
+                "ctype": "text/plain; charset=utf-8",
+                "body": txt,
+            }
+        )
+    for s, recs in enumerate(shards):
+        write_warc(
+            os.path.join(root, f"shard{s}.warc" + (".gz" if s % 2 else "")),
+            recs,
+            compress=bool(s % 2),
+            http_wrap=s >= 2,
+        )
+    out = read_warc(root).to_pandas()
+    out["ts_s"] = out["warc_ts"].astype("int64") // 1_000_000  # epoch seconds
+    return (
+        out[["url", "ts_s", "text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+        .astype({"ts_s": "int64"})
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Quality-bucket curation: strata over n_chars at boundaries
     (200, 400], per-stratum Knuth-bucket keep rates (1.0 / 0.25 / 0.0)."""
@@ -1566,8 +1619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": _q_bigram_top,
         "search_facets_plain": _q_search_facets,
         "search_boolean_plain": _q_search_boolean,
-        "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
+        "warc_ingest": _q_warc_ingest,
         "search_urls_plain": _q_search_urls_plain,
         "user_event_deltas": _q_user_event_deltas,
         "kwic_snippets": _q_kwic_snippets,
@@ -1609,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
+        "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "events_json_extract": _q_events_json_extract,
         "lineitem_pricing_counts": _q_lineitem_pricing_counts,
         "orders_by_priority": _q_orders_by_priority,
@@ -2131,6 +2185,13 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # WARC ingestion: the synthesized crawl is a pure function of
+        # doc_id (url, WARC-Date = 2021-01-01 + doc_id seconds) with the
+        # document text as the record body, so the read-back is the table
+        "warc_ingest": """SELECT 'https://corpus.test/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(epoch(TIMESTAMP '2021-01-01 00:00:00') AS BIGINT) + doc_id AS ts_s,
+       text
+FROM documents ORDER BY url""",
         # full curation chain: admission AND dedup-keeper AND mixture draw
         "curate_corpus": f"""WITH adm AS (
   SELECT doc_id FROM documents
