@@ -1300,6 +1300,39 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_link_graph(sf_dir: str):
+    """Host-level link graph under a full SQL oracle: both sides derive
+    the SAME deterministic page (url + anchor set) per doc_id — absolute,
+    root-relative, document-relative and scheme-relative hrefs plus
+    fragment/mailto rows the extractor must skip — so the engine parses
+    REAL html through the stdlib parser chain while the oracle computes
+    the resolved hosts directly from doc_id."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import host_link_counts
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<html><body><a href="https://ext{i % 5}.example.org/a/{i}">e</a>'
+        f'<a href="/l/{i % 89}">l</a><a href="p{i % 13}.html">p</a>'
+        f'<a href="//cdn{i % 3}.example.net/x">c</a>'
+        f'<a href="#top">t</a><a href="mailto:x@y.z">m</a></body></html>'
+        for i in ids
+    ]
+    ds = rd.from_arrow(pa.table({"url": urls, "html": htmls}))
+    out = host_link_counts(ds).to_pandas()
+    return (
+        out.sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+        .astype({"n_links": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1605,8 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms_plain": _q_related_terms,
         "incremental_delta": _q_incremental_delta,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
-        "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
+        "link_graph_hosts": _q_link_graph,
         "lang_run_clusters": _q_lang_run_clusters,
         "seq_packing": _q_pack_sequences,
         "hash_split_assign": _q_hash_split,
@@ -1662,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
+        "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
         "events_json_extract": _q_events_json_extract,
         "lineitem_pricing_counts": _q_lineitem_pricing_counts,
@@ -2185,6 +2219,21 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # host link graph: the synthetic page per doc_id carries one
+        # absolute, two host-internal (root-relative + document-relative)
+        # and one scheme-relative anchor, plus fragment/mailto rows the
+        # extractor must skip — the oracle computes the resolved hosts
+        "link_graph_hosts": """WITH s AS (
+  SELECT 'www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+         doc_id FROM documents
+), edges AS (
+  SELECT src_host, 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst_host FROM s
+  UNION ALL SELECT src_host, src_host FROM s
+  UNION ALL SELECT src_host, src_host FROM s
+  UNION ALL SELECT src_host, 'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net' FROM s
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM edges GROUP BY src_host, dst_host ORDER BY src_host, dst_host""",
         # WARC ingestion: the synthesized crawl is a pure function of
         # doc_id (url, WARC-Date = 2021-01-01 + doc_id seconds) with the
         # document text as the record body, so the read-back is the table

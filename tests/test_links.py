@@ -1,0 +1,126 @@
+"""Link extraction / host link graph tests: RFC 3986 resolution forms,
+<base href> re-basing, attribute quoting and entity variants, skip rules
+(fragment-only, javascript:/mailto:), binary html columns, and the
+combiner-pre-aggregated host rollup."""
+
+import pyarrow as pa
+import pytest
+
+from indexer_ray.pipelines.links import (
+    _links_of,
+    extract_links,
+    host_indegree,
+    host_link_counts,
+)
+
+
+def test_resolution_forms():
+    page = "https://www.example.com/a/b/page.html"
+    html = (
+        '<a href="https://other.org/x">abs</a>'
+        '<a href="//cdn.net/y">scheme-rel</a>'
+        '<a href="/root">root</a>'
+        '<a href="sib.html">rel</a>'
+        '<a href="../up">dotdot</a>'
+        '<a href="?q=1">query</a>'
+    )
+    out = [d for _, d in _links_of(page, html)]
+    assert out == [
+        "https://other.org/x",
+        "https://cdn.net/y",
+        "https://www.example.com/root",
+        "https://www.example.com/a/b/sib.html",
+        "https://www.example.com/a/up",
+        "https://www.example.com/a/b/page.html?q=1",
+    ]
+
+
+def test_skip_rules_and_area():
+    html = (
+        '<a href="#top">frag</a><a href="javascript:void(0)">js</a>'
+        '<a href="MAILTO:a@b.c">mail</a><a href="tel:+1">tel</a>'
+        '<a name="anchor">no href</a><area href="/map">m</area>'
+        '<a href="">empty</a>'
+    )
+    out = [d for _, d in _links_of("https://h.test/p", html)]
+    assert out == ["https://h.test/map"]
+
+
+def test_quoting_entities_case():
+    html = (
+        "<A HREF=/upper>u</A>"
+        "<a href='/single'>s</a>"
+        "<a href=/bare>b</a>"
+        '<a href="/e?a=1&amp;b=2">ent</a>'
+    )
+    out = [d for _, d in _links_of("https://h.test/", html)]
+    assert out == [
+        "https://h.test/upper",
+        "https://h.test/single",
+        "https://h.test/bare",
+        "https://h.test/e?a=1&b=2",  # charrefs unescaped in attributes
+    ]
+
+
+def test_base_tag_first_wins():
+    html = (
+        '<base href="https://cdn.example.org/assets/">'
+        '<base href="https://ignored.test/">'
+        '<a href="img.png">x</a>'
+    )
+    out = [d for _, d in _links_of("https://h.test/page", html)]
+    assert out == ["https://cdn.example.org/assets/img.png"]
+
+
+def test_malformed_html_keeps_prefix():
+    html = '<a href="/ok">fine</a><a href="/also-ok" <<<'
+    out = [d for _, d in _links_of("https://h.test/", html)]
+    assert "https://h.test/ok" in out
+
+
+def test_extract_links_dataset_binary_column(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "url": ["https://a.test/1", "https://b.test/2"],
+            "html": pa.array(
+                [b'<a href="/x">x</a><a href="/x">x again</a>', b"no links here"],
+                type=pa.binary(),
+            ),
+        }
+    )
+    df = extract_links(rd.from_arrow(t)).to_pandas()
+    # duplicates kept (edge multiplicity)
+    assert df["dst_url"].tolist() == ["https://a.test/x", "https://a.test/x"]
+    assert df["src_url"].tolist() == ["https://a.test/1", "https://a.test/1"]
+
+
+def test_host_rollup_and_indegree(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "url": f"https://s{i % 2}.test/p/{i}",
+                "html": '<a href="https://hub.test/h">1</a><a href="/self">2</a>',
+            }
+        )
+    ds = rd.from_items(rows)
+    g = host_link_counts(ds).to_pandas().sort_values(
+        ["src_host", "dst_host"]
+    ).reset_index(drop=True)
+    # each source host: 10 links to hub.test + 10 self links
+    assert len(g) == 4
+    assert g["n_links"].tolist() == [10, 10, 10, 10]
+    ind = host_indegree(ds).to_pandas().set_index("dst_host")["in_links"]
+    assert ind["hub.test"] == 20 and ind["s0.test"] == 10
+
+
+def test_ports_stripped_in_host():
+    out = _links_of("https://h.test:8443/", '<a href="https://x.test:80/a">x</a>')
+    from indexer_ray.pipelines.links import _host_of
+
+    assert _host_of(out[0][1]) == "x.test"
+    assert _host_of("https://h.test:8443/") == "h.test"
