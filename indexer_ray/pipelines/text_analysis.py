@@ -1225,3 +1225,59 @@ def build_vocab(ds, size: int, min_df: int = 1, mode: str = "plain"):
         .groupby("g")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    nfc: bool = True,
+    lower: bool = True,
+    accents: bool = False,
+    collapse_ws: bool = True,
+):
+    """CCNet-style text normalization (Wenzek 2020 normalizes before
+    paragraph hashing): NFC -> lowercase -> optional accent strip ->
+    ASCII-whitespace collapse + trim, as a pure map (no shuffle).
+
+    lower/collapse are Arrow kernels (utf8_lower /
+    replace_substring_regex — RE2 '\\s' is ASCII-only, matching the
+    DuckDB oracle's regexp_replace semantics; Unicode spaces like NBSP
+    intentionally survive on BOTH sides).  NFC and the accent strip go
+    through stdlib unicodedata in ONE per-row pass — pyarrow 16's
+    utf8_normalize(form='NFC') does NOT compose combining sequences
+    (decomposition-only; 'A'+U+0301 stays two codepoints, diverging from
+    DuckDB/CPython), so it cannot be used.  The documented per-row
+    exemption: a pure codepoint filter, no allocation-heavy parse.
+    Characters without a canonical decomposition (e.g. 'ø') are KEPT by
+    the accent strip, which DuckDB's strip_accents agrees with."""
+    import unicodedata
+
+    def _py_norm(v: str | None) -> str | None:
+        if v is None:
+            return None
+        if accents:
+            v = "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", v)
+                if not unicodedata.combining(ch)
+            )
+            return unicodedata.normalize("NFC", v) if nfc else v
+        return unicodedata.normalize("NFC", v)
+
+    def _norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = pc.cast(t.column(text_col).combine_chunks(), pa.string())
+        if nfc or accents:
+            arr = pa.array([_py_norm(v) for v in arr.to_pylist()], type=pa.string())
+        if lower:
+            arr = pc.utf8_lower(arr)
+        if collapse_ws:
+            arr = pc.replace_substring_regex(arr, r"\s+", " ")
+            arr = pc.utf8_trim(arr, characters=" ")
+        if out_col in t.schema.names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

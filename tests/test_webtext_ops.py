@@ -511,3 +511,46 @@ def test_curate_corpus_matches_brute(ray_session):
     ]
     assert got == want
     assert want, "fixture must curate a non-empty corpus"
+
+
+def test_normalize_text_chain(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.text_analysis import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "  Héllo\tWÖRLDé  café ",  # accents + combining mark
+                "Øber  UPPER",  # no canonical decomposition: kept
+                "a b",  # NBSP: NOT ASCII whitespace, survives
+                "",
+            ],
+        }
+    )
+    out = (
+        normalize_text(rd.from_arrow(t), accents=True)
+        .to_pandas()
+        .sort_values("doc_id")["norm_text"]
+        .tolist()
+    )
+    assert out == ["hello worlde cafe", "øber upper", "a b", ""]
+
+
+def test_normalize_text_flags(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.text_analysis import normalize_text
+
+    t = pa.table({"text": ["  Á  B  "]})
+    # nfc only: combining composes, case/ws untouched
+    nfc_only = normalize_text(
+        rd.from_arrow(t), lower=False, collapse_ws=False
+    ).to_pandas()["norm_text"][0]
+    assert nfc_only == "  Á  B  "
+    # full default chain without accent strip keeps the acute
+    full = normalize_text(rd.from_arrow(t)).to_pandas()["norm_text"][0]
+    assert full == "á b"
