@@ -1359,6 +1359,45 @@ def _q_normalize_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_robots_filter(sf_dir: str):
+    """RFC 9309 robots.txt decisions under a full SQL oracle: urls and
+    per-host robots payloads are pure functions of doc_id, the engine
+    parses the REAL robots text (groups, longest-match, Allow tie-break)
+    while the oracle reproduces the decision table arithmetically."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.robots import filter_disallowed
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    paths = ["/l/{i}", "/public/{i}", "/private/{i}", "/private/ok/{i}"]
+    urls = [
+        f"https://www.src{i % 7}.example.com" + paths[i % 4].format(i=i) for i in ids
+    ]
+    robots = {
+        f"www.src{h}.example.com": (
+            "# synthetic crawl policy\n"
+            "User-agent: evilbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+            + ("Disallow: /l/\n" if h % 2 == 0 else "")
+        )
+        for h in range(7)
+    }
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "url": urls})
+    )
+    out = filter_disallowed(ds, robots, annotate_col="allowed").to_pandas()
+    return (
+        out[["doc_id", "url", "allowed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "allowed": "bool"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1655,7 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_df": _q_index_term_df,
         "index_postings": _q_index_postings,
         "index_docmap": _q_index_docmap,
-        "ann_brute_topk": _q_ann_brute,
+        "robots_filter": _q_robots_filter,
         # first driver capture in r04 (oracle SQL existed since r03 but sat
         # past the window):
         "chunk_documents": _q_chunk_documents,
@@ -1721,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
+        "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
         "search_sharded_tfidf_plain": _q_search_sharded_plain,
@@ -2245,6 +2285,20 @@ SELECT term, CAST(df AS BIGINT) AS df, CAST(cnt AS BIGINT) AS cf,
 FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id""",
+        # robots: path form rotates by doc_id%4 (/l/, /public/, /private/,
+        # /private/ok/); even hosts (doc_id%7 even) additionally disallow
+        # /l/ — the engine parses the real robots text, the oracle the
+        # arithmetic decision table
+        "robots_filter": """SELECT doc_id,
+       'https://www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+       CASE doc_id % 4
+         WHEN 0 THEN '/l/' WHEN 1 THEN '/public/'
+         WHEN 2 THEN '/private/' ELSE '/private/ok/' END
+       || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 4 = 2 THEN FALSE
+            WHEN doc_id % 4 = 0 AND (doc_id % 7) % 2 = 0 THEN FALSE
+            ELSE TRUE END AS allowed
 FROM documents ORDER BY doc_id""",
         # normalization: identical deterministic Unicode decoration both
         # sides (chr(233)=é precomposed, chr(769)=combining acute — the
