@@ -1398,6 +1398,35 @@ def _q_robots_filter(sf_dir: str):
     )
 
 
+def _q_ccnet_paragraph_dedup(sf_dir: str):
+    """CCNet paragraph dedup under a full SQL oracle: both sides frame
+    the document text with the SAME deterministic paragraphs (a per-
+    residue header that collides across docs, a global boilerplate line,
+    a trailing blank that must never participate), keys normalized by the
+    shared NFC/lower/accent/ws chain, original bytes kept."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import dedup_paragraphs
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    framed = [
+        f"Header {i % 17}\n{txt}\nSUBSCRIBE to our Newsletter\n"
+        for i, txt in zip(ids, t.column("text").to_pylist())
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": framed})
+    )
+    out = dedup_paragraphs(ds).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_dropped": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1719,7 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean_plain": _q_search_boolean,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "warc_ingest": _q_warc_ingest,
-        "search_urls_plain": _q_search_urls_plain,
+        "ccnet_paragraph_dedup": _q_ccnet_paragraph_dedup,
         "user_event_deltas": _q_user_event_deltas,
         "kwic_snippets": _q_kwic_snippets,
         "phrase_match_docs": _q_phrase_match,
@@ -1760,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
+        "search_urls_plain": _q_search_urls_plain,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2286,6 +2316,33 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # CCNet paragraph dedup: same framed paragraphs both sides;
+        # normalized key = the normalize_docs chain; blank lines never
+        # participate; global first (doc_id, idx) keeps original bytes
+        "ccnet_paragraph_dedup": r"""WITH framed AS (
+  SELECT doc_id,
+         'Header ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || text || chr(10)
+         || 'SUBSCRIBE to our Newsletter' || chr(10) AS t
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+  FROM framed
+), keyed AS (
+  SELECT doc_id, para, idx,
+    trim(regexp_replace(strip_accents(lower(nfc_normalize(para))), '\s+', ' ', 'g')) AS k
+  FROM paras
+), kept AS (
+  SELECT doc_id, para, idx,
+    CASE WHEN k = '' THEN TRUE
+         ELSE row_number() OVER (PARTITION BY k ORDER BY doc_id, idx) = 1 END AS keep
+  FROM keyed
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS text,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id HAVING bool_or(keep) ORDER BY doc_id""",
         # robots: path form rotates by doc_id%4 (/l/, /public/, /private/,
         # /private/ok/); even hosts (doc_id%7 even) additionally disallow
         # /l/ — the engine parses the real robots text, the oracle the

@@ -38,6 +38,7 @@ Two API layers per family:
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import Counter
 
 import numpy as np
@@ -1910,30 +1911,17 @@ def chunk_dedup_stats(ds, chunk_words: int = 20, n_parts: int = 32):
     )
 
 
-def drop_duplicate_chunks(
-    ds,
-    chunk_words: int = 20,
-    n_parts: int = 32,
-    broadcast_threshold: int = 100_000,
-):
-    """C4-style duplicated-span REMOVAL (Raffel et al. 2020 §2.2 — they
-    drop all but one occurrence of any repeated three-sentence span; here
-    the span is a fixed `chunk_words`-word window, the same chunking as
-    `chunk_dedup_stats`): every chunk occurrence except the globally
-    FIRST (smallest (doc_id, chunk_idx)) of its content is dropped, and
-    each document's text is rebuilt as the space-join of its kept chunks
-    in order.
+def _dedup_unit_engine(ds, split_units, unit_sep, n_parts, broadcast_threshold):
+    """Shared global-first unit-dedup machinery (drop_duplicate_chunks /
+    dedup_paragraphs): `split_units(text)` yields (key, original) pairs —
+    key None means the unit never participates in dedup (always kept);
+    otherwise every occurrence of a key except the globally FIRST
+    (smallest (doc_id, unit_idx)) is dropped, and each doc's text is
+    rebuilt as `unit_sep`.join of its kept ORIGINAL units in order.
 
-    Output: (doc_id, text, n_dropped) — one row per doc that keeps >= 1
-    chunk (docs with no tokens, or whose every chunk duplicates an earlier
-    one, are removed from the corpus).  Whitespace NORMALIZES to single
-    spaces (output tokens == kept chunk tokens) so the rule — and the SQL
-    oracle — is uniform across touched and untouched docs.
-
-    Shape: the census pass is chunk_dedup_stats' machinery (one 28-byte
-    hash row per chunk, hash-routed so equal chunks co-locate, vectorized
-    duplicated() per partition) emitting the DROP SET (doc_id, chunk_idx)
-    instead of counts; text never enters a shuffle.  Rebuild routing is
+    Shape: census emits one 16-byte-hash row per participating unit,
+    hash-routed so equal keys co-locate (vectorized duplicated() per
+    partition); text never enters the shuffle.  Rebuild routing is
     regime-gated like every dedup family here: drop set <= threshold ->
     broadcast dict read once per task; above -> per-doc drop lists
     aggregate distributed and LEFT OUTER hash-join the corpus."""
@@ -1942,19 +1930,19 @@ def drop_duplicate_chunks(
 
     from indexer_ray.functions.hashing import key_partition
 
-    def _chunks(batch: pa.Table) -> pa.Table:
+    def _units(batch: pa.Table) -> pa.Table:
         ids_out, idx_out, his, los = [], [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            w = (t or "").split()
-            for ci in range(0, -(-len(w) // chunk_words)):
-                chunk = " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
-                d = hashlib.blake2b(chunk.encode("utf-8"), digest_size=16).digest()
+            for ui, (key, _orig) in enumerate(split_units(t or "")):
+                if key is None:
+                    continue
+                d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
                 his.append(int.from_bytes(d[:8], "big", signed=True))
                 los.append(int.from_bytes(d[8:], "big", signed=True))
                 ids_out.append(doc_id)
-                idx_out.append(ci)
+                idx_out.append(ui)
         part = key_partition(np.array(his, dtype=np.int64).astype(np.uint64), n_parts)
         return pa.table(
             {
@@ -1976,7 +1964,7 @@ def drop_duplicate_chunks(
         )
 
     drops = (
-        ds.map_batches(_chunks, batch_format="pyarrow",
+        ds.map_batches(_units, batch_format="pyarrow",
             zero_copy_batch=True, batch_size=2048)
         .groupby("part")
         .map_groups(_drops, batch_format="pandas")
@@ -1988,19 +1976,15 @@ def drop_duplicate_chunks(
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            w = (t or "").split()
-            if not w:
+            units = split_units(t or "")
+            if not units:
                 continue
             bad = drop_of(doc_id)
-            kept = [
-                " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
-                for ci in range(0, -(-len(w) // chunk_words))
-                if ci not in bad
-            ]
+            kept = [orig for ui, (_k, orig) in enumerate(units) if ui not in bad]
             if not kept:
                 continue
             ids_out.append(doc_id)
-            texts.append(" ".join(kept))
+            texts.append(unit_sep.join(kept))
             ndrop.append(len(bad))
         return pa.table(
             {
@@ -2053,3 +2037,77 @@ def drop_duplicate_chunks(
         return _rebuild_tbl(batch, lambda did: by_row.get(did, frozenset()))
 
     return joined.map_batches(_rebuild_joined, batch_format="pyarrow")
+
+
+def drop_duplicate_chunks(
+    ds,
+    chunk_words: int = 20,
+    n_parts: int = 32,
+    broadcast_threshold: int = 100_000,
+):
+    """C4-style duplicated-span REMOVAL (Raffel et al. 2020 §2.2 — they
+    drop all but one occurrence of any repeated three-sentence span; here
+    the span is a fixed `chunk_words`-word window, the same chunking as
+    `chunk_dedup_stats`): every chunk occurrence except the globally
+    FIRST (smallest (doc_id, chunk_idx)) of its content is dropped, and
+    each document's text is rebuilt as the space-join of its kept chunks
+    in order.
+
+    Output: (doc_id, text, n_dropped) — one row per doc that keeps >= 1
+    chunk (docs with no tokens, or whose every chunk duplicates an earlier
+    one, are removed from the corpus).  Whitespace NORMALIZES to single
+    spaces (output tokens == kept chunk tokens) so the rule — and the SQL
+    oracle — is uniform across touched and untouched docs.
+
+    Built on _dedup_unit_engine (see its docstring for the at-scale
+    routing); the unit key IS the chunk content."""
+
+    def _split(t: str):
+        w = t.split()
+        return [
+            (" ".join(w[ci * chunk_words : (ci + 1) * chunk_words]),) * 2
+            for ci in range(0, -(-len(w) // chunk_words))
+        ]
+
+    return _dedup_unit_engine(ds, _split, " ", n_parts, broadcast_threshold)
+
+
+def _ccnet_norm(s: str) -> str:
+    """The paragraph-dedup key normalization (Wenzek 2020 §4.1 hash
+    lowercase+accent-stripped text before dedup): NFD minus combining
+    marks -> NFC -> lower -> ASCII-whitespace collapse + trim — the same
+    chain as text_analysis.normalize_text(accents=True)."""
+    import unicodedata
+
+    s = "".join(
+        ch for ch in unicodedata.normalize("NFD", s) if not unicodedata.combining(ch)
+    )
+    s = unicodedata.normalize("NFC", s).lower()
+    return _WS_RUN.sub(" ", s).strip()
+
+
+_WS_RUN = re.compile(r"\s+", re.ASCII)
+
+
+def dedup_paragraphs(
+    ds,
+    n_parts: int = 32,
+    broadcast_threshold: int = 100_000,
+):
+    """CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1: drop
+    duplicated paragraphs corpus-wide, comparing NORMALIZED text but
+    keeping the original bytes of the surviving occurrence): paragraphs
+    are newline-separated; a paragraph whose normalized form is EMPTY
+    (blank/whitespace line) never participates and is always kept; every
+    other occurrence of a normalized key except the globally FIRST
+    (smallest (doc_id, paragraph_idx)) is dropped; docs rebuild as the
+    newline-join of their kept ORIGINAL paragraphs (docs whose every
+    paragraph drops are removed).
+
+    Output: (doc_id, text, n_dropped).  Built on _dedup_unit_engine —
+    same census shuffle + regime-gated rebuild as drop_duplicate_chunks."""
+
+    def _split(t: str):
+        return [(_ccnet_norm(p) or None, p) for p in t.split("\n")]
+
+    return _dedup_unit_engine(ds, _split, "\n", n_parts, broadcast_threshold)

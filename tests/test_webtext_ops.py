@@ -554,3 +554,56 @@ def test_normalize_text_flags(ray_session):
     # full default chain without accent strip keeps the acute
     full = normalize_text(rd.from_arrow(t)).to_pandas()["norm_text"][0]
     assert full == "á b"
+
+
+def test_dedup_paragraphs_ccnet(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.dedup import dedup_paragraphs
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "Header A\nunique one\nSUBSCRIBE now",
+                "Header A\nunique two\nSUBSCRIBE now",  # both shared paras drop
+                "Héader a\nunique three\n",  # accent-normalized dup header
+                "SUBSCRIBE   NOW",  # ws/case-normalized dup -> doc removed
+            ],
+        }
+    )
+    out = (
+        dedup_paragraphs(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]  # doc 4 fully duplicated
+    assert out["text"].tolist() == [
+        "Header A\nunique one\nSUBSCRIBE now",  # first occurrences keep bytes
+        "unique two",
+        "unique three\n",  # blank paragraph never participates
+    ]
+    assert out["n_dropped"].tolist() == [0, 2, 1]
+
+
+def test_dedup_paragraphs_forced_join_regime(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.dedup import dedup_paragraphs
+
+    t = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": ["shared line\nuniq %d" % i for i in range(12)],
+        }
+    )
+    a = dedup_paragraphs(rd.from_arrow(t)).to_pandas()
+    b = dedup_paragraphs(rd.from_arrow(t), broadcast_threshold=0).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # regimes agree
+    assert a["text"][0] == "shared line\nuniq 0"
+    assert (a["n_dropped"][1:] == 1).all()
