@@ -323,3 +323,77 @@ def write_warc(
     with open(path, "wb") as f:
         for c in chunks:
             f.write(gzip.compress(c) if compress else c)
+
+
+def export_warc(
+    ds,
+    out_dir: str,
+    compress: bool = True,
+    http_wrap: bool = False,
+):
+    """Inverse path: a pages-shaped Dataset (url, warc_ts, text and/or
+    html) -> a directory of WARC shards, one file per input block (the
+    same no-shuffle granularity as read_warc's one-task-per-file).  Rows
+    with an `html` payload export as text/html records (original bytes);
+    text-only rows as text/plain.  Shard names are content-derived
+    (blake2b of the block's urls) so re-running an identical export is
+    idempotent — the resumability convention of the parquet sink.
+
+    Returns the shard manifest as a list of {path, n_records}, collected
+    via take_all() — bounded: one row per BLOCK, not per record."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def _write(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        if not urls:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_records": pa.array([], type=pa.int64())})
+        texts = (
+            t.column("text").to_pylist()
+            if "text" in t.schema.names
+            else [None] * len(urls)
+        )
+        htmls = (
+            t.column("html").to_pylist()
+            if "html" in t.schema.names
+            else [None] * len(urls)
+        )
+        tss = (
+            t.column("warc_ts").to_pylist()
+            if "warc_ts" in t.schema.names
+            else [None] * len(urls)
+        )
+        recs = []
+        for u, txt, h, ts in zip(urls, texts, htmls, tss):
+            if ts is None:
+                date = "2020-01-01T00:00:00Z"
+            else:
+                dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+                date = dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            if h:
+                recs.append({"url": u, "date": date, "ctype": "text/html",
+                             "body": bytes(h)})
+            else:
+                recs.append({"url": u, "date": date,
+                             "ctype": "text/plain; charset=utf-8",
+                             "body": txt or ""})
+        digest = hashlib.blake2b(
+            "\x00".join(urls).encode("utf-8"), digest_size=10
+        ).hexdigest()
+        path = os.path.join(out_dir, f"shard-{digest}{ext}")
+        write_warc(path, recs, compress=compress, http_wrap=http_wrap)
+        return pa.table(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "n_records": pa.array([len(recs)], type=pa.int64()),
+            }
+        )
+
+    manifest = ds.map_batches(_write, batch_format="pyarrow").take_all()
+    return sorted(manifest, key=lambda r: r["path"])
