@@ -1427,6 +1427,34 @@ def _q_ccnet_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_pagerank_hosts(sf_dir: str):
+    """3-iteration integer PageRank over the deterministic host graph of
+    _q_link_graph, under a full SQL oracle (the oracle replays the same
+    exact-integer update via chained CTEs — cross-engine hash-checkable
+    because every step is int64 arithmetic, no float drift)."""
+    from indexer_ray.pipelines.links import host_link_counts, pagerank_hosts
+
+    import ray.data as rd
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<html><body><a href="https://ext{i % 5}.example.org/a/{i}">e</a>'
+        f'<a href="/l/{i % 89}">l</a><a href="p{i % 13}.html">p</a>'
+        f'<a href="//cdn{i % 3}.example.net/x">c</a></body></html>'
+        for i in ids
+    ]
+    edges = host_link_counts(rd.from_arrow(pa.table({"url": urls, "html": htmls})))
+    out = pagerank_hosts(edges, iters=3).to_pandas()
+    return (
+        out.sort_values("host").reset_index(drop=True).astype({"rank": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1746,7 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": _q_bigram_top,
         "search_facets_plain": _q_search_facets,
         "search_boolean_plain": _q_search_boolean,
-        "search_sharded_bm25_plain": _q_search_sharded_bm25,
+        "pagerank_hosts": _q_pagerank_hosts,
         "warc_ingest": _q_warc_ingest,
         "ccnet_paragraph_dedup": _q_ccnet_paragraph_dedup,
         "user_event_deltas": _q_user_event_deltas,
@@ -1789,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
+        "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "search_urls_plain": _q_search_urls_plain,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
@@ -1907,6 +1936,49 @@ FROM base b
 JOIN hit h ON h.query_id = b.query_id AND h.doc_id = b.doc_id
 JOIN ptoks t ON t.doc_id = b.doc_id AND t.pos BETWEEN h.p - 3 AND h.p + 3
 GROUP BY b.query_id, b.rank, b.doc_id, b.score_q, h.p"""
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Chained-CTE replay of pagerank_hosts' exact-integer update over
+    the link_graph_hosts edge synthesis (one CTE per iteration; every
+    step is BIGINT arithmetic so the comparison is cell-exact)."""
+    head = """WITH s AS (
+  SELECT 'www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+         doc_id FROM documents
+), e0 AS (
+  SELECT src_host, 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst_host FROM s
+  UNION ALL SELECT src_host, src_host FROM s
+  UNION ALL SELECT src_host, src_host FROM s
+  UNION ALL SELECT src_host, 'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net' FROM s
+), edges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM e0 GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+), c0 AS (
+  SELECT CAST(1000000000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS r0 FROM nodes
+), ow AS (
+  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS w FROM edges GROUP BY src_host
+), i0 AS (
+  SELECT host, (SELECT r0 FROM c0) AS r FROM nodes
+)"""
+    step = """, i{k} AS (
+  SELECT n.host,
+         (SELECT (15 * r0) // 100 FROM c0)
+         + (85 * COALESCE(f.sacc, CAST(0 AS BIGINT))) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_host AS host,
+           CAST(SUM((r.r * e.n_links) // ow.w) AS BIGINT) AS sacc
+    FROM edges e
+    JOIN i{p} r ON r.host = e.src_host
+    JOIN ow ON ow.src_host = e.src_host
+    GROUP BY e.dst_host) f ON f.host = n.host
+)"""
+    body = "".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
+    return (
+        head + body
+        + f'\nSELECT host, CAST(r AS BIGINT) AS "rank" FROM i{iters} ORDER BY host'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2367,6 +2439,8 @@ FROM documents ORDER BY doc_id""",
          chr(199) || 'af' || chr(233) || '  '
        ))), '\s+', ' ', 'g')) AS norm_text
 FROM documents ORDER BY doc_id""",
+        # 3-iteration integer PageRank over the link_graph edge synthesis
+        "pagerank_hosts": _pagerank_oracle_sql(3),
         # host link graph: the synthetic page per doc_id carries one
         # absolute, two host-internal (root-relative + document-relative)
         # and one scheme-relative anchor, plus fragment/mailto rows the

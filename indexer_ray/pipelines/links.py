@@ -27,6 +27,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlparse
 
+import numpy as np
 import pyarrow as pa
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
@@ -153,3 +154,159 @@ def host_indegree(ds, url_col: str = "url", html_col: str = "html"):
         .groupby("dst_host")
         .aggregate(Sum("n_links", alias_name="in_links"))
     )
+
+
+def pagerank_hosts(
+    edges,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+):
+    """PageRank over a (src_host, dst_host, n_links) edge list (Brin &
+    Page 1998), in EXACT integer arithmetic so the result is
+    cross-engine hash-checkable (the repo's quantize-before-compare
+    discipline applied at every step instead of only at the end):
+
+      N       = |distinct hosts in src + dst|
+      r0      = scale // N                       for every host
+      base    = ((100 - damping_pct) * (scale // N)) // 100
+      out_w   = sum of n_links over a host's outgoing edges
+      contrib = (r[src] * n_links) // out_w[src] per edge
+      r'[v]   = base + (damping_pct * sum contrib into v) // 100
+
+    Edge multiplicity weights contributions; hosts without outlinks leak
+    their mass (dangling mass is DROPPED, not redistributed — documented,
+    and reproduced by the SQL oracle).  All intermediates fit int64 for
+    scale=1e12 and realistic degree counts.
+
+    Distributed shape: each iteration co-partitions rank rows with edge
+    rows by src_host (tagged-union groupby — Dataset.join is avoided
+    because Ray 2.49's join aggregator finalizes empty partitions as
+    column-less tables that break a downstream join's key resolution),
+    sums contributions per dst_host, and co-partitions the inflow with
+    the node set to apply the update.  Rank state is node-sized (hosts,
+    not pages) and is materialized per iteration to keep lineage flat."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def _sel(name):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"host": pc.cast(t.column(name).combine_chunks(), pa.string())}
+            )
+
+        return _f
+
+    import pyarrow.compute as pc
+
+    edges = edges.materialize()
+    nodes = (
+        edges.map_batches(_sel("src_host"), batch_format="pyarrow")
+        .union(edges.map_batches(_sel("dst_host"), batch_format="pyarrow"))
+        .groupby("host")
+        .count()  # distinct hosts (count column dropped below)
+        .select_columns(["host"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"host": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    r0 = scale // n_nodes
+    base = ((100 - damping_pct) * r0) // 100
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("src_host").combine_chunks(), pa.string()),
+                "dst": pc.cast(t.column("dst_host").combine_chunks(), pa.string()),
+                "n": pc.cast(t.column("n_links").combine_chunks(), pa.int64()),
+                "rank": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _rank_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("host").combine_chunks(), pa.string()),
+                "dst": pa.array([""] * t.num_rows, type=pa.string()),
+                "n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "rank": pc.cast(t.column("rank").combine_chunks(), pa.int64()),
+                "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _contrib(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["tag"] == 0]
+        if not len(e):
+            # rank-only group (host with no outlinks): a zero contribution
+            # into itself keeps the block non-empty (Ray's pandas size
+            # estimator chokes on 0-row object columns) without changing
+            # any inflow sum
+            return pd.DataFrame(
+                {"dst": [g["key"].iloc[0]],
+                 "contrib": np.zeros(1, dtype=np.int64)}
+            )
+        rank = int(g.loc[g["tag"] == 1, "rank"].iloc[0])
+        n = e["n"].to_numpy(dtype=np.int64)
+        w = int(n.sum())
+        return pd.DataFrame(
+            {"dst": e["dst"].to_numpy(), "contrib": rank * n // w}
+        )
+
+    def _apply(g: pd.DataFrame) -> pd.DataFrame:
+        inflow = int(g["contrib"].sum())
+        return pd.DataFrame(
+            {
+                "host": [g["key"].iloc[0]],
+                "rank": np.array([base + damping_pct * inflow // 100],
+                                 dtype=np.int64),
+            }
+        )
+
+    def _node_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("host").combine_chunks(), pa.string()),
+                "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def _inflow_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("dst").combine_chunks(), pa.string()),
+                "contrib": pc.cast(t.column("contrib").combine_chunks(), pa.int64()),
+            }
+        )
+
+    edge_tagged = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, r0, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        contribs = (
+            edge_tagged.union(
+                ranks.map_batches(_rank_rows, batch_format="pyarrow")
+            )
+            .groupby("key")
+            .map_groups(_contrib, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+        )
+        ranks = (
+            nodes.map_batches(_node_rows, batch_format="pyarrow")
+            .union(contribs.map_batches(_inflow_rows, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(_apply, batch_format="pandas")
+            .materialize()
+        )
+    return ranks

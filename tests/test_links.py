@@ -124,3 +124,69 @@ def test_ports_stripped_in_host():
 
     assert _host_of(out[0][1]) == "x.test"
     assert _host_of("https://h.test:8443/") == "h.test"
+
+
+def test_pagerank_integer_exact(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import pagerank_hosts
+
+    edges = [("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("d", "a", 3)]
+    t = pa.table(
+        {
+            "src_host": [e[0] for e in edges],
+            "dst_host": [e[1] for e in edges],
+            "n_links": [e[2] for e in edges],
+        }
+    )
+    out = (
+        pagerank_hosts(rd.from_arrow(t), iters=3)
+        .to_pandas()
+        .set_index("host")["rank"]
+        .to_dict()
+    )
+
+    # exact integer reference (same published formula)
+    scale, damping = 10**12, 85
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    r0 = scale // len(nodes)
+    base = ((100 - damping) * r0) // 100
+    ow: dict = {}
+    for s, _, n in edges:
+        ow[s] = ow.get(s, 0) + n
+    r = {h: r0 for h in nodes}
+    for _ in range(3):
+        inflow = {h: 0 for h in nodes}
+        for s, d, n in edges:
+            inflow[d] += r[s] * n // ow[s]
+        r = {h: base + damping * inflow[h] // 100 for h in nodes}
+    assert out == r
+    # hub 'a' (2 inbound sources) outranks leaf 'c'; dangling 'd' at base floor
+    assert out["a"] > out["c"] > 0 and out["d"] == min(out.values())
+
+
+def test_pagerank_empty_and_determinism(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import pagerank_hosts
+
+    empty = pa.table(
+        {
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64()),
+        }
+    )
+    assert pagerank_hosts(rd.from_arrow(empty)).count() == 0
+    t = pa.table(
+        {
+            "src_host": [f"h{i % 13}" for i in range(60)],
+            "dst_host": [f"h{(i * 7) % 13}" for i in range(60)],
+            "n_links": [1 + i % 3 for i in range(60)],
+        }
+    )
+    a = pagerank_hosts(rd.from_arrow(t), iters=2).to_pandas()
+    b = pagerank_hosts(rd.from_arrow(t).repartition(7), iters=2).to_pandas()
+    a = a.sort_values("host").reset_index(drop=True)
+    b = b.sort_values("host").reset_index(drop=True)
+    assert a.equals(b)  # layout-independent
