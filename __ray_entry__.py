@@ -1797,8 +1797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": _q_host_doc_counts,
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
-        "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
-        "curate_corpus": _q_curate_corpus,
+        "search_urls_plain": _q_search_urls_plain,
+        "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
         # SQL-checked but past the driver's 50-slot capture window this
@@ -1817,8 +1817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
-        "search_sharded_bm25_plain": _q_search_sharded_bm25,
-        "search_urls_plain": _q_search_urls_plain,
+        "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
+        "curate_corpus": _q_curate_corpus,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,

@@ -170,6 +170,17 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     from indexer_ray.pipelines.query import doc_unigram_nll
 
     timed("doc_unigram_nll", lambda: doc_unigram_nll(idx).materialize())
+
+    # round-4 webtext family: the heaviest new op (census shuffle +
+    # regime-gated rebuild over newline paragraphs)
+    from indexer_ray.pipelines.dedup import dedup_paragraphs
+
+    timed(
+        "paragraph_dedup",
+        lambda: dedup_paragraphs(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"])
+        ).materialize(),
+    )
     return out
 
 
