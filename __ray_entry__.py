@@ -1455,6 +1455,48 @@ def _q_pagerank_hosts(sf_dir: str):
     )
 
 
+def _q_frequency_spectrum(sf_dir: str):
+    """Zipf frequency spectrum V(k): distinct terms occurring exactly k
+    times (count-of-counts over the term_stats rollup)."""
+    from indexer_ray.pipelines.text_analysis import frequency_spectrum
+
+    out = frequency_spectrum(_docs(sf_dir), mode="plain").to_pandas()
+    return (
+        out.sort_values("cf")
+        .reset_index(drop=True)
+        .astype({"cf": "int64", "n_terms": "int64"})
+    )
+
+
+def _q_host_indegree(sf_dir: str):
+    """Host in-degree over the link_graph synthesis (sum of link
+    multiplicities into each destination host)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import host_indegree
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<html><body><a href="https://ext{i % 5}.example.org/a/{i}">e</a>'
+        f'<a href="/l/{i % 89}">l</a><a href="p{i % 13}.html">p</a>'
+        f'<a href="//cdn{i % 3}.example.net/x">c</a></body></html>'
+        for i in ids
+    ]
+    out = host_indegree(
+        rd.from_arrow(pa.table({"url": urls, "html": htmls}))
+    ).to_pandas()
+    return (
+        out.sort_values("dst_host")
+        .reset_index(drop=True)
+        .astype({"in_links": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1819,6 +1861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _q_events_value_histogram,
         "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
         "curate_corpus": _q_curate_corpus,
+        "frequency_spectrum": _q_frequency_spectrum,
+        "host_indegree": _q_host_indegree,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2439,6 +2483,25 @@ FROM documents ORDER BY doc_id""",
          chr(199) || 'af' || chr(233) || '  '
        ))), '\s+', ' ', 'g')) AS norm_text
 FROM documents ORDER BY doc_id""",
+        # Zipf frequency spectrum: count-of-counts over term cf
+        "frequency_spectrum": """WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+), ts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY term
+)
+SELECT cf, CAST(COUNT(*) AS BIGINT) AS n_terms FROM ts GROUP BY cf ORDER BY cf""",
+        # host in-degree over the link_graph edge synthesis
+        "host_indegree": """WITH s AS (
+  SELECT 'www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+         doc_id FROM documents
+), e0 AS (
+  SELECT 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst_host FROM s
+  UNION ALL SELECT src_host FROM s
+  UNION ALL SELECT src_host FROM s
+  UNION ALL SELECT 'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net' FROM s
+)
+SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS in_links
+FROM e0 GROUP BY dst_host ORDER BY dst_host""",
         # 3-iteration integer PageRank over the link_graph edge synthesis
         "pagerank_hosts": _pagerank_oracle_sql(3),
         # host link graph: the synthetic page per doc_id carries one

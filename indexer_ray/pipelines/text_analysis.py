@@ -1281,3 +1281,20 @@ def normalize_text(
         return t.append_column(out_col, arr)
 
     return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def frequency_spectrum(ds, mode: str = "plain"):
+    """Zipf frequency spectrum (Baayen's V(k,N): how many distinct terms
+    occur exactly k times in the corpus) — the corpus-linguistics census
+    behind hapax-rate / vocabulary-growth quality checks.  Two chained
+    partial aggregations: term_stats' (term, df, cf) rollup, then a
+    count-of-counts groupby on cf — both shuffles carry one row per
+    distinct key, never per token."""
+    from ray.data.aggregate import Count
+
+    return (
+        term_stats(ds, mode=mode)
+        .groupby("cf")
+        .aggregate(Count(alias_name="n_terms"))
+        .sort("cf")
+    )

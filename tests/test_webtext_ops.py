@@ -607,3 +607,24 @@ def test_dedup_paragraphs_forced_join_regime(ray_session):
     assert a.equals(b)  # regimes agree
     assert a["text"][0] == "shared line\nuniq 0"
     assert (a["n_dropped"][1:] == 1).all()
+
+
+def test_frequency_spectrum(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.text_analysis import frequency_spectrum
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a b b c", "b d"],  # cf: a=3, b=3, c=1, d=1
+        }
+    )
+    out = frequency_spectrum(rd.from_arrow(t)).to_pandas()
+    assert dict(zip(out["cf"], out["n_terms"])) == {1: 2, 3: 2}
+    # layout independence
+    out2 = frequency_spectrum(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert out.sort_values("cf").reset_index(drop=True).equals(
+        out2.sort_values("cf").reset_index(drop=True)
+    )
