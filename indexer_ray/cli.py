@@ -26,6 +26,10 @@ Beyond the reference surface, the index LIFECYCLE commands:
             fresh index (pipelines/merge.merge_indexes).
   delete  — tombstone deletion as compaction: base index minus a url
             list (one per line) -> fresh index (merge.delete_docs).
+  verify  — index fsck (pipelines/fsck.verify_index): shallow
+            manifest/partition/docmap metadata checks, `--deep` decodes
+            every posting block and re-checks the build invariants;
+            exits non-zero on any error.
 
 The CLI owns its Ray session (the library never calls ray.init; the
 `__ray_entry__` driver contract owns the session there).
@@ -130,6 +134,20 @@ def cmd_delete(args) -> int:
         f"{m.n_docs} docs remain, {m.n_partitions} partitions"
     )
     return 0
+
+
+def cmd_verify(args) -> int:
+    from indexer_ray.pipelines.fsck import verify_index
+
+    if args.deep:
+        _init_ray(args.ray_address)
+    r = verify_index(args.index, deep=args.deep)
+    for k, v in sorted(r["stats"].items()):
+        print(f"{k}: {v}")
+    for e in r["errors"]:
+        print(f"ERROR: {e}", file=sys.stderr)
+    print("OK" if r["ok"] else f"FAILED ({len(r['errors'])} errors)")
+    return 0 if r["ok"] else 1
 
 
 def cmd_search(args) -> int:
@@ -244,6 +262,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ray-address", default=None)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser("verify", help="index fsck: manifest/partition/docmap checks")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument(
+        "--deep",
+        action="store_true",
+        help="also decode every posting block and re-check build invariants",
+    )
+    p.add_argument("--ray-address", default=None)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("search", help="query an index")
     p.add_argument("-i", "--index", required=True)
