@@ -1170,11 +1170,11 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_media_features_real(sf_dir: str):
-    """REAL decode path over a deterministic mixed corpus — BMP, PNG and
-    baseline JPEG payloads decoded from scratch per the published formats
-    (BMP layout, RFC 2083 PNG: zlib + the five scanline filters, ITU-T
-    T.81 sequential DCT), interleaved with undecodable fake rows that
-    must come back ok=False; rows-only."""
+    """REAL decode path over a deterministic mixed corpus — BMP, PNG,
+    baseline JPEG and GIF payloads decoded from scratch per the published
+    formats (BMP layout, RFC 2083 PNG: zlib + the five scanline filters,
+    ITU-T T.81 sequential DCT, GIF LZW), interleaved with undecodable
+    fake rows that must come back ok=False; rows-only."""
     import ray.data as rd
 
     from indexer_ray.pipelines.multimodal import decode_features, synth_media_table

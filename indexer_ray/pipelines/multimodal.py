@@ -5,7 +5,8 @@ Decoders: `decoder="real"` decodes the formats expressible with
 stdlib+numpy from their PUBLISHED specs — uncompressed BMP (24/32-bit),
 binary PPM (P6), baseline PNG (RFC 2083: zlib IDAT + the five scanline
 filters; 8-bit gray/gray+alpha/RGB/RGBA/palette), baseline JPEG
-(ITU-T T.81 sequential DCT — see pipelines/jpeg.py) and PCM WAV (via the
+(ITU-T T.81 sequential DCT — see pipelines/jpeg.py), GIF87a/89a (LZW,
+interlace, transparency — see pipelines/gif.py) and PCM WAV (via the
 stdlib `wave` module); payloads in any other format (mp4 / progressive
 JPEG need external codec libraries that are not in this container) come
 back `ok=False` and are skipped, with the integration point documented on
@@ -302,6 +303,10 @@ def decode_image(b: bytes) -> np.ndarray | None:
         from indexer_ray.pipelines.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"GIF8":
+        from indexer_ray.pipelines.gif import decode_gif
+
+        return decode_gif(b)
     return None
 
 
@@ -368,16 +373,19 @@ def synth_media_table(
     pure function of (seed, media_id)).  `fmt="fake"` emits opaque hash
     bytes (codec-free plumbing); `fmt="bmp"` / `fmt="png"` / `fmt="jpeg"`
     emit REAL decodable payloads for the decoder="real" path (PNG rotates
-    through the five scanline filters; JPEG alternates 4:4:4 / 4:2:0);
-    `fmt="mixed"` interleaves bmp/png/jpeg/fake so a corpus exercises both
-    the decode and the ok=False skip paths."""
-    if fmt not in ("fake", "bmp", "png", "jpeg", "mixed"):
+    through the five scanline filters; JPEG alternates 4:4:4 / 4:2:0;
+    `fmt="gif"` color-quantizes to a 64-color palette first — GIF is
+    palettized by format); `fmt="mixed"` interleaves bmp/png/jpeg/gif/fake
+    so a corpus exercises both the decode and the ok=False skip paths."""
+    if fmt not in ("fake", "bmp", "png", "jpeg", "gif", "mixed"):
         raise ValueError(f"unknown synth media fmt: {fmt}")
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
-        row_fmt = fmt if fmt != "mixed" else ("bmp", "png", "jpeg", "fake")[i % 4]
-        if row_fmt in ("bmp", "png", "jpeg"):
+        row_fmt = (
+            fmt if fmt != "mixed" else ("bmp", "png", "jpeg", "gif", "fake")[i % 5]
+        )
+        if row_fmt in ("bmp", "png", "jpeg", "gif"):
             w = 8 + int(rng.integers(0, 24))
             h = 8 + int(rng.integers(0, 24))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -393,6 +401,12 @@ def synth_media_table(
                     )
                 )
                 mimes.append("image/jpeg")
+            elif row_fmt == "gif":
+                from indexer_ray.pipelines.gif import encode_gif
+
+                px = (px // 64 * 64).astype(np.uint8)  # <=64 distinct colors
+                payloads.append(encode_gif(px, interlace=bool(i % 2)))
+                mimes.append("image/gif")
             else:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")

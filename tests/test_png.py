@@ -185,15 +185,15 @@ def test_mixed_media_real_decode_pipeline(ray_session):
         synth_media_table,
     )
 
-    t = synth_media_table(32, seed=7, fmt="mixed")  # bmp/png/jpeg/fake rotation
+    t = synth_media_table(35, seed=7, fmt="mixed")  # bmp/png/jpeg/gif/fake rotation
     out = (
         decode_features(rd.from_arrow(t), decoder="real", feat_dim=8)
         .to_pandas()
         .sort_values("media_id")
         .reset_index(drop=True)
     )
-    # rows rotate bmp, png, jpeg, fake — only the fake hash bytes fail
-    assert out["ok"].tolist() == [i % 4 != 3 for i in range(32)]
+    # rows rotate bmp, png, jpeg, gif, fake — only the fake hash bytes fail
+    assert out["ok"].tolist() == [i % 5 != 4 for i in range(35)]
     feats = np.stack(out["feature"].to_numpy())
     assert np.isfinite(feats).all()
 
@@ -204,8 +204,8 @@ def test_mixed_media_real_decode_pipeline(ray_session):
         .sort_values("media_id")
         .reset_index(drop=True)
     )
-    for i in range(32):
-        if i % 4 != 3:
+    for i in range(35):
+        if i % 5 != 4:
             px = decode_ppm(rs["payload"][i])
             assert px is not None and px.shape == (4, 4, 3)
         else:
