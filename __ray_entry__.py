@@ -1497,6 +1497,78 @@ def _q_host_indegree(sf_dir: str):
     )
 
 
+def _q_webtext_curate(sf_dir: str):
+    """The composed webtext curation chain under ONE SQL oracle:
+    synthesize a WARC crawl whose record bodies are the framed paragraph
+    text of ccnet_paragraph_dedup and whose urls follow robots_filter's
+    path rotation, then ingest (read_warc) -> drop robots-disallowed
+    pages -> paragraph-dedup the SURVIVORS (global-first is computed over
+    the filtered corpus, so the keeper set differs from the unfiltered
+    ccnet query — the oracle replays the same order of operations)."""
+    import shutil
+    from datetime import datetime, timezone
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import dedup_paragraphs
+    from indexer_ray.pipelines.robots import filter_disallowed
+    from indexer_ray.sources.warc import read_warc, write_warc
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    paths = ["/l/{i}", "/public/{i}", "/private/{i}", "/private/ok/{i}"]
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    root = f"/tmp/indexer_ray_entry/{tag}_webtext"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    shards: list[list[dict]] = [[], []]
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        shards[i % 2].append(
+            {
+                "url": f"https://www.src{i % 7}.example.com"
+                + paths[i % 4].format(i=i),
+                "date": datetime(2021, 1, 1, tzinfo=timezone.utc)
+                .isoformat()
+                .replace("+00:00", "Z"),
+                "ctype": "text/plain; charset=utf-8",
+                "body": f"Header {i % 17}\n{txt}\nSUBSCRIBE to our Newsletter\n",
+            }
+        )
+    for s, recs in enumerate(shards):
+        write_warc(
+            os.path.join(root, f"s{s}.warc" + (".gz" if s else "")),
+            recs,
+            compress=bool(s),
+        )
+    robots = {
+        f"www.src{h}.example.com": (
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+            + ("Disallow: /l/\n" if h % 2 == 0 else "")
+        )
+        for h in range(7)
+    }
+    kept = filter_disallowed(read_warc(root), robots)
+
+    def _with_doc_id(tb: pa.Table) -> pa.Table:
+        ids_ = [int(u.rsplit("/", 1)[-1]) for u in tb.column("url").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, type=pa.int64()),
+                "text": tb.column("text"),
+            }
+        )
+
+    corpus = kept.map_batches(_with_doc_id, batch_format="pyarrow")
+    out = dedup_paragraphs(corpus).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_dropped": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1863,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "frequency_spectrum": _q_frequency_spectrum,
         "host_indegree": _q_host_indegree,
+        "webtext_curate": _q_webtext_curate,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2432,6 +2505,33 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # composed chain: WARC ingest (identity) -> robots filter ->
+        # paragraph dedup over the SURVIVORS (global-first on filtered set)
+        "webtext_curate": r"""WITH framed AS (
+  SELECT doc_id,
+         'Header ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || text || chr(10)
+         || 'SUBSCRIBE to our Newsletter' || chr(10) AS t
+  FROM documents
+  WHERE NOT (doc_id % 4 = 2 OR (doc_id % 4 = 0 AND (doc_id % 7) % 2 = 0))
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+  FROM framed
+), keyed AS (
+  SELECT doc_id, para, idx,
+    trim(regexp_replace(strip_accents(lower(nfc_normalize(para))), '\s+', ' ', 'g')) AS k
+  FROM paras
+), kept AS (
+  SELECT doc_id, para, idx,
+    CASE WHEN k = '' THEN TRUE
+         ELSE row_number() OVER (PARTITION BY k ORDER BY doc_id, idx) = 1 END AS keep
+  FROM keyed
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS text,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id HAVING bool_or(keep) ORDER BY doc_id""",
         # CCNet paragraph dedup: same framed paragraphs both sides;
         # normalized key = the normalize_docs chain; blank lines never
         # participate; global first (doc_id, idx) keeps original bytes
