@@ -564,36 +564,88 @@ def resize_media(media_ds, width: int = 32, height: int = 32, batch_size: int = 
 
 
 class FrameSampleStage:
-    """Video frame-sampling plumbing (stub decode): emits `n_frames` evenly
-    spaced frame descriptors per video row — the flat_map-shaped stage a real
-    pipeline uses before per-frame feature extraction."""
+    """Frame sampling, flat_map-shaped (one input row -> n_frames rows).
 
-    def __init__(self, n_frames: int = 4):
+    `decoder="stub"` emits evenly spaced BYTE-OFFSET descriptors per row —
+    the plumbing a real video pipeline puts before per-frame feature
+    extraction (mp4 decode needs external codecs; integration point is
+    `_real_frames`).  `decoder="real"` DECODES animated GIFs from spec
+    (pipelines/gif.decode_gif_frames) and emits `n_frames` evenly sampled
+    REAL frames re-encoded as binary PPM; still images yield their single
+    frame at frame_idx 0; undecodable payloads yield one ok=False row.
+    Both modes share one output schema:
+    (media_id, frame_idx, n_source_frames, payload, ok)."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "stub"):
+        if decoder not in ("stub", "real"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.n_frames = n_frames
+        self.decoder = decoder
+
+    @staticmethod
+    def _real_frames(payload: bytes) -> list[np.ndarray] | None:
+        """Decodable-from-spec multi-frame formats (GIF today; mp4 is the
+        external-codec integration point), falling back to the
+        single-image dispatch."""
+        if payload[:4] == b"GIF8":
+            from indexer_ray.pipelines.gif import decode_gif_frames
+
+            return decode_gif_frames(payload)
+        px = decode_image(payload)
+        return [px] if px is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, offsets = [], [], []
+        ids, frame_idx, n_src, payloads, oks = [], [], [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            n = max(1, len(payload or b""))
-            for f in range(self.n_frames):
+            payload = payload or b""
+            if self.decoder == "stub":
+                n = max(1, len(payload))
+                for f in range(self.n_frames):
+                    ids.append(mid)
+                    frame_idx.append(f)
+                    n_src.append(n)
+                    payloads.append(
+                        str((n * f) // self.n_frames).encode()  # byte offset
+                    )
+                    oks.append(True)
+                continue
+            frames = self._real_frames(payload)
+            if not frames:
+                ids.append(mid)
+                frame_idx.append(0)
+                n_src.append(0)
+                payloads.append(b"")
+                oks.append(False)
+                continue
+            take = min(self.n_frames, len(frames))
+            for f in range(take):
+                src = (len(frames) * f) // take
+                px = frames[src]
+                h, w, _ = px.shape
                 ids.append(mid)
                 frame_idx.append(f)
-                offsets.append((n * f) // self.n_frames)
+                n_src.append(len(frames))
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+                oks.append(True)
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "frame_idx": pa.array(frame_idx, type=pa.int32()),
-                "byte_offset": pa.array(offsets, type=pa.int64()),
+                "n_source_frames": pa.array(n_src, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "ok": pa.array(oks, type=pa.bool_()),
             }
         )
 
 
-def sample_frames(media_ds, n_frames: int = 4, batch_size: int = 32):
+def sample_frames(
+    media_ds, n_frames: int = 4, batch_size: int = 32, decoder: str = "stub"
+):
     return media_ds.map_batches(
         FrameSampleStage,
-        fn_constructor_args=(n_frames,),
+        fn_constructor_args=(n_frames, decoder),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -105,3 +105,48 @@ def test_subblock_splitting_roundtrip():
     rng = np.random.default_rng(12)
     px = _quant(rng, 40, 40, 64)  # compressed stream >255 bytes: many blocks
     np.testing.assert_array_equal(decode_gif(encode_gif(px)), px)
+
+
+def test_sample_frames_real_gif(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from indexer_ray.pipelines.gif import encode_gif
+    from indexer_ray.pipelines.multimodal import decode_ppm, sample_frames
+
+    # 8-frame animation: frame k paints pixel (0, k) bright
+    frames_px = []
+    for k in range(8):
+        px = np.zeros((2, 8, 3), dtype=np.uint8)
+        px[0, k] = [255, 255, 255]
+        frames_px.append(px)
+    gifs = [encode_gif(p) for p in frames_px]
+    gct_len = 3 * 4
+    animated = gifs[0][:-1] + b"".join(
+        g[13 + gct_len : -1] for g in gifs[1:]
+    ) + b"\x3b"
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], type=pa.int64()),
+                "payload": pa.array(
+                    [animated, gifs[0], b"not media"], type=pa.large_binary()
+                ),
+            }
+        )
+    )
+    out = (
+        sample_frames(media, n_frames=4, decoder="real")
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    anim = out[out["media_id"] == 1]
+    assert len(anim) == 4 and (anim["n_source_frames"] == 8).all()
+    # evenly sampled: source frames 0, 2, 4, 6
+    for row, src in zip(anim.itertuples(), (0, 2, 4, 6)):
+        np.testing.assert_array_equal(decode_ppm(row.payload), frames_px[src])
+    still = out[out["media_id"] == 2]
+    assert len(still) == 1 and still["n_source_frames"].iloc[0] == 1
+    bad = out[out["media_id"] == 3]
+    assert len(bad) == 1 and not bad["ok"].iloc[0]
