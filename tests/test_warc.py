@@ -221,3 +221,65 @@ def test_export_warc_html_payload(tmp_path, ray_session):
     back = read_warc(out_dir).to_pandas()
     assert back["html"][0] == html  # original bytes, via text/html record
     assert "round trip" in back["text"][0]
+
+
+def test_recrawl_incremental_delta(tmp_path, ray_session):
+    """WARC re-crawl through the freshness machinery: warc_ts plays the
+    reference's mtime role, so filter_expired over a fresh crawl keeps
+    exactly the re-crawled-newer and never-seen urls; the merged index
+    serves the UPDATED content (newest-url-wins)."""
+    from indexer_ray.pipelines.incremental import filter_expired
+    from indexer_ray.pipelines.merge import merge_indexes
+    from indexer_ray.pipelines.build import build_index
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    d1 = tmp_path / "crawl1"
+    d1.mkdir()
+    recs = [
+        {
+            "url": f"https://h.test/p/{i}",
+            "date": "2021-03-01T00:00:00Z",
+            "body": f"original body{i} oldtoken{i}",
+        }
+        for i in range(5)
+    ]
+    write_warc(str(d1 / "a.warc"), recs)
+    idx1 = str(tmp_path / "idx1")
+    manifest, n = index_warc_corpus(str(d1), idx1)
+    assert n == 5
+
+    d2 = tmp_path / "crawl2"
+    d2.mkdir()
+    v2 = [
+        # re-crawled NEWER: must re-index
+        {"url": "https://h.test/p/1", "date": "2021-04-01T00:00:00Z",
+         "body": "updated body1 newtoken1"},
+        {"url": "https://h.test/p/2", "date": "2021-04-01T00:00:00Z",
+         "body": "updated body2 newtoken2"},
+        # unchanged date: must be skipped
+        {"url": "https://h.test/p/3", "date": "2021-03-01T00:00:00Z",
+         "body": "original body3 oldtoken3"},
+        # never seen: must index
+        {"url": "https://h.test/p/9", "date": "2021-04-01T00:00:00Z",
+         "body": "brand new page newtoken9"},
+    ]
+    write_warc(str(d2 / "b.warc"), v2)
+    fresh = read_warc(str(d2))
+    delta = filter_expired(fresh, idx1).to_pandas()
+    assert sorted(delta["url"]) == [
+        "https://h.test/p/1", "https://h.test/p/2", "https://h.test/p/9",
+    ]
+
+    # delta build + compaction: newest wins, old tokens for p/1 disappear
+    delta_pages = str(tmp_path / "delta_pages")
+    import ray.data as rd
+    rd.from_pandas(delta).write_parquet(delta_pages)
+    import glob as g
+    idx2 = str(tmp_path / "idx2")
+    build_index(sorted(g.glob(delta_pages + "/*.parquet")), idx2)
+    merged = str(tmp_path / "merged")
+    merge_indexes(idx1, idx2, merged)
+    s = IndexSearcher(merged)
+    assert len(s.search("newtoken1", k=5)) == 1
+    assert len(s.search("oldtoken1", k=5)) == 0  # superseded content gone
+    assert len(s.search("oldtoken3", k=5)) == 1  # untouched page stays
