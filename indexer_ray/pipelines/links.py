@@ -161,6 +161,7 @@ def pagerank_hosts(
     iters: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    broadcast_hosts_threshold: int = 2_000_000,
 ):
     """PageRank over a (src_host, dst_host, n_links) edge list (Brin &
     Page 1998), in EXACT integer arithmetic so the result is
@@ -179,13 +180,24 @@ def pagerank_hosts(
     and reproduced by the SQL oracle).  All intermediates fit int64 for
     scale=1e12 and realistic degree counts.
 
-    Distributed shape: each iteration co-partitions rank rows with edge
-    rows by src_host (tagged-union groupby — Dataset.join is avoided
-    because Ray 2.49's join aggregator finalizes empty partitions as
-    column-less tables that break a downstream join's key resolution),
-    sums contributions per dst_host, and co-partitions the inflow with
-    the node set to apply the update.  Rank state is node-sized (hosts,
-    not pages) and is materialized per iteration to keep lineage flat."""
+    Distributed shape, regime-gated on the HOST count (rank state is
+    node-sized — hosts, not pages):
+      * broadcast regime (n_hosts <= broadcast_hosts_threshold, the
+        overwhelmingly common case — even the full web is ~10^8 hosts):
+        hosts/out-weights/ranks ship once per iteration via ray.put; one
+        vectorized pass over the edges emits per-batch pre-aggregated
+        (dst_code, partial) pairs and the node-sized combine happens on
+        the driver.  Edges are code-ified ONCE (integer columns), so an
+        iteration is a single map + small collect.
+      * tagged-union groupby regime (above the threshold): each iteration
+        co-partitions rank rows with edge rows by src_host (Dataset.join
+        is avoided because Ray 2.49's join aggregator finalizes empty
+        partitions as column-less tables that break a downstream join's
+        key resolution), sums contributions per dst_host, and
+        co-partitions the inflow with the node set to apply the update;
+        state is materialized per iteration to keep lineage flat.
+    Both regimes share the exact integer arithmetic (integer sums are
+    order-independent), pinned identical by test."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -218,6 +230,89 @@ def pagerank_hosts(
         )
     r0 = scale // n_nodes
     base = ((100 - damping_pct) * r0) // 100
+
+    if n_nodes <= broadcast_hosts_threshold:
+        import ray
+
+        hosts = np.sort(
+            np.array(
+                [r["host"] for r in nodes.iter_rows()], dtype=object
+            )
+        )
+        hosts_ref = ray.put(hosts)
+
+        def _codify(t: pa.Table) -> pa.Table:
+            hs = ray.get(hosts_ref)
+            s = np.array(t.column("src_host").to_pylist(), dtype=object)
+            d = np.array(t.column("dst_host").to_pylist(), dtype=object)
+            return pa.table(
+                {
+                    "sc": pa.array(np.searchsorted(hs, s), type=pa.int64()),
+                    "dc": pa.array(np.searchsorted(hs, d), type=pa.int64()),
+                    "n": pc.cast(t.column("n_links").combine_chunks(), pa.int64()),
+                }
+            )
+
+        enc = edges.map_batches(_codify, batch_format="pyarrow").materialize()
+
+        def _sparse_sum(codes: np.ndarray, vals: np.ndarray) -> pa.Table:
+            # int64 np.add.at, NOT np.bincount(weights=...) — bincount
+            # accumulates in float64 and loses exactness past 2^53
+            uniq, inv = np.unique(codes, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, vals.astype(np.int64))
+            return pa.table(
+                {
+                    "c": pa.array(uniq, type=pa.int64()),
+                    "v": pa.array(acc, type=pa.int64()),
+                }
+            )
+
+        # out-weights: one pre-aggregated pass, node-sized driver combine
+        w = np.zeros(n_nodes, dtype=np.int64)
+        for t in enc.map_batches(
+            lambda t: _sparse_sum(
+                t.column("sc").to_numpy(zero_copy_only=False),
+                t.column("n").to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            np.add.at(
+                w,
+                t.column("c").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False),
+            )
+
+        r = np.full(n_nodes, r0, dtype=np.int64)
+        for _ in range(iters):
+            r_ref = ray.put((r, w))
+
+            def _partial(t: pa.Table) -> pa.Table:
+                rv, wv = ray.get(r_ref)
+                sc = t.column("sc").to_numpy(zero_copy_only=False)
+                dc = t.column("dc").to_numpy(zero_copy_only=False)
+                n = t.column("n").to_numpy(zero_copy_only=False)
+                contrib = rv[sc] * n // wv[sc]
+                return _sparse_sum(dc, contrib)
+
+            inflow = np.zeros(n_nodes, dtype=np.int64)
+            for t in enc.map_batches(_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
+                np.add.at(
+                    inflow,
+                    t.column("c").to_numpy(zero_copy_only=False),
+                    t.column("v").to_numpy(zero_copy_only=False),
+                )
+            r = base + damping_pct * inflow // 100
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(list(hosts), type=pa.string()),
+                    "rank": pa.array(r, type=pa.int64()),
+                }
+            )
+        )
 
     def _edge_rows(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -190,3 +190,24 @@ def test_pagerank_empty_and_determinism(ray_session):
     a = a.sort_values("host").reset_index(drop=True)
     b = b.sort_values("host").reset_index(drop=True)
     assert a.equals(b)  # layout-independent
+
+
+def test_pagerank_regimes_agree(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import pagerank_hosts
+
+    t = pa.table(
+        {
+            "src_host": [f"h{i % 11}" for i in range(80)],
+            "dst_host": [f"h{(i * 3 + 1) % 11}" for i in range(80)],
+            "n_links": [1 + i % 4 for i in range(80)],
+        }
+    )
+    a = pagerank_hosts(rd.from_arrow(t), iters=3).to_pandas()
+    b = pagerank_hosts(
+        rd.from_arrow(t), iters=3, broadcast_hosts_threshold=0
+    ).to_pandas()
+    a = a.sort_values("host").reset_index(drop=True)
+    b = b.sort_values("host").reset_index(drop=True)
+    assert a.equals(b)
