@@ -1569,6 +1569,36 @@ def _q_webtext_curate(sf_dir: str):
     )
 
 
+def _q_split_sentences(sf_dir: str):
+    """Sentence segmentation under a full SQL oracle: the identical
+    lookaround-free RE2 boundary rule ([.!?] + one space) runs both
+    sides.  The corpus text carries no terminators, so both sides frame
+    it with the SAME deterministic sentence punctuation (a doc_id-keyed
+    lead-in, a mid break, a trailing question) — every
+    (doc_id, sent_idx, sentence) row is hash-checked."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import split_sentences
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    framed = [
+        f"Lead {i % 9}. {txt}! Tail question {i % 4}? done"
+        for i, txt in zip(ids, t.column("text").to_pylist())
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": framed})
+    )
+    out = split_sentences(ds).to_pandas()
+    return (
+        out.sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "sent_idx": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1936,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_spectrum": _q_frequency_spectrum,
         "host_indegree": _q_host_indegree,
         "webtext_curate": _q_webtext_curate,
+        "split_sentences": _q_split_sentences,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2505,6 +2536,22 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # sentence segmentation: same lookaround-free boundary rule
+        "split_sentences": r"""WITH framed AS (
+  SELECT doc_id,
+         'Lead ' || CAST(doc_id % 9 AS VARCHAR) || '. ' || text ||
+         '! Tail question ' || CAST(doc_id % 4 AS VARCHAR) || '? done' AS t
+  FROM documents
+), marked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(t, '([.!?]) ', '\1' || chr(31), 'g'),
+                      chr(31)) AS l
+  FROM framed
+)
+SELECT doc_id,
+       unnest(range(1, len(l) + 1)) - 1 AS sent_idx,
+       unnest(l) AS sentence
+FROM marked ORDER BY doc_id, sent_idx""",
         # composed chain: WARC ingest (identity) -> robots filter ->
         # paragraph dedup over the SURVIVORS (global-first on filtered set)
         "webtext_curate": r"""WITH framed AS (

@@ -1298,3 +1298,42 @@ def frequency_spectrum(ds, mode: str = "plain"):
         .aggregate(Count(alias_name="n_terms"))
         .sort("cf")
     )
+
+
+def split_sentences(ds, text_col: str = "text"):
+    """Sentence segmentation, fully vectorized (Arrow kernels only): a
+    boundary is a [.!?] terminator followed by ONE space; the terminator
+    stays with the left sentence and the boundary space is consumed.
+    Deliberately lookaround-free so the identical RE2 rule runs in the
+    DuckDB oracle (abbreviation/uppercase heuristics are out of scope —
+    demo-grade rule; swap the regex or the whole batch fn for a real
+    segmenter).  Output: (doc_id, sent_idx, sentence), one row per
+    sentence, no shuffle."""
+
+    def _split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.cast(t.column(text_col).combine_chunks(), pa.string())
+        marked = pc.replace_substring_regex(text, r"([.!?]) ", "\\1\x1f")
+        lists = pc.split_pattern(marked, pattern="\x1f")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        # per-row local index: arange minus each row's start offset
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = offsets[-1] if len(offsets) else 0
+        starts = np.repeat(offsets[:-1], np.diff(offsets))
+        local = np.arange(n, dtype=np.int64) - starts
+        doc_ids = (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        parents = np.repeat(doc_ids, np.diff(offsets))
+        return pa.table(
+            {
+                "doc_id": pa.array(parents, type=pa.int64()),
+                "sent_idx": pa.array(local, type=pa.int64()),
+                "sentence": flat,
+            }
+        )
+
+    return ds.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)

@@ -628,3 +628,33 @@ def test_frequency_spectrum(ray_session):
     assert out.sort_values("cf").reset_index(drop=True).equals(
         out2.sort_values("cf").reset_index(drop=True)
     )
+
+
+def test_split_sentences(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.text_analysis import split_sentences
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "First one. Second! Third? tail",
+                "No terminator here",
+                "Dots..here. Next",  # '..h' has no space: not a boundary
+            ],
+        }
+    )
+    out = (
+        split_sentences(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[out["doc_id"] == 1]["sentence"].tolist() == [
+        "First one.", "Second!", "Third?", "tail",
+    ]
+    assert out[out["doc_id"] == 2]["sentence"].tolist() == ["No terminator here"]
+    assert out[out["doc_id"] == 3]["sentence"].tolist() == ["Dots..here.", "Next"]
+    assert out[out["doc_id"] == 1]["sent_idx"].tolist() == [0, 1, 2, 3]
