@@ -1599,6 +1599,39 @@ def _q_split_sentences(sf_dir: str):
     )
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery under a full SQL oracle: pages carry a
+    messy absolute href (upper-case scheme/host, :443, #frag — the engine
+    must canonicalize it) and a root-relative internal href; the seen set
+    is the ext urls with doc_id%50 < 20; per-host politeness cap 3
+    (smallest urls win, ROW_NUMBER semantics)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import crawl_frontier
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<a href="HTTPS://EXT{i % 5}.Example.ORG:443/a/{i % 50}#frag">e</a>'
+        f'<a href="/l/{i % 89}">l</a>'
+        for i in ids
+    ]
+    pages = rd.from_arrow(pa.table({"url": urls, "html": htmls}))
+    seen = sorted(
+        {
+            f"https://ext{i % 5}.example.org/a/{i % 50}"
+            for i in ids
+            if i % 50 < 20
+        }
+    )
+    out = crawl_frontier(pages, seen, per_host_cap=3).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -1967,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_indegree": _q_host_indegree,
         "webtext_curate": _q_webtext_curate,
         "split_sentences": _q_split_sentences,
+        "crawl_frontier": _q_crawl_frontier,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2536,6 +2570,31 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # crawl frontier: canonicalized outlinks minus the seen set,
+        # per-host cap 3 (ROW_NUMBER over url asc)
+        "crawl_frontier": """WITH cand AS (
+  SELECT DISTINCT
+    'https://ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/'
+      || CAST(doc_id % 50 AS VARCHAR) AS url,
+    'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host
+  FROM documents
+  UNION
+  SELECT DISTINCT
+    'https://www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/l/'
+      || CAST(doc_id % 89 AS VARCHAR),
+    'www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+  FROM documents
+), unseen AS (
+  SELECT url, host FROM cand WHERE url NOT IN (
+    SELECT 'https://ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/'
+           || CAST(doc_id % 50 AS VARCHAR)
+    FROM documents WHERE doc_id % 50 < 20
+  )
+)
+SELECT url, host FROM (
+  SELECT url, host, row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+  FROM unseen
+) WHERE rn <= 3 ORDER BY url""",
         # sentence segmentation: same lookaround-free boundary rule
         "split_sentences": r"""WITH framed AS (
   SELECT doc_id,

@@ -405,3 +405,150 @@ def pagerank_hosts(
             .materialize()
         )
     return ranks
+
+
+def crawl_frontier(
+    pages_ds,
+    seen_urls,
+    per_host_cap: int = 0,
+    url_col: str = "url",
+    html_col: str = "html",
+    broadcast_threshold: int = 5_000_000,
+    n_parts: int = 32,
+):
+    """Crawl-frontier discovery: the next urls to fetch from a crawled
+    batch's outlinks — extract (stdlib parser, RFC 3986 resolution) ->
+    canonicalize (pipelines/urls rule chain R1-R5) -> drop already-seen
+    canonical urls -> distinct -> optional per-host politeness cap
+    (`cap_per_group` semantics: the cap SMALLEST urls per host win, i.e.
+    SQL ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) <= cap).
+
+    `seen_urls` is a list/set of urls (canonicalized with the same chain
+    before comparison) or a Dataset with a url column.  Anti-join routing
+    is regime-gated: below `broadcast_threshold` seen urls the set ships
+    once via ray.put and candidates filter with a vectorized pc.is_in;
+    above it both sides hash-route by url into `n_parts` partitions and
+    one vectorized isin pass runs per PARTITION (never per group).
+
+    Output: (url, host), distinct canonical urls.  At 100-TB crawl scale
+    the frontier state lives in the large regime; the pages batch streams
+    — nothing here materializes the corpus."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from indexer_ray.pipelines.urls import _canon_one
+    from indexer_ray.functions.hashing import key_partition
+    import hashlib as _hl
+
+    def _canon_batch(t: pa.Table) -> pa.Table:
+        canon = [_canon_one(u or "") for u in t.column("dst_url").to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array(canon, type=pa.string()),
+                "host": pa.array([_host_of(c) for c in canon], type=pa.string()),
+            }
+        )
+
+    def _rehost(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "host": pa.array([_host_of(u) for u in urls], type=pa.string()),
+            }
+        )
+
+    # distinct canonical urls via a hash count aggregate (vectorized — not
+    # a per-group map_groups), host recomputed on the distinct rows
+    cands = (
+        extract_links(pages_ds, url_col, html_col)
+        .map_batches(_canon_batch, batch_format="pyarrow")
+        .groupby("url")
+        .count()
+        .map_batches(_rehost, batch_format="pyarrow")
+    )
+
+    if isinstance(seen_urls, (list, tuple, set, frozenset)):
+        seen_ds = rd.from_items([{"url": u} for u in sorted(seen_urls)])
+    else:
+        seen_ds = seen_urls
+
+    def _canon_seen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    [_canon_one(u or "") for u in t.column("url").to_pylist()],
+                    type=pa.string(),
+                )
+            }
+        )
+
+    seen_canon = seen_ds.map_batches(_canon_seen, batch_format="pyarrow")
+    n_seen = seen_canon.count()
+
+    if n_seen <= broadcast_threshold:
+        seen_arr = pa.array(
+            sorted({r["url"] for r in seen_canon.iter_rows()}), type=pa.string()
+        )
+        ref = ray.put(seen_arr)
+
+        def _drop_seen(t: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            if not t.num_rows:
+                return t
+            return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=s)))
+
+        out = cands.map_batches(_drop_seen, batch_format="pyarrow")
+    else:
+        # routed-partition anti-join: one vectorized isin per partition
+        def _route(tag):
+            def _f(t: pa.Table) -> pa.Table:
+                urls = t.column("url").to_pylist()
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            _hl.blake2b(u.encode(), digest_size=8).digest(), "big"
+                        )
+                        for u in urls
+                    ),
+                    dtype=np.uint64,
+                    count=len(urls),
+                )
+                cols = {
+                    "url": pa.array(urls, type=pa.string()),
+                    "host": (
+                        t.column("host")
+                        if "host" in t.schema.names
+                        else pa.array([""] * len(urls), type=pa.string())
+                    ),
+                    "tag": pa.array(
+                        np.full(len(urls), tag, dtype=np.int8)
+                    ),
+                    "part": pa.array(
+                        key_partition(h, n_parts), type=pa.int32()
+                    ),
+                }
+                return pa.table(cols)
+
+            return _f
+
+        tagged = cands.map_batches(_route(0), batch_format="pyarrow").union(
+            seen_canon.map_batches(_route(1), batch_format="pyarrow")
+        )
+
+        def _anti(g: pd.DataFrame) -> pd.DataFrame:
+            seen = set(g.loc[g["tag"] == 1, "url"])
+            keep = g[(g["tag"] == 0) & ~g["url"].isin(seen)]
+            return keep[["url", "host"]]
+
+        out = tagged.groupby("part").map_groups(_anti, batch_format="pandas")
+
+    if per_host_cap:
+        from indexer_ray.pipelines.sampling import cap_per_group
+
+        out = cap_per_group(
+            out, per_host_cap, group_col="host", id_col="url", n_parts=n_parts
+        )
+    return out

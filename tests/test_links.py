@@ -211,3 +211,62 @@ def test_pagerank_regimes_agree(ray_session):
     a = a.sort_values("host").reset_index(drop=True)
     b = b.sort_values("host").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_crawl_frontier(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import crawl_frontier
+
+    pages = rd.from_items(
+        [
+            {
+                "url": "https://a.test/p/1",
+                "html": '<a href="HTTPS://B.Test:443/x#frag">1</a>'
+                '<a href="/new1">2</a><a href="/new1">dup</a>'
+                '<a href="/seen1">3</a>',
+            },
+            {
+                "url": "https://c.test/p/2",
+                "html": '<a href="https://b.test/x">same canon</a>'
+                '<a href="/n1">a</a><a href="/n2">b</a><a href="/n3">c</a>',
+            },
+        ]
+    )
+    seen = ["https://a.test/seen1", "https://a.test/p/1", "https://c.test/p/2"]
+    out = (
+        crawl_frontier(pages, seen)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # canonicalization collapses the two b.test forms; seen urls dropped
+    assert out["url"].tolist() == [
+        "https://a.test/new1",
+        "https://b.test/x",
+        "https://c.test/n1",
+        "https://c.test/n2",
+        "https://c.test/n3",
+    ]
+    assert out["host"].tolist() == ["a.test", "b.test", "c.test", "c.test", "c.test"]
+    # per-host politeness cap: smallest urls win
+    capped = (
+        crawl_frontier(pages, seen, per_host_cap=2)
+        .to_pandas()
+        .sort_values("url")["url"]
+        .tolist()
+    )
+    assert capped == [
+        "https://a.test/new1",
+        "https://b.test/x",
+        "https://c.test/n1",
+        "https://c.test/n2",
+    ]
+    # regime equivalence: forced routed anti-join matches broadcast
+    forced = (
+        crawl_frontier(pages, seen, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("url")["url"]
+        .tolist()
+    )
+    assert forced == out["url"].tolist()
