@@ -1632,6 +1632,37 @@ def _q_crawl_frontier(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Per-target anchor-text aggregation under a full string oracle:
+    anchors and their texts are pure functions of doc_id, the engine
+    parses real html (incl. markup inside the anchor flowing through)
+    while the oracle derives the rows arithmetically and replays the
+    deterministic (src_url, occurrence) concat order."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import anchor_texts
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<a href="https://t{i % 11}.test/p/{i % 23}">desc <b>{i % 13}</b> alpha</a>'
+        f'<a href="/local/{i % 7}">local {i % 5}</a>'
+        f'<a href="/empty">  </a>'
+        for i in ids
+    ]
+    pages = rd.from_arrow(pa.table({"url": urls, "html": htmls}))
+    out = anchor_texts(pages).to_pandas()
+    return (
+        out.sort_values("dst_url")
+        .reset_index(drop=True)
+        .astype({"n_anchors": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2001,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_curate": _q_webtext_curate,
         "split_sentences": _q_split_sentences,
         "crawl_frontier": _q_crawl_frontier,
+        "anchor_texts": _q_anchor_texts,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2570,6 +2602,29 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # anchor texts: rows derived arithmetically, concat order
+        # (src_url, occurrence idx) replayed with string_agg ORDER BY
+        "anchor_texts": """WITH anchors AS (
+  SELECT 'https://t' || CAST(doc_id % 11 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id % 23 AS VARCHAR) AS dst_url,
+         'https://www.src' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/path/' || CAST(doc_id AS VARCHAR) AS src_url,
+         0 AS idx,
+         'desc ' || CAST(doc_id % 13 AS VARCHAR) || ' alpha' AS text
+  FROM documents
+  UNION ALL
+  SELECT 'https://www.src' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/local/' || CAST(doc_id % 7 AS VARCHAR),
+         'https://www.src' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/path/' || CAST(doc_id AS VARCHAR),
+         1,
+         'local ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+)
+SELECT dst_url,
+       string_agg(text, ' ' ORDER BY src_url, idx) AS anchor_text,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM anchors GROUP BY dst_url ORDER BY dst_url""",
         # crawl frontier: canonicalized outlinks minus the seen set,
         # per-host cap 3 (ROW_NUMBER over url asc)
         "crawl_frontier": """WITH cand AS (

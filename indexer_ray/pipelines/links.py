@@ -34,14 +34,22 @@ _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
 
 
 class _LinkParser(HTMLParser):
-    """Collect resolved link targets from a[href] / area[href]; honour the
-    first <base href> (HTML spec: later base tags are ignored)."""
+    """Collect resolved link targets from a[href] / area[href], plus each
+    anchor's visible TEXT (the classic anchor-text relevance signal);
+    honour the first <base href> (HTML spec: later base tags are
+    ignored).  Anchor text = character data between <a> and its </a>
+    (nested anchors close the open one, per the HTML parsing spec's
+    no-nested-anchors rule)."""
 
     def __init__(self, page_url: str) -> None:
         super().__init__(convert_charrefs=True)
         self.base = page_url
         self._base_seen = False
-        self.out: list[tuple[str, str]] = []  # (raw href, resolved)
+        self.out: list[list] = []  # [raw href, resolved, anchor text]
+        self._open = False  # an <a href> awaiting its text
+
+    def _close_anchor(self) -> None:
+        self._open = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "base" and not self._base_seen:
@@ -52,6 +60,8 @@ class _LinkParser(HTMLParser):
             return
         if tag not in ("a", "area"):
             return
+        if tag == "a":
+            self._close_anchor()  # implicit close: no nested anchors
         href = next((v for k, v in attrs if k == "href" and v is not None), None)
         if href is None:
             return
@@ -60,10 +70,20 @@ class _LinkParser(HTMLParser):
             return  # fragment-only: self-link
         if h.lower().startswith(_SKIP_SCHEMES):
             return
-        self.out.append((href, urljoin(self.base, h)))
+        self.out.append([href, urljoin(self.base, h), ""])
+        self._open = tag == "a"
+
+    def handle_data(self, data: str) -> None:
+        if self._open and self.out:
+            self.out[-1][2] += data
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_anchor()
 
 
-def _links_of(page_url: str, html) -> list[tuple[str, str]]:
+def _links_full(page_url: str, html) -> list[list]:
+    """[raw href, resolved url, anchor text] per anchor occurrence."""
     if html is None:
         return []
     if isinstance(html, (bytes, bytearray, memoryview)):
@@ -77,6 +97,10 @@ def _links_of(page_url: str, html) -> list[tuple[str, str]]:
     except Exception:
         pass  # keep whatever parsed before the malformed tail
     return p.out
+
+
+def _links_of(page_url: str, html) -> list[tuple[str, str]]:
+    return [(raw, resolved) for raw, resolved, _ in _links_full(page_url, html)]
 
 
 def _host_of(u: str) -> str:
@@ -552,3 +576,74 @@ def crawl_frontier(
             out, per_host_cap, group_col="host", id_col="url", n_parts=n_parts
         )
     return out
+
+
+def anchor_texts(
+    ds,
+    url_col: str = "url",
+    html_col: str = "html",
+    sep: str = " ",
+    n_parts: int = 32,
+):
+    """Per-target anchor-text aggregation — the classic web-search
+    relevance signal (index a page by the words OTHERS use to link to
+    it; the reference indexes only body text, lib.rs/tree.rs).  Each
+    anchor occurrence emits (dst_url, src_url, occurrence idx,
+    stripped text); empty/whitespace anchor texts carry no signal and
+    are dropped.  Aggregation is deterministic: texts concatenate with
+    `sep` in (src_url, occurrence) order.
+
+    Shape: anchors hash-route by dst_url into `n_parts` partitions (the
+    routed-partition pattern: one vectorized sort + groupby-agg pass per
+    PARTITION, never a map_groups per target).  Output:
+    (dst_url, anchor_text, n_anchors) — feed the text column straight
+    into build_index for an anchor-text index."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _anchors(t: pa.Table) -> pa.Table:
+        dsts, srcs, idxs, texts = [], [], [], []
+        for u, h in zip(t.column(url_col).to_pylist(), t.column(html_col).to_pylist()):
+            for i, (_raw, resolved, text) in enumerate(_links_full(u, h)):
+                text = (text or "").strip()
+                if not text:
+                    continue
+                dsts.append(resolved)
+                srcs.append(u)
+                idxs.append(i)
+                texts.append(text)
+        hsh = np.fromiter(
+            (
+                int.from_bytes(_hl.blake2b(d.encode(), digest_size=8).digest(), "big")
+                for d in dsts
+            ),
+            dtype=np.uint64,
+            count=len(dsts),
+        )
+        return pa.table(
+            {
+                "dst_url": pa.array(dsts, type=pa.string()),
+                "src_url": pa.array(srcs, type=pa.string()),
+                "idx": pa.array(idxs, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "part": pa.array(key_partition(hsh, n_parts), type=pa.int32()),
+            }
+        )
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dst_url", "src_url", "idx"], kind="mergesort")
+        out = g.groupby("dst_url", sort=True)["text"].agg(
+            anchor_text=sep.join, n_anchors="size"
+        )
+        out = out.reset_index()
+        out["n_anchors"] = out["n_anchors"].astype("int64")
+        return out[["dst_url", "anchor_text", "n_anchors"]]
+
+    return (
+        ds.map_batches(_anchors, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_agg, batch_format="pandas")
+    )

@@ -270,3 +270,38 @@ def test_crawl_frontier(ray_session):
         .tolist()
     )
     assert forced == out["url"].tolist()
+
+
+def test_anchor_texts(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import anchor_texts
+
+    pages = rd.from_items(
+        [
+            {
+                "url": "https://b.test/2",  # later src: must sort after a.test
+                "html": '<a href="https://hub.test/x">awesome page</a>',
+            },
+            {
+                "url": "https://a.test/1",
+                "html": '<a href="https://hub.test/x">great <b>docs</b> here</a>'
+                '<a href="/y">   </a>'  # whitespace-only: dropped
+                '<a href="/z">self link text</a>',
+            },
+        ]
+    )
+    out = (
+        anchor_texts(pages)
+        .to_pandas()
+        .sort_values("dst_url")
+        .reset_index(drop=True)
+    )
+    hub = out[out["dst_url"] == "https://hub.test/x"].iloc[0]
+    # deterministic (src_url, idx) concat order; markup inside flows through
+    assert hub["anchor_text"] == "great docs here awesome page"
+    assert hub["n_anchors"] == 2
+    assert out[out["dst_url"] == "https://a.test/z"]["anchor_text"].iloc[0] == (
+        "self link text"
+    )
+    assert "https://a.test/y" not in set(out["dst_url"])
