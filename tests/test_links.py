@@ -305,3 +305,48 @@ def test_anchor_texts(ray_session):
         "self link text"
     )
     assert "https://a.test/y" not in set(out["dst_url"])
+
+
+def test_anchor_text_index_e2e(ray_session, tmp_path):
+    """The anchor-text signal end-to-end: aggregate anchors, index the
+    aggregated text keyed by target url, find a page by words OTHERS use
+    to link to it (the page's own body never contains them)."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.build import build_index
+    from indexer_ray.pipelines.links import anchor_texts
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    pages = rd.from_items(
+        [
+            {
+                "url": f"https://s{i}.test/p",
+                # the quantum anchors all point at one target; the other
+                # anchors spread across targets so the corpus has >1 doc
+                # (a 1-doc corpus scores idf 0 — the reference's
+                # zero-score drop rule would return nothing)
+                "html": '<a href="https://target.test/paper">'
+                f"groundbreaking quantum result {i}</a>"
+                f'<a href="https://other{i}.test/page">cooking recipe {i}</a>',
+            }
+            for i in range(6)
+        ]
+    )
+    agg = anchor_texts(pages).to_pandas()
+    corpus = pd.DataFrame(
+        {
+            "url": agg["dst_url"],
+            "warc_ts": pd.Timestamp("2021-01-01"),
+            "text": agg["anchor_text"],
+        }
+    )
+    pages_dir = str(tmp_path / "anchor_pages")
+    rd.from_pandas(corpus).write_parquet(pages_dir)
+    idx = str(tmp_path / "anchor_idx")
+    build_index(sorted(glob.glob(pages_dir + "/*.parquet")), idx)
+    s = IndexSearcher(idx)
+    hits = s.search_urls("groundbreaking quantum", k=3)
+    assert hits and hits[0][0] == "https://target.test/paper"
