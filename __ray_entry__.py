@@ -1663,6 +1663,19 @@ def _q_anchor_texts(sf_dir: str):
     )
 
 
+def _q_ann_quantized(sf_dir: str):
+    """int8-quantized asymmetric ANN (4x memory vs float32): rows-only —
+    the quantization is approximate by design; recall/error-bound pinned
+    by test_quantized_ann_recall."""
+    from indexer_ray.pipelines.ann import ann_quantized_topk, quantize_embeddings
+
+    return ann_quantized_topk(
+        quantize_embeddings(_emb(sf_dir)).materialize(),
+        _ann_queries(sf_dir),
+        k=_ANN_K,
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2054,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_index_lsh_topk": _q_ann_index_lsh,
+        "ann_quantized_topk": _q_ann_quantized,
         "embedding_clusters": _q_embedding_clusters,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,

@@ -715,3 +715,87 @@ def ann_index_append(index_dir: str, emb_ds) -> dict:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
     return meta
+
+
+def quantize_embeddings(emb_ds, out_col: str = "code"):
+    """Scalar symmetric int8 quantization of unit-normalized embeddings:
+    code = round(x / ||x|| * 127), stored as list<int8> — 4x smaller than
+    float32 (8x vs float64) per vector, the memory knob that decides how
+    much of a 100-TB embedding corpus fits in the object store.  Pure
+    map, no shuffle; pair with ann_quantized_topk's ASYMMETRIC scoring
+    (float query x int8 corpus) so query precision is never lost."""
+
+    def _q(batch: pa.Table) -> pa.Table:
+        X = _normalize(_embedding_matrix(batch.column("embedding")))
+        codes = np.clip(np.round(X * 127.0), -127, 127).astype(np.int8)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                out_col: pa.array(list(codes), type=pa.list_(pa.int8())),
+            }
+        )
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _q, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+
+
+class _QuantScoreStage:
+    """Asymmetric scoring: float64 unit query matrix against int8 codes;
+    score = (codes @ Q.T) / 127 ~ cosine (both sides unit at quantization
+    time).  Emits per-batch local top-k — same merge contract as brute."""
+
+    def __init__(self, queries_ref, k: int, code_col: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.Q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.code_col = code_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column(self.code_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        C = flat.reshape(len(ids), -1) / 127.0  # dequantized unit-ish rows
+        sims = C @ self.Q.T
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.Q.shape[0]):
+            colv = sims[:, qi]
+            top = (
+                np.argpartition(-colv, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            )
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_s.extend(colv[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_quantized_topk(
+    code_ds, queries: np.ndarray, k: int = 10, code_col: str = "code"
+) -> pd.DataFrame:
+    """Top-k over an int8-quantized corpus (see quantize_embeddings):
+    approximate (quantization noise ~1/127 per component), asymmetric —
+    the float query never loses precision.  Same output contract and
+    distributed final merge as ann_brute_topk."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = code_ds.map_batches(
+        _QuantScoreStage,
+        fn_constructor_args=(qref, k, code_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return _final_topk_ds(partials, k)
