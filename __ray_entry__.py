@@ -1676,6 +1676,48 @@ def _q_ann_quantized(sf_dir: str):
     )
 
 
+def _q_eval_retrieval(sf_dir: str):
+    """Retrieval-metric computation under a full SQL oracle: results and
+    judgments are derived arithmetically from doc_id (queries = doc_id%20
+    with rank = dense order; relevant iff doc_id%3==0, plus judged-but-
+    never-retrieved docs for every 5th query), the engine computes the
+    integer-exact per-query metrics distributed."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.evaluation import eval_retrieval
+
+    ids = sorted(
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    res_rows = {"query_id": [], "doc_id": [], "rank": []}
+    seen_rank: dict[int, int] = {}
+    for i in ids:
+        q = i % 20
+        res_rows["query_id"].append(q)
+        res_rows["doc_id"].append(i)
+        res_rows["rank"].append(seen_rank.get(q, 0))
+        seen_rank[q] = seen_rank.get(q, 0) + 1
+    qrel_rows = {"query_id": [], "doc_id": []}
+    for i in ids:
+        if i % 3 == 0:
+            qrel_rows["query_id"].append(i % 20)
+            qrel_rows["doc_id"].append(i)
+    for q in range(20):
+        if q % 5 == 0:
+            qrel_rows["query_id"].append(q)
+            qrel_rows["doc_id"].append(100000 + q)
+    results = rd.from_arrow(
+        pa.table({k: pa.array(v, type=pa.int64()) for k, v in res_rows.items()})
+    )
+    qrels = rd.from_arrow(
+        pa.table({k: pa.array(v, type=pa.int64()) for k, v in qrel_rows.items()})
+    )
+    out = eval_retrieval(results, qrels, k=10).to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2046,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sentences": _q_split_sentences,
         "crawl_frontier": _q_crawl_frontier,
         "anchor_texts": _q_anchor_texts,
+        "eval_retrieval": _q_eval_retrieval,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2616,6 +2659,41 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # retrieval metrics: arithmetic results/qrels, integer-exact
+        "eval_retrieval": """WITH res AS (
+  SELECT doc_id % 20 AS query_id, doc_id,
+         row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1 AS rnk
+  FROM documents
+), rel AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT doc_id % 20 AS query_id, doc_id FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(q AS BIGINT), CAST(100000 + q AS BIGINT)
+    FROM range(20) t(q) WHERE q % 5 = 0
+  )
+), qids AS (
+  SELECT DISTINCT query_id FROM res UNION SELECT DISTINCT query_id FROM rel
+), nrel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY query_id
+), hit AS (
+  SELECT res.query_id, res.doc_id, res.rnk FROM res JOIN rel USING (query_id, doc_id)
+), hk AS (
+  SELECT query_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS hits_at_k
+  FROM hit WHERE rnk < 10 GROUP BY query_id
+), fr AS (
+  SELECT query_id, CAST(MIN(rnk) AS BIGINT) AS first_rank FROM hit GROUP BY query_id
+)
+SELECT q.query_id,
+       COALESCE(n_rel, 0) AS n_rel,
+       COALESCE(hits_at_k, 0) AS hits_at_k,
+       COALESCE(first_rank, -1) AS first_rank,
+       CASE WHEN first_rank IS NULL THEN 0
+            ELSE 1000000000 // (first_rank + 1) END AS rr_q
+FROM qids q
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN hk USING (query_id)
+LEFT JOIN fr USING (query_id)
+ORDER BY q.query_id""",
         # anchor texts: rows derived arithmetically, concat order
         # (src_url, occurrence idx) replayed with string_agg ORDER BY
         "anchor_texts": """WITH anchors AS (

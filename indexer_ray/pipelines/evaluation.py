@@ -1,0 +1,113 @@
+"""Retrieval-quality evaluation at corpus scale — the measurement loop a
+search/RAG deployment runs over its own query logs (the reference ships
+no evaluation at all; this closes the engine's feedback loop).
+
+`eval_retrieval(results, qrels, k)` consumes a ranked results Dataset
+(query_id, doc_id, rank — rank dense from 0, the contract every search
+API in this repo emits) and a relevance-judgment Dataset
+(query_id, doc_id[, grade > 0]) and computes, PER QUERY:
+
+  n_rel        judged-relevant documents for the query
+  hits_at_k    relevant docs among the top k results
+  first_rank   rank of the first relevant result (-1 if none in results)
+  rr_q         quantized reciprocal rank: 10^9 // (first_rank + 1), 0 if
+               none — INTEGER, so P@k = hits_at_k/k, recall@k =
+               hits_at_k/n_rel and MRR = avg(rr_q)/1e9 are all exact
+               integer ratios and the whole table is cross-engine
+               hash-checkable (the repo's quantize-before-compare rule)
+
+Shape: both sides hash-route by query_id into `n_parts` partitions (the
+routed-partition pattern — one vectorized pandas pass per PARTITION,
+never a map_groups per query); queries with judgments but no results
+still emit a row (hits 0, first_rank -1), queries with results but no
+judgments emit n_rel 0.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from indexer_ray.functions.hashing import key_partition
+
+_RR_SCALE = 10**9
+
+
+def _route(tag: int, cols: list[str], n_parts: int):
+    def _f(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(int(x).to_bytes(8, "big"), digest_size=8).digest(),
+                    "big",
+                )
+                for x in q
+            ),
+            dtype=np.uint64,
+            count=len(q),
+        )
+        out = {
+            "query_id": pa.array(q, type=pa.int64()),
+            "doc_id": pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                type=pa.int64(),
+            ),
+            "rank": pa.array(
+                t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+                if "rank" in cols
+                else np.full(len(q), -1, dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "tag": pa.array(np.full(len(q), tag, dtype=np.int8)),
+            "part": pa.array(key_partition(h, n_parts), type=pa.int32()),
+        }
+        return pa.table(out)
+
+    return _f
+
+
+def eval_retrieval(results, qrels, k: int = 10, n_parts: int = 32):
+    """Per-query integer-exact retrieval metrics; see module docstring.
+    Output: (query_id, n_rel, hits_at_k, first_rank, rr_q)."""
+
+    tagged = results.map_batches(
+        _route(0, ["query_id", "doc_id", "rank"], n_parts), batch_format="pyarrow"
+    ).union(
+        qrels.map_batches(
+            _route(1, ["query_id", "doc_id"], n_parts), batch_format="pyarrow"
+        )
+    )
+
+    def _metrics(g: pd.DataFrame) -> pd.DataFrame:
+        res = g[g["tag"] == 0]
+        rel = g[g["tag"] == 1]
+        n_rel = rel.groupby("query_id")["doc_id"].nunique()
+        # relevant results: inner merge on (query_id, doc_id)
+        hit = res.merge(
+            rel[["query_id", "doc_id"]].drop_duplicates(),
+            on=["query_id", "doc_id"],
+        )
+        hits_at_k = (
+            hit[hit["rank"] < k].groupby("query_id")["doc_id"].nunique()
+        )
+        first = hit.groupby("query_id")["rank"].min()
+        qids = sorted(set(g["query_id"]))
+        nr = np.array([int(n_rel.get(q, 0)) for q in qids], dtype=np.int64)
+        hk = np.array([int(hits_at_k.get(q, 0)) for q in qids], dtype=np.int64)
+        fr = np.array([int(first.get(q, -1)) for q in qids], dtype=np.int64)
+        rr = np.where(fr >= 0, _RR_SCALE // (fr + 1), 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(qids, dtype=np.int64),
+                "n_rel": nr,
+                "hits_at_k": hk,
+                "first_rank": fr,
+                "rr_q": rr,
+            }
+        )
+
+    return tagged.groupby("part").map_groups(_metrics, batch_format="pandas")

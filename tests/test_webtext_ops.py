@@ -658,3 +658,49 @@ def test_split_sentences(ray_session):
     assert out[out["doc_id"] == 2]["sentence"].tolist() == ["No terminator here"]
     assert out[out["doc_id"] == 3]["sentence"].tolist() == ["Dots..here.", "Next"]
     assert out[out["doc_id"] == 1]["sent_idx"].tolist() == [0, 1, 2, 3]
+
+
+def test_eval_retrieval(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.evaluation import eval_retrieval
+
+    results = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": [1, 1, 1, 2, 2, 3],
+                "doc_id": [10, 11, 12, 20, 21, 30],
+                "rank": [0, 1, 2, 0, 1, 0],
+            }
+        )
+    )
+    qrels = rd.from_arrow(
+        pa.table(
+            {
+                # q1: 11 and 12 relevant (first hit rank 1)
+                # q2: 99 relevant only (never retrieved)
+                # q4: judged but zero results
+                "query_id": [1, 1, 2, 4],
+                "doc_id": [11, 12, 99, 40],
+            }
+        )
+    )
+    out = (
+        eval_retrieval(results, qrels, k=2)
+        .to_pandas()
+        .sort_values("query_id")
+        .set_index("query_id")
+    )
+    assert out.loc[1].tolist() == [2, 1, 1, 10**9 // 2]  # hit@2: only rank1
+    assert out.loc[2].tolist() == [1, 0, -1, 0]
+    assert out.loc[3].tolist() == [0, 0, -1, 0]  # results, no judgments
+    assert out.loc[4].tolist() == [1, 0, -1, 0]  # judgments, no results
+    # layout independence
+    out2 = (
+        eval_retrieval(results.repartition(3), qrels.repartition(2), k=2)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert out.reset_index().equals(out2)
