@@ -1718,6 +1718,19 @@ def _q_eval_retrieval(sf_dir: str):
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def _q_trigram_top(sf_dir: str):
+    """Top-100 corpus trigrams (ngram_counts at n=3) under a full SQL
+    oracle: positions via parallel unnest, two positional self-joins."""
+    from indexer_ray.pipelines.text_analysis import ngram_counts
+
+    out = ngram_counts(_docs(sf_dir), n=3, k=100).to_pandas()
+    return (
+        out.sort_values("rank")
+        .reset_index(drop=True)
+        .astype({"cnt": "int64", "rank": "int64"})
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2089,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _q_crawl_frontier,
         "anchor_texts": _q_anchor_texts,
         "eval_retrieval": _q_eval_retrieval,
+        "trigram_top": _q_trigram_top,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2659,6 +2673,21 @@ FROM cf JOIN dfc USING (term) WHERE df >= 5 QUALIFY rank < 100""",
         # the sink roundtrip is the identity over the source table
         "resumable_sink_roundtrip": """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+        # top trigrams: positional parallel unnest + two self-joins
+        "trigram_top": """WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents
+), tri AS (
+  SELECT a.term || ' ' || b.term || ' ' || c.term AS ngram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt,
+       row_number() OVER (ORDER BY COUNT(*) DESC, ngram) - 1 AS rank
+FROM tri GROUP BY ngram QUALIFY rank < 100 ORDER BY rank""",
         # retrieval metrics: arithmetic results/qrels, integer-exact
         "eval_retrieval": """WITH res AS (
   SELECT doc_id % 20 AS query_id, doc_id,

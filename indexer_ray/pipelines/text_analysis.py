@@ -1337,3 +1337,60 @@ def split_sentences(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_counts(ds, n: int = 3, k: int = 100, mode: str = "plain"):
+    """Corpus-wide top-k adjacent-token n-grams (generalizes
+    bigram_counts to any n — the n-gram LM / collocation building block
+    at the order a KenLM-style pipeline actually trains).  The n-gram is
+    one space-joined string column so the shuffle key stays single.
+
+    Shape identical to bigram_counts: per-batch partial Counter ->
+    groupby-sum over the ngram string -> per-batch local top-k under the
+    global (cnt desc, ngram asc) order -> one constant-key merge; no
+    global sort.  Output: (ngram, cnt, rank)."""
+    from ray.data.aggregate import Sum
+
+    tok = tokenize_plain if mode == "plain" else tokenize
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tok(t or "")
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        grams = list(c.keys())
+        return pa.table(
+            {
+                "ngram": pa.array(grams, type=pa.string()),
+                "cnt": pa.array([c[g] for g in grams], type=pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(
+            _partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+        b["g"] = np.int32(0)
+        return b
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["ngram", "cnt", "rank"]].astype({"cnt": "int64"})
+
+    return (
+        summed.map_batches(_local_topk, batch_format="pandas", batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -704,3 +704,24 @@ def test_eval_retrieval(ray_session):
         .reset_index(drop=True)
     )
     assert out.reset_index().equals(out2)
+
+
+def test_ngram_counts(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from indexer_ray.pipelines.text_analysis import ngram_counts
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c a b c x", "a b c z"],
+        }
+    )
+    out = ngram_counts(rd.from_arrow(t), n=3, k=5).to_pandas()
+    top = out[out["rank"] == 0].iloc[0]
+    assert top["ngram"] == "a b c" and top["cnt"] == 3
+    assert out["rank"].tolist() == list(range(len(out)))
+    # layout independence
+    out2 = ngram_counts(rd.from_arrow(t).repartition(3), n=3, k=5).to_pandas()
+    assert out.equals(out2)
