@@ -101,6 +101,17 @@ def cmd_index(args) -> int:
         if m is None:
             print("no indexable files found", file=sys.stderr)
             return 1
+    elif args.corpus == "warc":
+        # crawl-archive mode: .warc/.warc.gz shards (sources/warc.py)
+        from indexer_ray.sources.warc import index_warc_corpus
+
+        _init_ray(args.ray_address)
+        m, n_pages = index_warc_corpus(
+            args.path, args.output, cfg, resume=args.resume
+        )
+        if m is None:
+            print("no WARC records found", file=sys.stderr)
+            return 1
     else:
         files = _resolve_inputs(args.path, args.skip_paths)
         if not files:
@@ -223,9 +234,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--corpus",
         default="parquet",
-        choices=["parquet", "files"],
+        choices=["parquet", "files", "warc"],
         help="'parquet' = pages/documents tables; 'files' = a directory of "
-        "txt/md/csv/html/xml/pdf files (the reference CLI's input mode)",
+        "txt/md/csv/html/xml/pdf files (the reference CLI's input mode); "
+        "'warc' = .warc/.warc.gz crawl archives (ISO 28500)",
     )
     p.add_argument("--hidden", action="store_true", help="files corpus: include hidden files")
     p.add_argument("--mode", default="conformance", choices=["conformance", "plain"])

@@ -51,17 +51,33 @@ def _shallow(index_dir: str) -> tuple[list[str], dict]:
     stats.update(
         n_docs=m.n_docs, n_partitions=m.n_partitions, total_doc_len=m.total_doc_len
     )
-    for pid in range(m.n_partitions):
-        pd_ = part_dir(index_dir, pid)
+    # the manifest lists only NON-EMPTY partitions (sparse small builds
+    # write no dir for empty parts) — fsck checks exactly that set
+    for pid in sorted(m.partitions, key=lambda s: int(s)):
+        if not (str(pid).isdigit() and int(pid) < m.n_partitions):
+            errors.append(f"manifest lists out-of-range partition {pid!r}")
+            continue
+        pd_ = part_dir(index_dir, int(pid))
         if not os.path.exists(os.path.join(pd_, "_meta.json")):
             errors.append(f"partition {pid}: missing _meta.json completion marker")
             continue
         for f in ("dict.parquet", "blocks.parquet"):
             if not os.path.exists(os.path.join(pd_, f)):
                 errors.append(f"partition {pid}: missing {f}")
-    extra = set(m.partitions) - {str(i) for i in range(m.n_partitions)}
-    if extra:
-        errors.append(f"manifest lists unknown partitions: {sorted(extra)}")
+    on_disk = {
+        d
+        for d in (
+            os.listdir(os.path.join(index_dir, "parts"))
+            if os.path.isdir(os.path.join(index_dir, "parts"))
+            else []
+        )
+        if d.isdigit()
+    }
+    orphans = on_disk - set(m.partitions)
+    if orphans:
+        errors.append(
+            f"partition dirs on disk but absent from the manifest: {sorted(orphans, key=int)}"
+        )
     docmap_files = sorted(glob.glob(os.path.join(index_dir, "docmap", "*.parquet")))
     stats["docmap_files"] = len(docmap_files)
     n_rows = 0
@@ -196,7 +212,7 @@ def verify_index(
 
     m = IndexManifest.load(index_dir)
     part_report = (
-        rd.from_items([{"part_id": i} for i in range(m.n_partitions)])
+        rd.from_items([{"part_id": int(p)} for p in sorted(m.partitions, key=int)])
         .map_batches(
             _verify_part,
             fn_kwargs={"index_dir": index_dir},

@@ -283,3 +283,20 @@ def test_recrawl_incremental_delta(tmp_path, ray_session):
     assert len(s.search("newtoken1", k=5)) == 1
     assert len(s.search("oldtoken1", k=5)) == 0  # superseded content gone
     assert len(s.search("oldtoken3", k=5)) == 1  # untouched page stays
+
+
+def test_cli_index_warc_corpus(tmp_path, ray_session, capsys):
+    from indexer_ray.cli import main
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(str(d / "a.warc.gz"), _recs(5), compress=True)
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "-p", str(d), "-o", idx, "--corpus", "warc"])
+    assert rc == 0
+    assert "Indexed 5 docs" in capsys.readouterr().out
+    rc = main(["search", "-i", idx, "-q", "needle2", "-c", "3"])
+    assert rc == 0
+    assert "/p/2" in capsys.readouterr().out
+    # verify subcommand accepts the warc-built index
+    assert main(["verify", "-i", idx, "--deep"]) == 0
