@@ -1731,6 +1731,62 @@ def _q_trigram_top(sf_dir: str):
     )
 
 
+def _q_doc_host_rank(sf_dir: str):
+    """Per-document host-authority feature: the 3-iteration PageRank of
+    each page's host, attached via a BROADCAST lookup (host ranks are
+    node-sized — never a shuffle join); oracle joins the same chained-CTE
+    pagerank replay back to the per-doc host arithmetic."""
+    import ray
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import host_link_counts, pagerank_hosts
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    urls = [f"https://www.src{i % 7}.example.com/path/{i}" for i in ids]
+    htmls = [
+        f'<html><body><a href="https://ext{i % 5}.example.org/a/{i}">e</a>'
+        f'<a href="/l/{i % 89}">l</a><a href="p{i % 13}.html">p</a>'
+        f'<a href="//cdn{i % 3}.example.net/x">c</a></body></html>'
+        for i in ids
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "url": urls, "html": htmls}
+        )
+    )
+    edges = host_link_counts(pages)
+    ranks = pagerank_hosts(edges, iters=3).to_pandas()
+    rank_of = dict(zip(ranks["host"], ranks["rank"].astype("int64")))
+    ref = ray.put(rank_of)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        hosts = [
+            f"www.src{int(i) % 7}.example.com"
+            for i in t.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "host": pa.array(hosts, type=pa.string()),
+                "host_rank": pa.array(
+                    [int(m.get(h, 0)) for h in hosts], type=pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        pages.select_columns(["doc_id"])
+        .map_batches(_attach, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2103,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "eval_retrieval": _q_eval_retrieval,
         "trigram_top": _q_trigram_top,
+        "doc_host_rank": _q_doc_host_rank,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2223,7 +2280,7 @@ JOIN ptoks t ON t.doc_id = b.doc_id AND t.pos BETWEEN h.p - 3 AND h.p + 3
 GROUP BY b.query_id, b.rank, b.doc_id, b.score_q, h.p"""
 
 
-def _pagerank_oracle_sql(iters: int = 3) -> str:
+def _pagerank_oracle_sql(iters: int = 3, final_select: str | None = None) -> str:
     """Chained-CTE replay of pagerank_hosts' exact-integer update over
     the link_graph_hosts edge synthesis (one CTE per iteration; every
     step is BIGINT arithmetic so the comparison is cell-exact)."""
@@ -2260,10 +2317,11 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     GROUP BY e.dst_host) f ON f.host = n.host
 )"""
     body = "".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
-    return (
-        head + body
-        + f'\nSELECT host, CAST(r AS BIGINT) AS "rank" FROM i{iters} ORDER BY host'
-    )
+    if final_select is None:
+        final_select = (
+            f'SELECT host, CAST(r AS BIGINT) AS "rank" FROM i{iters} ORDER BY host'
+        )
+    return head + body + "\n" + final_select
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2884,6 +2942,16 @@ SELECT cf, CAST(COUNT(*) AS BIGINT) AS n_terms FROM ts GROUP BY cf ORDER BY cf""
 )
 SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS in_links
 FROM e0 GROUP BY dst_host ORDER BY dst_host""",
+        # per-doc host-authority feature: pagerank replay joined to docs
+        "doc_host_rank": _pagerank_oracle_sql(
+            3,
+            final_select="""SELECT d.doc_id,
+       'www.src' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+       CAST(i3.r AS BIGINT) AS host_rank
+FROM documents d
+JOIN i3 ON i3.host = 'www.src' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com'
+ORDER BY d.doc_id""",
+        ),
         # 3-iteration integer PageRank over the link_graph edge synthesis
         "pagerank_hosts": _pagerank_oracle_sql(3),
         # host link graph: the synthetic page per doc_id carries one
