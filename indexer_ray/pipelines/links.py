@@ -584,6 +584,7 @@ def anchor_texts(
     html_col: str = "html",
     sep: str = " ",
     n_parts: int = 32,
+    max_anchors: int = 10_000,
 ):
     """Per-target anchor-text aggregation — the classic web-search
     relevance signal (index a page by the words OTHERS use to link to
@@ -595,7 +596,11 @@ def anchor_texts(
 
     Shape: anchors hash-route by dst_url into `n_parts` partitions (the
     routed-partition pattern: one vectorized sort + groupby-agg pass per
-    PARTITION, never a map_groups per target).  Output:
+    PARTITION, never a map_groups per target).  A mega-hub target
+    (millions of inbound anchors) would otherwise aggregate an unbounded
+    string, so the concat keeps only the FIRST `max_anchors` occurrences
+    in the deterministic order while `n_anchors` still reports the TRUE
+    count (no-silent-caps discipline).  Output:
     (dst_url, anchor_text, n_anchors) — feed the text column straight
     into build_index for an anchor-text index."""
     import hashlib as _hl
@@ -635,11 +640,15 @@ def anchor_texts(
 
     def _agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dst_url", "src_url", "idx"], kind="mergesort")
-        out = g.groupby("dst_url", sort=True)["text"].agg(
-            anchor_text=sep.join, n_anchors="size"
+        true_counts = g.groupby("dst_url", sort=True).size()
+        capped = g.groupby("dst_url", sort=True).head(max_anchors)
+        out = (
+            capped.groupby("dst_url", sort=True)["text"]
+            .agg(sep.join)
+            .rename("anchor_text")
+            .reset_index()
         )
-        out = out.reset_index()
-        out["n_anchors"] = out["n_anchors"].astype("int64")
+        out["n_anchors"] = true_counts.loc[out["dst_url"]].to_numpy().astype("int64")
         return out[["dst_url", "anchor_text", "n_anchors"]]
 
     return (

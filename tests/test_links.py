@@ -350,3 +350,22 @@ def test_anchor_text_index_e2e(ray_session, tmp_path):
     s = IndexSearcher(idx)
     hits = s.search_urls("groundbreaking quantum", k=3)
     assert hits and hits[0][0] == "https://target.test/paper"
+
+
+def test_anchor_texts_cap_keeps_true_count(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import anchor_texts
+
+    pages = rd.from_items(
+        [
+            {
+                "url": f"https://s{i:02d}.test/p",
+                "html": f'<a href="https://hub.test/x">w{i:02d}</a>',
+            }
+            for i in range(6)
+        ]
+    )
+    out = anchor_texts(pages, max_anchors=3).to_pandas().iloc[0]
+    assert out["anchor_text"] == "w00 w01 w02"  # first 3 in src order
+    assert out["n_anchors"] == 6  # true count survives the cap
