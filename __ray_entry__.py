@@ -1787,6 +1787,47 @@ def _q_doc_host_rank(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_sitemap_ingest(sf_dir: str):
+    """Sitemap seed ingestion under a full SQL oracle: two urlset shards
+    (one gzipped) behind a sitemapindex, urls + W3C lastmod derived from
+    doc_id (every 3rd url has no lastmod -> -1 sentinel both sides)."""
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    from indexer_ray.sources.sitemap import read_sitemaps, write_sitemap
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    root = f"/tmp/indexer_ray_entry/{tag}_sitemaps"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    epoch = datetime(2022, 1, 1, tzinfo=timezone.utc)
+    shards: list[list] = [[], []]
+    for i in ids:
+        lm = (
+            None
+            if i % 3 == 0
+            else (epoch + timedelta(days=i % 30)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+        shards[i % 2].append((f"https://site.test/page/{i}", lm))
+    write_sitemap(os.path.join(root, "s0.xml"), shards[0])
+    write_sitemap(os.path.join(root, "s1.xml.gz"), shards[1], compress=True)
+    write_sitemap(os.path.join(root, "index.xml"), ["s0.xml", "s1.xml.gz"])
+    out = read_sitemaps(os.path.join(root, "index.xml")).to_pandas()
+    out["mod_s"] = (
+        out["lastmod"]
+        .map(lambda v: -1 if pd.isna(v) else int(v.timestamp()))
+        .astype("int64")
+    )
+    return (
+        out[["url", "mod_s"]].sort_values("url").reset_index(drop=True)
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2160,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_retrieval": _q_eval_retrieval,
         "trigram_top": _q_trigram_top,
         "doc_host_rank": _q_doc_host_rank,
+        "sitemap_ingest": _q_sitemap_ingest,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
@@ -2942,6 +2984,12 @@ SELECT cf, CAST(COUNT(*) AS BIGINT) AS n_terms FROM ts GROUP BY cf ORDER BY cf""
 )
 SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS in_links
 FROM e0 GROUP BY dst_host ORDER BY dst_host""",
+        # sitemap seeds: urls + lastmod arithmetic; -1 when absent
+        "sitemap_ingest": """SELECT 'https://site.test/page/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(epoch(TIMESTAMP '2022-01-01 00:00:00') AS BIGINT)
+                 + (doc_id % 30) * 86400 END AS mod_s
+FROM documents ORDER BY url""",
         # per-doc host-authority feature: pagerank replay joined to docs
         "doc_host_rank": _pagerank_oracle_sql(
             3,
