@@ -1828,6 +1828,16 @@ def _q_sitemap_ingest(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE merge-rule learning over the corpus vocabulary (Sennrich 2016)
+    — rows-only: the greedy iteration is not SQL-expressible; the driver
+    and distributed regimes are pinned identical by test, and the
+    hand-worked Sennrich example is a pytest oracle."""
+    from indexer_ray.pipelines.bpe import learn_bpe
+
+    return learn_bpe(_docs(sf_dir), n_merges=40)
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2232,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_real": _q_media_features_real,
         "search_urls_topk": _q_search_urls,
         "dsir_weights": _q_dsir_weights,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
