@@ -1838,6 +1838,24 @@ def _q_bpe_merges(sf_dir: str):
     return learn_bpe(_docs(sf_dir), n_merges=40)
 
 
+def _q_bpe_encode_docs(sf_dir: str):
+    """Apply the corpus-learned merge table back to the corpus (the full
+    learn -> encode subword lifecycle): per-doc piece counts; rows-only
+    (iterative learning is not SQL-expressible; encode semantics pinned
+    by the priority-order and roundtrip tests)."""
+    from indexer_ray.pipelines.bpe import bpe_encode, learn_bpe
+
+    rules = learn_bpe(_docs(sf_dir), n_merges=40)
+    out = (
+        bpe_encode(_docs(sf_dir), rules)
+        .select_columns(["doc_id", "n_pieces"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_pieces": "int64"}
+    )
+
+
 def _q_more_like_this(sf_dir: str):
     """Related-document retrieval: the smallest-doc_id document's top-5
     TF-IDF keywords queried back through the index, seed excluded."""
@@ -2243,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_urls_topk": _q_search_urls,
         "dsir_weights": _q_dsir_weights,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode_docs": _q_bpe_encode_docs,
     }
 
 

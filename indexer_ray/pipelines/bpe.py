@@ -173,3 +173,74 @@ def learn_bpe(
 
         state = state.map_batches(_apply, batch_format="pyarrow").materialize()
     return _rules_frame(merges)
+
+
+class _BpeEncodeStage:
+    """Actor-pool stage: the merge-rank table compiles ONCE per actor
+    (setup in __init__, per the stateful-stage discipline); encoding
+    applies merges in learned priority order per word with a memo cache
+    keyed by word (Zipf reuse makes the cache hit rate high)."""
+
+    def __init__(self, rules_ref, mode: str):
+        import ray
+
+        from indexer_ray.conformance.lexer import make_tokenizer
+
+        rules = ray.get(rules_ref) if not isinstance(rules_ref, list) else rules_ref
+        self.rank = {(a, b): i for i, (a, b) in enumerate(rules)}
+        self.tok = make_tokenizer(mode)
+        self.memo: dict = {}
+
+    def _encode_word(self, w: str) -> list:
+        got = self.memo.get(w)
+        if got is not None:
+            return got
+        sym = list(w) + ["</w>"]
+        while len(sym) > 1:
+            best_i, best_r = -1, None
+            for i, pair in enumerate(zip(sym, sym[1:])):
+                r = self.rank.get(pair)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        if len(self.memo) < 200_000:  # bounded worker-lifetime cache
+            self.memo[w] = sym
+        return sym
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            pieces: list = []
+            for w in self.tok(txt or ""):
+                pieces.extend(self._encode_word(w))
+            out.append(pieces)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pieces": pa.array(out, type=pa.list_(pa.string())),
+                "n_pieces": pa.array(
+                    [len(p) for p in out], type=pa.int64()
+                ),
+            }
+        )
+
+
+def bpe_encode(ds, rules, mode: str = "plain", batch_size: int = 512):
+    """Apply a learned merge table (learn_bpe's (left, right) rows, or a
+    list of pairs) to a documents Dataset -> (doc_id, pieces, n_pieces).
+    The learn -> encode pair is the full subword-tokenizer lifecycle."""
+    import ray
+
+    if hasattr(rules, "itertuples"):
+        rules = [(str(r.left), str(r.right)) for r in rules.itertuples()]
+    ref = ray.put(list(rules))
+    return ds.map_batches(
+        _BpeEncodeStage,
+        fn_constructor_args=(ref, mode),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )

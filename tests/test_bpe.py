@@ -48,3 +48,44 @@ def test_exhausted_corpus_stops_early(ray_session):
     rules = learn_bpe(ds, n_merges=50)
     # 'a b </w>' admits exactly 2 merges before no pairs remain
     assert len(rules) == 2
+
+
+def test_bpe_encode_applies_learned_rules(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.bpe import bpe_encode
+
+    train = []
+    for w, n in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)):
+        train.append({"doc_id": len(train), "text": " ".join([w] * n)})
+    ds = rd.from_items(train)
+    rules = learn_bpe(ds, n_merges=10)
+    enc = (
+        bpe_encode(
+            rd.from_items([{"doc_id": 0, "text": "newest lowest"}]), rules
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    pieces = list(enc["pieces"])
+    assert enc["n_pieces"] == len(pieces)
+    # 'newest' was in training: its learned subwords end with est</w>
+    joined = "|".join(pieces)
+    assert "est</w>" in joined
+    # roundtrip: concatenating pieces and stripping markers recovers text
+    assert joined.replace("|", "").replace("</w>", "") == "newestlowest"
+
+
+def test_bpe_encode_priority_order(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.bpe import bpe_encode
+
+    # rules as explicit pairs: (a,b) ranked before (ab,c)
+    rules = [("a", "b"), ("ab", "c")]
+    enc = (
+        bpe_encode(rd.from_items([{"doc_id": 0, "text": "abc abd"}]), rules)
+        .to_pandas()
+        .iloc[0]["pieces"]
+    )
+    assert list(enc) == ["abc", "</w>", "ab", "d", "</w>"]
