@@ -2170,22 +2170,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
-        "heavy_hitters": _q_heavy_hitters,
         "pii_redact_docs": _q_pii_redact,
-        "bigram_top": _q_bigram_top,
-        "search_facets_plain": _q_search_facets,
-        "search_boolean_plain": _q_search_boolean,
         "pagerank_hosts": _q_pagerank_hosts,
         "warc_ingest": _q_warc_ingest,
         "ccnet_paragraph_dedup": _q_ccnet_paragraph_dedup,
-        "user_event_deltas": _q_user_event_deltas,
-        "kwic_snippets": _q_kwic_snippets,
-        "phrase_match_docs": _q_phrase_match,
-        "suggest_prefix_plain": _q_suggest_prefix,
-        "doc_keywords": _q_doc_keywords,
-        "search_snippets_plain": _q_search_snippets,
-        "phrase_search_indexed": _q_phrase_search_indexed,
-        "group_sample_bottomk": _q_group_sample,
+        "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
+        "curate_corpus": _q_curate_corpus,
+        "frequency_spectrum": _q_frequency_spectrum,
+        "host_indegree": _q_host_indegree,
+        "webtext_curate": _q_webtext_curate,
+        "split_sentences": _q_split_sentences,
+        "crawl_frontier": _q_crawl_frontier,
+        "anchor_texts": _q_anchor_texts,
+        "eval_retrieval": _q_eval_retrieval,
+        "trigram_top": _q_trigram_top,
+        "doc_host_rank": _q_doc_host_rank,
+        "sitemap_ingest": _q_sitemap_ingest,
         # new-in-r04 oracle queries, first driver capture this round:
         "mixture_sample": _q_mixture_sample,
         "token_budget_sample": _q_token_budget_sample,
@@ -2218,18 +2218,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": _q_events_session_join,
         "events_sessionize": _q_events_sessionize,
         "events_value_histogram": _q_events_value_histogram,
-        "resumable_sink_roundtrip": _q_resumable_write_roundtrip,
-        "curate_corpus": _q_curate_corpus,
-        "frequency_spectrum": _q_frequency_spectrum,
-        "host_indegree": _q_host_indegree,
-        "webtext_curate": _q_webtext_curate,
-        "split_sentences": _q_split_sentences,
-        "crawl_frontier": _q_crawl_frontier,
-        "anchor_texts": _q_anchor_texts,
-        "eval_retrieval": _q_eval_retrieval,
-        "trigram_top": _q_trigram_top,
-        "doc_host_rank": _q_doc_host_rank,
-        "sitemap_ingest": _q_sitemap_ingest,
+        "heavy_hitters": _q_heavy_hitters,
+        "bigram_top": _q_bigram_top,
+        "search_facets_plain": _q_search_facets,
+        "search_boolean_plain": _q_search_boolean,
+        "user_event_deltas": _q_user_event_deltas,
+        "kwic_snippets": _q_kwic_snippets,
+        "phrase_match_docs": _q_phrase_match,
+        "suggest_prefix_plain": _q_suggest_prefix,
+        "doc_keywords": _q_doc_keywords,
+        "search_snippets_plain": _q_search_snippets,
+        "phrase_search_indexed": _q_phrase_search_indexed,
+        "group_sample_bottomk": _q_group_sample,
         "ann_brute_topk": _q_ann_brute,
         "exact_duplicates": _q_exact_duplicates,
         "search_bm25_topk_plain": _q_search_bm25_plain,
