@@ -1119,6 +1119,21 @@ def _q_embedding_clusters(sf_dir: str):
     return out[["vec_id", "cluster"]].astype("int64")
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means bucketing +
+    within-cluster greedy keep-farthest-from-centroid pruning; rows-only
+    (iterative centroid fit is not SQL-expressible)."""
+    from indexer_ray.pipelines.dedup import semdedup_keep
+
+    out = semdedup_keep(_emb(sf_dir), n_clusters=8, threshold=0.97).to_pandas()
+    return (
+        out[["vec_id", "cluster", "keep"]]
+        .astype("int64")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_ann_index_lsh(sf_dir: str):
     """Persisted-index ANN: build once (bucket-partitioned parquet under
     /tmp), query reading only probed partitions — the standing-index scale
@@ -2253,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_index_lsh_topk": _q_ann_index_lsh,
         "ann_quantized_topk": _q_ann_quantized,
         "embedding_clusters": _q_embedding_clusters,
+        "semdedup_keep": _q_semdedup,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "approx_distinct_users": _q_approx_distinct_users,

@@ -42,6 +42,13 @@ def _embedding_matrix(col) -> np.ndarray:
     lists per batch in the hottest numeric stages)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):
+        # Ray's ArrowTensorArray (what from_pandas builds for ndarray
+        # cells): its to_numpy already yields the (n, dim) matrix
+        X = np.asarray(col.to_numpy(zero_copy_only=False))
+        if X.dtype == object:  # variable-shaped tensor array
+            X = np.stack(X)
+        return X.reshape(len(col), -1).astype(np.float64, copy=False)
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         # flatten(), not .values: a SLICED array's .values spans the whole

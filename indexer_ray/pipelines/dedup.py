@@ -1271,6 +1271,136 @@ def embedding_dup_pairs(
     )
 
 
+def semdedup_keep(
+    emb_ds,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    seed: int = 13,
+    sample_size: int = 2000,
+    iters: int = 10,
+    max_cluster: int = 20_000,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means buckets the embedding space (centroids fit
+    on a bounded driver sample and broadcast once — the same machinery as
+    `embedding_clusters`), then ONE within-cluster greedy pass keeps a
+    vector only if its max cosine to the already-kept set stays below
+    `threshold`.  Scan order inside a cluster follows the paper's
+    keep-farthest-from-centroid rule — ascending cosine-to-centroid, with
+    vec_id ascending as the deterministic tie-break — so output is
+    layout- and process-independent.
+
+    Shape: assignment is a streaming matmul-argmax map (no shuffle); the
+    only exchange routes (vec_id, cluster, cos_c, embedding) BY CLUSTER so
+    each cluster lands whole in one group.  At 100-TB scale `n_clusters`
+    grows with the corpus (the paper's own regime: clusters stay
+    partition-sized); a cluster above `max_cluster` emits a counter row
+    (vec_id == -1, skipped = size) instead of an O(n^2) sim matrix —
+    no-silent-caps, same convention as the pair families.
+
+    Output: (vec_id, cluster, cosine_to_centroid, keep, skipped) — one
+    row per vector, keep in {0, 1}, skipped == 0 on real rows."""
+    import ray
+
+    from indexer_ray.pipelines.ann import (
+        _embedding_matrix,
+        _fit_centroids,
+        _normalize,
+    )
+
+    C = _fit_centroids(emb_ds, n_clusters, iters, seed, sample_size)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            Xn = _normalize(_embedding_matrix(batch.column("embedding")))
+            sims = Xn @ self.C.T
+            cell = np.argmax(sims, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "cluster": pa.array(cell.astype(np.int64), type=pa.int64()),
+                    "cos_c": pa.array(
+                        sims[np.arange(len(ids)), cell], type=pa.float64()
+                    ),
+                    "embedding": batch.column("embedding").combine_chunks(),
+                }
+            )
+
+    assigned = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Assign,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": [],
+            "cluster": [],
+            "cosine_to_centroid": [],
+            "keep": [],
+            "skipped": [],
+        }
+    ).astype(
+        {
+            "vec_id": "int64",
+            "cluster": "int64",
+            "cosine_to_centroid": "float64",
+            "keep": "int64",
+            "skipped": "int64",
+        }
+    )
+
+    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return empty
+        cluster = int(g["cluster"].iloc[0])
+        if n > max_cluster:
+            return pd.DataFrame(
+                {
+                    "vec_id": [-1],
+                    "cluster": [cluster],
+                    "cosine_to_centroid": [0.0],
+                    "keep": [0],
+                    "skipped": [n],
+                }
+            ).astype(empty.dtypes)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        cos_c = g["cos_c"].to_numpy(dtype=np.float64)
+        X = np.stack(g["embedding"].to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Xn.T
+        order = np.lexsort((ids, cos_c))  # farthest-from-centroid first
+        keep = np.zeros(n, dtype=np.int64)
+        kept_idx: list[int] = []
+        for i in order:
+            if not kept_idx or sims[i, kept_idx].max() < threshold:
+                keep[i] = 1
+                kept_idx.append(int(i))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(n, cluster, dtype=np.int64),
+                "cosine_to_centroid": cos_c,
+                "keep": keep,
+                "skipped": np.zeros(n, dtype=np.int64),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune_cluster, batch_format="pandas"
+    )
+
+
 # ----------------------------------------------------------- winnowing
 
 def winnow_fingerprints(ds, k: int = 5, w: int = 4):

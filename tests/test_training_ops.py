@@ -1064,3 +1064,60 @@ def test_build_vocab_matches_brute(ray_session):
     )
     assert [(r.term, r.df, r.cf) for r in got.itertuples()] == want
     assert got["rank"].tolist() == list(range(len(want)))
+
+
+def _semdedup_frame(ds, **kw):
+    from indexer_ray.pipelines.dedup import semdedup_keep
+
+    return (
+        semdedup_keep(ds, **kw)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_semdedup_drops_injected_duplicates(ray_session, emb_ds):
+    import ray.data as rd
+
+    base = emb_ds.to_pandas()
+    dup = base.head(6).copy()
+    dup["vec_id"] = dup["vec_id"] + 500_000
+    both = pd.concat([base, dup], ignore_index=True)
+    out = _semdedup_frame(rd.from_pandas(both), n_clusters=4, threshold=0.99)
+    assert len(out) == len(both)
+    assert (out["skipped"] == 0).all()
+    # each injected exact-duplicate pair keeps exactly one member
+    for vid in base.head(6)["vec_id"]:
+        pair = out[out["vec_id"].isin([vid, vid + 500_000])]
+        assert pair["keep"].sum() == 1, pair
+    # greedy invariant: no two kept vectors in one cluster at >= threshold
+    kept = out[out["keep"] == 1]
+    emb_of = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+              for r in both.itertuples()}
+    for _, grp in kept.groupby("cluster"):
+        X = np.stack([emb_of[v] for v in grp["vec_id"]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Xn.T
+        np.fill_diagonal(sims, 0.0)
+        assert sims.max() < 0.99 + 1e-9
+
+
+def test_semdedup_deterministic_and_threshold_extremes(ray_session, emb_ds):
+    a = _semdedup_frame(emb_ds, n_clusters=4, threshold=0.95)
+    b = _semdedup_frame(emb_ds, n_clusters=4, threshold=0.95)
+    pd.testing.assert_frame_equal(a, b)
+    # threshold above any cosine keeps everything
+    all_keep = _semdedup_frame(emb_ds, n_clusters=4, threshold=1.1)
+    assert (all_keep["keep"] == 1).all()
+    # threshold below any cosine keeps exactly one per cluster
+    one_per = _semdedup_frame(emb_ds, n_clusters=4, threshold=-1.0)
+    per_cluster = one_per.groupby("cluster")["keep"].sum()
+    assert (per_cluster == 1).all()
+
+
+def test_semdedup_oversized_cluster_counter_rows(ray_session, emb_ds):
+    out = _semdedup_frame(emb_ds, n_clusters=2, threshold=0.95, max_cluster=1)
+    counters = out[out["vec_id"] == -1]
+    assert len(counters) >= 1
+    assert counters["skipped"].sum() == emb_ds.count()
