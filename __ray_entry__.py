@@ -986,6 +986,23 @@ def _q_cap_per_source(sf_dir: str):
     )
 
 
+def _q_substring_dup(sf_dir: str):
+    """Exact duplicate-substring census (Lee et al. 2022 suffix-array
+    dedup semantics): per doc, 30-codepoint grams occurring >= 2 times
+    anywhere in the corpus and the characters they cover.  Gram equality
+    is 62-bit double-rolling-hash equality on the Ray side and string
+    equality in SQL — birthday-safe at these corpus sizes."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import substring_dup_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = substring_dup_stats(docs, min_len=30).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def _q_chunk_dedup_stats(sf_dir: str):
     """Span-level exact-dedup census (C4-style fixed word windows):
     per-doc chunk counts and how many chunks duplicate an earlier
@@ -2213,12 +2230,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": _q_host_doc_counts,
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
-        "search_urls_plain": _q_search_urls_plain,
+        "substring_dup_stats": _q_substring_dup,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
+        "search_urls_plain": _q_search_urls_plain,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
@@ -2529,6 +2547,32 @@ ORDER BY doc_id""",
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(dup) AS BIGINT) AS n_dup_chunks
 FROM f GROUP BY doc_id ORDER BY doc_id""",
+        # 30-codepoint gram census; coverage via the equal-length-
+        # interval identity L + sum(min(L, gap)) — exactly
+        # dedup.substring_dup_stats
+        "substring_dup_stats": """WITH grams AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS p
+        FROM documents WHERE length(text) >= 30)
+), dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY g) AS c FROM grams
+  ) WHERE c >= 2
+), cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         -- first-of-doc lag is NULL; COALESCE to the full gram length
+         -- (DuckDB LEAST skips NULLs, so LEAST alone would miscount)
+         CAST(SUM(LEAST(COALESCE(d, 30), 30)) AS BIGINT) AS dup_chars
+  FROM (SELECT doc_id, p, p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS d
+        FROM dup)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       GREATEST(length(d.text) - 29, 0) AS n_grams,
+       COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(c.dup_chars, 0) AS dup_chars
+FROM documents d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""",
         # the MG sketch only prunes; output counts are exact
         "heavy_hitters": f"""{_TOKS_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS cnt

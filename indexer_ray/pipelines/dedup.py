@@ -2041,6 +2041,266 @@ def chunk_dedup_stats(ds, chunk_words: int = 20, n_parts: int = 32):
     )
 
 
+# ------------------------------------------- exact substring dedup census
+#
+# Two independent 31-bit polynomial rolling hashes (Karp-Rabin 1987),
+# packed into one 62-bit key.  Codepoint-level (matches SQL substr
+# semantics), vectorized with a prefix-sum trick: weight each codepoint by
+# Binv^i, cumsum once, and every window hash is (window difference) * B^p
+# — O(n) numpy per document, no per-position Python.
+_SUBH = (
+    (2_147_483_647, 1_000_003),  # (modulus, base) — both primes
+    (2_147_483_629, 1_000_033),
+)
+
+
+def _pow_table(base: int, mod: int, n: int, start: np.ndarray | None = None):
+    """powers[i] = base^i mod mod for i < n, built by vectorized doubling
+    (each step appends p * (last*base) % mod — log2(n) numpy ops)."""
+    p = np.ones(1, dtype=np.uint64) if start is None else start
+    b, m = np.uint64(base), np.uint64(mod)
+    while len(p) < n:
+        step = p[-1] * b % m
+        p = np.concatenate([p, p * step % m])
+    return p[:n]
+
+
+class _GramHashStage:
+    """Per-doc rolling L-gram hashes: emits (key, doc_id, pos) — 20 bytes
+    per corpus character through the shuffle, never the text.  Power
+    tables are actor state, grown by doubling on demand."""
+
+    def __init__(self, min_len: int, n_parts: int):
+        self.L = min_len
+        self.P = n_parts
+        self.pow_b: list[np.ndarray] = []
+        self.pow_binv: list[np.ndarray] = []
+        for m, b in _SUBH:
+            binv = pow(b, m - 2, m)  # Fermat inverse, m prime
+            self.pow_b.append(_pow_table(b, m, 1024))
+            self.pow_binv.append(_pow_table(binv, m, 1024))
+        self.binv = [pow(b, m - 2, m) for m, b in _SUBH]
+
+    def _grow(self, n: int):
+        for i, (m, b) in enumerate(_SUBH):
+            if len(self.pow_b[i]) < n:
+                self.pow_b[i] = _pow_table(b, m, n, self.pow_b[i])
+                self.pow_binv[i] = _pow_table(
+                    self.binv[i], m, n, self.pow_binv[i]
+                )
+
+    def _doc_keys(self, text: str) -> np.ndarray:
+        L = self.L
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        n = len(cp)
+        if n < L:
+            return np.empty(0, dtype=np.uint64)
+        self._grow(n)
+        hs = []
+        for i, (m, _b) in enumerate(_SUBH):
+            M = np.uint64(m)
+            w = cp % M * self.pow_binv[i][:n] % M  # cp < 2^21, pow < 2^31
+            c = np.concatenate([np.zeros(1, dtype=np.uint64), np.cumsum(w)])
+            s = (c[L:] - c[: n - L + 1]) % M  # docs < 2^32 chars (cumsum headroom)
+            hs.append(s * self.pow_b[i][L - 1 : n] % M)
+        return hs[0] * np.uint64(_SUBH[1][0]) + hs[1]  # < 2^62
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from indexer_ray.functions.hashing import key_partition
+
+        ids, keys, poss = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            k = self._doc_keys(t or "")
+            if len(k):
+                ids.append(np.full(len(k), doc_id, dtype=np.int64))
+                keys.append(k)
+                poss.append(np.arange(len(k), dtype=np.int32))
+        if not ids:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int32()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        key = np.concatenate(keys)
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(ids), type=pa.int64()),
+                "pos": pa.array(np.concatenate(poss), type=pa.int32()),
+                "part": pa.array(key_partition(key, self.P), type=pa.int32()),
+            }
+        )
+
+
+def substring_dup_stats(ds, min_len: int = 25, n_parts: int = 32):
+    """Corpus-level exact duplicate-substring census — the suffix-array
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499) re-expressed for Ray Data: a
+    character position is DUPLICATED when the `min_len`-codepoint gram
+    starting there occurs at >= 2 positions anywhere in the corpus (other
+    documents or self-repeats; the paper counts both).  Per document it
+    reports total grams, duplicated grams, and the characters covered by
+    at least one duplicated gram (the paper's removable-span mass).
+
+    Shape: `_GramHashStage` (actor pool; power tables are actor state)
+    emits one 20-byte (key, doc_id, pos) row per corpus character — the
+    same O(n) exchange the suffix-array build pays, never the text.  Keys
+    hash-route to `n_parts` partitions; one vectorized sort per partition
+    marks keys seen >= 2 times; the surviving positions re-route BY DOC in
+    a tagged union with the per-doc base stats, where span coverage falls
+    out of the equal-length-interval identity
+        union = L + sum(min(L, pos[i] - pos[i-1]))
+    — one sort + reduceat per partition, no interval loop.  Gram equality
+    is 62-bit double-rolling-hash equality (birthday argument as
+    exact_duplicates: < 2^30 corpus grams keep collision odds < 1e-4).
+
+    Output: (doc_id, n_chars, n_grams, n_dup_grams, dup_chars), one row
+    per document, including zero-duplicate docs."""
+    import pyarrow.compute as pc
+
+    from indexer_ray.functions.hashing import key_partition
+
+    L = min_len
+
+    grams = ds.select_columns(["doc_id", "text"]).map_batches(
+        _GramHashStage,
+        fn_constructor_args=(L, n_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def _dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": [], "pos": [], "n_chars": [], "n_grams": [], "tag": []}
+        ).astype(
+            {
+                "doc_id": "int64",
+                "pos": "int32",
+                "n_chars": "int64",
+                "n_grams": "int64",
+                "tag": "int8",
+            }
+        )
+        if not len(g):
+            return empty
+        key = g["key"].to_numpy(dtype=np.uint64)
+        order = np.argsort(key, kind="mergesort")
+        sk = key[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sizes = np.diff(np.r_[starts, len(sk)])
+        dup = np.repeat(sizes >= 2, sizes)
+        sel = order[dup]
+        if not len(sel):
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[sel].astype("int64"),
+                "pos": g["pos"].to_numpy()[sel].astype("int32"),
+                "n_chars": np.zeros(len(sel), dtype=np.int64),
+                "n_grams": np.zeros(len(sel), dtype=np.int64),
+                "tag": np.zeros(len(sel), dtype=np.int8),
+            }
+        )
+
+    def _base(batch: pa.Table) -> pa.Table:
+        n_chars = pc.fill_null(
+            pc.utf8_length(batch.column("text")), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "pos": pa.array(
+                    np.full(len(doc), -1, dtype=np.int32), type=pa.int32()
+                ),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_grams": pa.array(
+                    np.maximum(n_chars - L + 1, 0), type=pa.int64()
+                ),
+                "tag": pa.array(np.ones(len(doc), dtype=np.int8), type=pa.int8()),
+            }
+        )
+
+    def _doc_route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            ),
+            n_parts,
+        )
+        return batch.append_column("dpart", pa.array(part, type=pa.int32()))
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        _base, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dups = grams.groupby("part").map_groups(
+        _dup_positions, batch_format="pandas"
+    )
+    # tagged union (base rows tag=1, dup-position rows tag=0) — one
+    # doc-routed groupby merges both sides without a join
+    unioned = base.union(
+        dups.map_batches(
+            lambda t: t.select(["doc_id", "pos", "n_chars", "n_grams", "tag"]),
+            batch_format="pyarrow",
+        )
+    ).map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _census(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "doc_id": [],
+                "n_chars": [],
+                "n_grams": [],
+                "n_dup_grams": [],
+                "dup_chars": [],
+            }
+        ).astype("int64")
+        if not len(g):
+            return out_empty
+        basef = g[g["tag"] == 1]
+        dupf = g[g["tag"] == 0]
+        doc = dupf["doc_id"].to_numpy(dtype=np.int64)
+        pos = dupf["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        gap = np.empty(len(pos), dtype=np.int64)
+        if len(pos):
+            gap[0] = L
+            gap[1:] = np.minimum(pos[1:] - pos[:-1], L)
+            gap[first] = L
+        n_dup = np.diff(np.r_[starts, len(doc)])
+        cover = np.add.reduceat(gap, starts) if len(pos) else np.empty(0, np.int64)
+        agg = pd.DataFrame(
+            {
+                "doc_id": doc[starts] if len(pos) else np.empty(0, np.int64),
+                "n_dup_grams": n_dup if len(pos) else np.empty(0, np.int64),
+                "dup_chars": cover,
+            }
+        )
+        out = basef[["doc_id", "n_chars", "n_grams"]].merge(
+            agg, on="doc_id", how="left"
+        )
+        out[["n_dup_grams", "dup_chars"]] = (
+            out[["n_dup_grams", "dup_chars"]].fillna(0).astype("int64")
+        )
+        return out.astype("int64")
+
+    return unioned.groupby("dpart").map_groups(_census, batch_format="pandas")
+
+
 def _dedup_unit_engine(ds, split_units, unit_sep, n_parts, broadcast_threshold):
     """Shared global-first unit-dedup machinery (drop_duplicate_chunks /
     dedup_paragraphs): `split_units(text)` yields (key, original) pairs —

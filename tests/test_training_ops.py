@@ -1121,3 +1121,97 @@ def test_semdedup_oversized_cluster_counter_rows(ray_session, emb_ds):
     counters = out[out["vec_id"] == -1]
     assert len(counters) >= 1
     assert counters["skipped"].sum() == emb_ds.count()
+
+
+def _brute_substring_stats(texts: dict, L: int) -> pd.DataFrame:
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for p in range(len(t) - L + 1):
+            counts[t[p : p + L]] += 1
+    rows = []
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        dup_pos = [
+            p for p in range(len(t) - L + 1) if counts[t[p : p + L]] >= 2
+        ]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + L))
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "n_chars": len(t),
+                "n_grams": max(len(t) - L + 1, 0),
+                "n_dup_grams": len(dup_pos),
+                "dup_chars": len(covered),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def test_substring_dup_stats_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import substring_dup_stats
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(400)]
+    texts = {}
+    for i in range(60):
+        texts[i] = " ".join(rng.choice(words, size=40))
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    # inject a shared span into three docs, self-repeat into one, and a
+    # short doc below the gram length
+    texts[3] = texts[3][:50] + shared + texts[3][50:]
+    texts[17] = shared + texts[17]
+    texts[42] = texts[42] + shared
+    texts[9] = texts[9][:30] + "abcdefghij" * 8 + texts[9][30:]
+    texts[61] = "short"
+    texts[62] = ""
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}
+    )
+    L = 30
+    got = (
+        substring_dup_stats(rd.from_pandas(df), min_len=L, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_substring_stats(texts, L)
+    pd.testing.assert_frame_equal(got, want)
+    # the injected sharers must show duplicated mass
+    by_id = got.set_index("doc_id")
+    for d in (3, 17, 42, 9):
+        assert by_id.loc[d, "n_dup_grams"] > 0, d
+    assert by_id.loc[61, "n_grams"] == 0 and by_id.loc[61, "dup_chars"] == 0
+
+
+def test_substring_dup_stats_unicode_and_determinism(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import substring_dup_stats
+
+    span = "héllo wörld ünïcode span çôdepoints répeated"  # non-ASCII
+    texts = {
+        0: "prefix " + span + " suffix",
+        1: span + " tail of document one",
+        2: "no duplicated content in this document at all here",
+    }
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}
+    )
+    L = 20
+    a = (
+        substring_dup_stats(rd.from_pandas(df), min_len=L, n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        substring_dup_stats(rd.from_pandas(df), min_len=L, n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    want = _brute_substring_stats(texts, L)
+    pd.testing.assert_frame_equal(a, want)
