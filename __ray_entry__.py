@@ -986,6 +986,52 @@ def _q_cap_per_source(sf_dir: str):
     )
 
 
+def _q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2) over a
+    deterministically synthesized lined corpus: lines are 6-word windows
+    of each document's \\S+ words, a hash of (doc_id, line_idx) assigns
+    terminal periods, and docs at doc_id %% 37 == 0 / %% 41 == 0 get
+    'lorem ipsum' / curly-brace lines injected.  Both sides derive the
+    same pages, so line counts, the page-keep decision AND the surviving
+    cleaned text are hash-checked."""
+    import re
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import c4_line_filter
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for d, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        words = re.findall(r"\S+", tx or "")
+        lines = []
+        if d % 37 == 0:
+            lines.append("lorem ipsum dolor sit amet.")
+        if d % 41 == 0:
+            lines.append("this line has a curly { brace.")
+        for li in range(-(-len(words) // 6)):
+            seg = " ".join(words[li * 6 : (li + 1) * 6])
+            if ((d * 131 + li) * 2654435761 % 2**32) % 3 != 0:
+                seg += "."
+            lines.append(seg)
+        rows.append({"doc_id": d, "text": "\n".join(lines)})
+    out = c4_line_filter(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_lines": "int64",
+                "n_kept_lines": "int64",
+                "kept": "int64",
+            }
+        )
+    )
+
+
 def _q_substring_dup(sf_dir: str):
     """Exact duplicate-substring census (Lee et al. 2022 suffix-array
     dedup semantics): per doc, 30-codepoint grams occurring >= 2 times
@@ -2192,7 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_suggest_plain": _q_fuzzy_suggest,
         "related_terms_plain": _q_related_terms,
         "incremental_delta": _q_incremental_delta,
-        "search_tfidf_topk_plain": _q_search_tfidf_plain,
+        "c4_line_filter": _q_c4_line_filter,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
         "link_graph_hosts": _q_link_graph,
         "lang_run_clusters": _q_lang_run_clusters,
@@ -2237,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "search_urls_plain": _q_search_urls_plain,
+        "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
@@ -2547,6 +2594,51 @@ ORDER BY doc_id""",
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(dup) AS BIGINT) AS n_dup_chunks
 FROM f GROUP BY doc_id ORDER BY doc_id""",
+        # C4 rules over the synthesized lined corpus; the line
+        # derivation (6-word windows + hash-assigned periods +
+        # injections) mirrors _q_c4_line_filter exactly
+        "c4_line_filter": r"""WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), seg AS (
+  SELECT doc_id, pos // 6 AS li,
+         string_agg(term, ' ' ORDER BY pos) ||
+         CASE WHEN ((doc_id*131 + pos // 6) * 2654435761 % 4294967296) % 3 <> 0
+              THEN '.' ELSE '' END AS line
+  FROM words GROUP BY doc_id, pos // 6
+), inj AS (
+  SELECT doc_id, -2 AS li, 'lorem ipsum dolor sit amet.' AS line
+  FROM documents WHERE doc_id % 37 = 0
+  UNION ALL
+  SELECT doc_id, -1 AS li, 'this line has a curly { brace.' AS line
+  FROM documents WHERE doc_id % 41 = 0
+), lines AS (
+  SELECT * FROM seg UNION ALL SELECT * FROM inj
+), flags AS (
+  SELECT doc_id, li, line,
+         right(line, 1) IN ('.', '!', '?', '"')
+           AND len(regexp_extract_all(line, '\S+')) >= 5
+           AND NOT contains(lower(line), 'javascript') AS keepline,
+         contains(lower(line), 'lorem ipsum')
+           OR contains(line, '{') OR contains(line, '}') AS bad
+  FROM lines
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COALESCE(SUM(CASE WHEN keepline THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_kept_lines,
+         COALESCE(string_agg(line, chr(10) ORDER BY li)
+                    FILTER (WHERE keepline), '') AS clean_text,
+         bool_or(bad) AS banned
+  FROM flags GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_lines, 1) AS n_lines,
+       COALESCE(a.n_kept_lines, 0) AS n_kept_lines,
+       CAST(CASE WHEN NOT COALESCE(a.banned, FALSE)
+                      AND COALESCE(a.n_kept_lines, 0) >= 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
         # 30-codepoint gram census; coverage via the equal-length-
         # interval identity L + sum(min(L, gap)) — exactly
         # dedup.substring_dup_stats

@@ -1394,3 +1394,95 @@ def ngram_counts(ds, n: int = 3, k: int = 100, mode: str = "plain"):
         .groupby("g")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def c4_line_filter(
+    ds,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+):
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2,
+    arXiv:1910.10683), faithfully and fully vectorized — Arrow kernels
+    only, no shuffle:
+
+      * keep only lines ending in a terminal punctuation mark
+        (. ! ? or closing quote),
+      * keep only lines with >= `min_words_per_line` words,
+      * drop lines containing the word "javascript",
+      * drop the whole page if it contains "lorem ipsum" (any case)
+        or a curly brace,
+      * keep the page only if >= `min_kept_lines` lines survive
+        (the paper's >= 3 sentences, approximated at line granularity).
+
+    The paper's remaining rules are covered elsewhere: three-sentence-span
+    dedup is `chunk_dedup_stats`, and the bad-words list needs an external
+    wordlist (out of scope offline).  Word counting uses RE2 '\\S+' (ASCII
+    whitespace — the repo's documented oracle-tokenizer convention).
+
+    Output: (doc_id, n_lines, n_kept_lines, kept, clean_text), one row
+    per page; clean_text joins the surviving lines with newlines."""
+
+    def _filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.cast(t.column(text_col).combine_chunks(), pa.string())
+        text = pc.fill_null(text, "")
+        lower = pc.utf8_lower(text)
+        banned = pc.or_(
+            pc.match_substring(lower, "lorem ipsum"),
+            pc.or_(
+                pc.match_substring(text, "{"), pc.match_substring(text, "}")
+            ),
+        ).to_numpy(zero_copy_only=False)
+
+        lists = pc.split_pattern(text, pattern="\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.utf8_trim_whitespace(lists.flatten())
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offsets)
+
+        ends = np.zeros(len(flat), dtype=bool)
+        for mark in (".", "!", "?", '"'):
+            ends |= pc.ends_with(flat, pattern=mark).to_numpy(
+                zero_copy_only=False
+            )
+        n_words = pc.count_substring_regex(flat, pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        has_js = pc.match_substring(
+            pc.utf8_lower(flat), "javascript"
+        ).to_numpy(zero_copy_only=False)
+        keep_line = ends & (n_words >= min_words_per_line) & ~has_js
+
+        doc_ids = (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # per-doc line counts: reduceat over the flat keep mask
+        starts = offsets[:-1]
+        n_kept = (
+            np.add.reduceat(keep_line.astype(np.int64), starts)
+            if len(flat)
+            else np.zeros(len(doc_ids), dtype=np.int64)
+        )
+        n_kept = np.where(sizes == 0, 0, n_kept)  # reduceat quirk on empties
+        kept_doc = (~banned) & (n_kept >= min_kept_lines)
+
+        kept_flat = flat.filter(pa.array(keep_line))
+        kept_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=kept_offsets[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(kept_offsets), kept_flat), "\n"
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_lines": pa.array(sizes, type=pa.int64()),
+                "n_kept_lines": pa.array(n_kept, type=pa.int64()),
+                "kept": pa.array(kept_doc.astype(np.int64), type=pa.int64()),
+                "clean_text": joined,
+            }
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

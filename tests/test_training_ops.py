@@ -1215,3 +1215,62 @@ def test_substring_dup_stats_unicode_and_determinism(ray_session):
     pd.testing.assert_frame_equal(a, b)
     want = _brute_substring_stats(texts, L)
     pd.testing.assert_frame_equal(a, want)
+
+
+def test_c4_line_filter_rules(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import c4_line_filter
+
+    pages = {
+        # 3 good sentences -> kept
+        0: "This is a perfectly fine sentence one.\n"
+        "Here is another good long sentence two!\n"
+        'And a third quoted sentence right here."\n'
+        "no terminal punctuation on this line\n"
+        "Too short line.",
+        # only 2 good lines -> dropped
+        1: "This is a perfectly fine sentence one.\n"
+        "Here is another good long sentence two.",
+        # lorem ipsum bans the page despite good lines
+        2: "This is a perfectly fine sentence one.\n"
+        "Here is another good long sentence two.\n"
+        "And LOREM IPSUM appears right here now.\n"
+        "A fourth good long sentence closes this.",
+        # curly brace bans the page
+        3: "This is a perfectly fine sentence one.\n"
+        "var x = {key: 1}.\n"
+        "Here is another good long sentence two.\n"
+        "And a third good long sentence here.",
+        # javascript line is dropped but page survives on the others
+        4: "Please enable JavaScript to view this.\n"
+        "This is a perfectly fine sentence one.\n"
+        "Here is another good long sentence two.\n"
+        "And a third good long sentence here.",
+        5: "",
+    }
+    df = pd.DataFrame(
+        {"doc_id": sorted(pages), "text": [pages[k] for k in sorted(pages)]}
+    )
+    out = (
+        c4_line_filter(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "kept"] == 1 and out.loc[0, "n_kept_lines"] == 3
+    assert out.loc[0, "n_lines"] == 5
+    assert "no terminal punctuation" not in out.loc[0, "clean_text"]
+    assert "Too short" not in out.loc[0, "clean_text"]
+    assert out.loc[1, "kept"] == 0 and out.loc[1, "n_kept_lines"] == 2
+    assert out.loc[2, "kept"] == 0  # lorem ipsum, case-insensitive
+    assert out.loc[3, "kept"] == 0  # curly brace
+    assert out.loc[4, "kept"] == 1 and out.loc[4, "n_kept_lines"] == 3
+    assert "JavaScript" not in out.loc[4, "clean_text"]
+    assert out.loc[5, "kept"] == 0 and out.loc[5, "n_lines"] == 1
+    # surviving text joins kept lines in order
+    assert out.loc[4, "clean_text"].split("\n") == [
+        "This is a perfectly fine sentence one.",
+        "Here is another good long sentence two.",
+        "And a third good long sentence here.",
+    ]
