@@ -1197,6 +1197,22 @@ def _q_semdedup(sf_dir: str):
     )
 
 
+def _q_bloom_census(sf_dir: str):
+    """Sharded-Bloom dedup census (BFF pattern): exact and Bloom
+    duplicate counts per doc over 20-word units; rows-only (blake2b unit
+    hashing is not SQL-expressible — the exact column is pinned against
+    chunk_dedup_stats in tests)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import bloom_dedup_census
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = bloom_dedup_census(docs, chunk_words=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def _q_ann_index_lsh(sf_dir: str):
     """Persisted-index ANN: build once (bucket-partitioned parquet under
     /tmp), query reading only probed partitions — the standing-index scale
@@ -2334,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_topk": _q_ann_quantized,
         "embedding_clusters": _q_embedding_clusters,
         "semdedup_keep": _q_semdedup,
+        "bloom_dedup_census": _q_bloom_census,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "approx_distinct_users": _q_approx_distinct_users,

@@ -2301,6 +2301,157 @@ def substring_dup_stats(ds, min_len: int = 25, n_parts: int = 32):
     return unioned.groupby("dpart").map_groups(_census, batch_format="pandas")
 
 
+def bloom_dedup_census(
+    ds,
+    chunk_words: int = 20,
+    unit_sep: str | None = None,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    n_parts: int = 32,
+):
+    """Bloom-filter dedup census — the BFF pattern (a Bloom filter in
+    front of the corpus, as in Dolma's paragraph dedup; Bloom 1970,
+    Kirsch-Mitzenmacher 2006 double hashing) made distributed and
+    deterministic.  Units are fixed `chunk_words`-word windows (or
+    `unit_sep`-separated segments when given); a unit counts as a
+    BLOOM-duplicate when all `k` of its bits were set by a unit EARLIER
+    in the global (doc_id, unit_idx) order.  The census reports the
+    exact duplicate count next to the Bloom count so the false-positive
+    cost is observable per document (bloom >= exact always).
+
+    Shape: content-hash routing shards the filter — equal units
+    co-locate, so exactness of true-duplicate detection is preserved and
+    each of the `n_parts` shards is an INDEPENDENT Bloom of `n_bits`
+    (FP probability is that of n/P inserts into n_bits, better than one
+    global filter).  Inside a shard the sequential check-then-insert
+    semantics vectorize exactly via the earliest-bit-producer identity:
+    unit u at position p is a Bloom-dup iff every bit of u was first
+    produced at a position < p — one groupby-min over (bit, pos) rows,
+    no per-unit loop.
+
+    Output: (doc_id, n_units, n_dup_units, n_bloom_dup_units)."""
+    from indexer_ray.functions.hashing import key_partition
+
+    def _units(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids_out, idx_out, his, los = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if unit_sep is not None:
+                units = (t or "").split(unit_sep)
+            else:
+                w = (t or "").split()
+                units = [
+                    " ".join(w[ci * chunk_words : (ci + 1) * chunk_words])
+                    for ci in range(-(-len(w) // chunk_words))
+                ]
+            for ci, u in enumerate(units):
+                d = hashlib.blake2b(u.encode("utf-8"), digest_size=16).digest()
+                his.append(int.from_bytes(d[:8], "big", signed=True))
+                los.append(int.from_bytes(d[8:], "big", signed=True))
+                ids_out.append(doc_id)
+                idx_out.append(ci)
+        part = key_partition(
+            np.array(his, dtype=np.int64).astype(np.uint64), n_parts
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "unit_idx": pa.array(idx_out, type=pa.int64()),
+                "hash_hi": pa.array(his, type=pa.int64()),
+                "hash_lo": pa.array(los, type=pa.int64()),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    NB = np.uint64(n_bits)
+
+    def _shard_census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": [], "n_units": [], "n_dup": [], "n_bloom": [], "dpart": []}
+        ).astype(
+            {
+                "doc_id": "int64",
+                "n_units": "int64",
+                "n_dup": "int64",
+                "n_bloom": "int64",
+                "dpart": "int32",
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["doc_id", "unit_idx"], kind="mergesort")
+        hi = g["hash_hi"].to_numpy(dtype=np.int64).view(np.uint64)
+        lo = g["hash_lo"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(hi)
+        # exact duplicates-of-earlier in global order (content routing
+        # makes shard-local == global for equal units)
+        exact = pd.DataFrame({"hi": hi, "lo": lo}).duplicated(keep="first")
+        exact = exact.to_numpy()
+        # Kirsch-Mitzenmacher: bit_j = (hi + j*lo) mod n_bits
+        j = np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            bits = (hi[:, None] + j[None, :] * lo[:, None]) % NB  # (n, k)
+        pos = np.repeat(np.arange(n, dtype=np.int64), k)
+        flat = bits.ravel()
+        order = np.lexsort((pos, flat))
+        fb, fp = flat[order], pos[order]
+        starts = np.flatnonzero(np.r_[True, fb[1:] != fb[:-1]])
+        first_pos = fp[starts]  # earliest producer per distinct bit
+        # map every (unit, j) bit back to its earliest producer
+        idx = np.searchsorted(fb[starts], bits.ravel())
+        bloom = (first_pos[idx].reshape(n, k) < np.arange(n)[:, None]).all(
+            axis=1
+        )
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        dstart = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        out = pd.DataFrame(
+            {
+                "doc_id": doc[dstart],
+                "n_units": np.diff(np.r_[dstart, n]).astype("int64"),
+                "n_dup": np.add.reduceat(exact.astype(np.int64), dstart),
+                "n_bloom": np.add.reduceat(bloom.astype(np.int64), dstart),
+            }
+        )
+        out["dpart"] = key_partition(
+            out["doc_id"].to_numpy().astype(np.uint64), n_parts
+        ).astype("int32")
+        return out
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="mergesort")
+        sdoc = doc[order]
+        starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": sdoc[starts].astype("int64"),
+                "n_units": np.add.reduceat(
+                    g["n_units"].to_numpy()[order], starts
+                ).astype("int64"),
+                "n_dup_units": np.add.reduceat(
+                    g["n_dup"].to_numpy()[order], starts
+                ).astype("int64"),
+                "n_bloom_dup_units": np.add.reduceat(
+                    g["n_bloom"].to_numpy()[order], starts
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            _units, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+        )
+        .groupby("part")
+        .map_groups(_shard_census, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def _dedup_unit_engine(ds, split_units, unit_sep, n_parts, broadcast_threshold):
     """Shared global-first unit-dedup machinery (drop_duplicate_chunks /
     dedup_paragraphs): `split_units(text)` yields (key, original) pairs —

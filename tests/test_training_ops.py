@@ -1274,3 +1274,40 @@ def test_c4_line_filter_rules(ray_session):
         "Here is another good long sentence two.",
         "And a third good long sentence here.",
     ]
+
+
+def test_bloom_dedup_census_matches_exact(ray_session, docs_ds):
+    from indexer_ray.pipelines.dedup import bloom_dedup_census, chunk_dedup_stats
+
+    got = (
+        bloom_dedup_census(docs_ds, chunk_words=20, n_bits=1 << 22)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        chunk_dedup_stats(docs_ds, chunk_words=20)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_units"].tolist() == want["n_chunks"].tolist()
+    # exact column reproduces the chunk census exactly
+    assert got["n_dup_units"].tolist() == want["n_dup_chunks"].tolist()
+    # a generously sized filter has no false positives on sf0.001
+    assert got["n_bloom_dup_units"].tolist() == got["n_dup_units"].tolist()
+
+
+def test_bloom_dedup_census_fp_bounded_and_deterministic(ray_session, docs_ds):
+    from indexer_ray.pipelines.dedup import bloom_dedup_census
+
+    tiny = (
+        bloom_dedup_census(docs_ds, chunk_words=20, n_bits=256, k=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    again = (
+        bloom_dedup_census(docs_ds, chunk_words=20, n_bits=256, k=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tiny, again)
+    # bloom can only over-count, never under-count
+    assert (tiny["n_bloom_dup_units"] >= tiny["n_dup_units"]).all()
+    # a 256-bit filter over thousands of units must saturate -> real FPs
+    assert tiny["n_bloom_dup_units"].sum() > tiny["n_dup_units"].sum()
