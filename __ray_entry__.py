@@ -2219,6 +2219,20 @@ def _q_doc_unigram_nll(sf_dir: str):
     return doc_unigram_nll(_index_dir_for(sf_dir, "plain"))
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing off the index: NTILE(3)
+    over (per-token unigram NLL, doc_id) — ranks, bucket split and labels
+    all hash-checked against SQL's NTILE."""
+    from indexer_ray.pipelines.query import ccnet_perplexity_buckets
+
+    out = ccnet_perplexity_buckets(_index_dir_for(sf_dir, "plain")).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "ppl_q": "int64", "bucket": "int64"})
+    )
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping 24-token chunks, stride 18 (RAG/training ingestion)."""
     from indexer_ray.pipelines.text_analysis import chunk_documents
@@ -2293,13 +2307,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
         "substring_dup_stats": _q_substring_dup,
-        "search_sharded_bm25_plain": _q_search_sharded_bm25,
+        "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
+        "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
@@ -2752,6 +2767,31 @@ SELECT tf.doc_id,
        CAST(sum(tf.tf) AS BIGINT) AS n_tokens
 FROM tf JOIN cf USING (term) CROSS JOIN tot
 GROUP BY tf.doc_id""",
+        # NTILE over (per-token micro-nat NLL, doc_id) replays the
+        # engine's two-pass distributed rank exactly
+        "ccnet_buckets": f"""{_TOKS_CTE}, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), cf AS (
+  SELECT term, count(*) AS cf FROM toks GROUP BY term
+), tot AS (
+  SELECT count(*) AS total FROM toks
+), nll AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(floor(tf.tf * ln(CAST(tot.total AS DOUBLE) / cf.cf)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS nll_q,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+), ranked AS (
+  SELECT doc_id, nll_q // GREATEST(n_tokens, 1) AS ppl_q,
+         CAST(NTILE(3) OVER (ORDER BY nll_q // GREATEST(n_tokens, 1), doc_id)
+              AS BIGINT) AS bucket
+  FROM nll
+)
+SELECT doc_id, ppl_q, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS label
+FROM ranked ORDER BY doc_id""",
         # hopping-window-shaped chunk fan-out: token at pos belongs to
         # chunk i = pos//18 - k while i >= 0 and pos < i*18 + 24
         "chunk_documents": r"""WITH w AS (

@@ -1120,6 +1120,113 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     )
 
 
+def ccnet_perplexity_buckets(index_dir: str, k: int = 3, n_parts: int = 64):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3,
+    arXiv:1911.00359): rank every document by its per-token unigram NLL
+    (`doc_unigram_nll`, the repo's LM-quality proxy for CCNet's real LM)
+    and NTILE the corpus into `k` equal-size buckets — bucket 1 = head
+    (most fluent) through k = tail.  ppl_q = nll_q // n_tokens (integer
+    micro-nats per token) keeps the order SQL-checkable; doc_id breaks
+    ties so the rank is a total order.
+
+    Distribution (the pack_sequences two-pass shape; the shuffle payload
+    is 3 ints per doc): scores range-partition by ppl_q VALUE into
+    contiguous slices; pass 1 collects the P slice counts on the driver
+    (P ints) into exclusive prefix offsets; pass 2 sorts each slice
+    locally and assigns global rank = offset + local position, then the
+    exact NTILE split (first n mod k buckets get ceil(n/k)).  Value-range
+    slicing can skew if ppl concentrates — swap the splitter for sampled
+    quantiles when a corpus does; the per-slice payload stays key-sized
+    either way.
+
+    Output: (doc_id, ppl_q, bucket, label)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    scores = doc_unigram_nll(index_dir, n_parts=n_parts)
+
+    def _ppl(t: pa.Table) -> pa.Table:
+        nll = t.column("nll_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.maximum(
+            t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64),
+            1,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ppl_q": pa.array(nll // ntok, type=pa.int64()),
+            }
+        )
+
+    ppl = scores.map_batches(
+        _ppl, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_total = ppl.count()
+    if n_total == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "ppl_q": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    bounds = ppl.aggregate(Min("ppl_q"), Max("ppl_q"))
+    lo, hi = int(bounds["min(ppl_q)"]), int(bounds["max(ppl_q)"])
+    width = max(-(-(hi - lo + 1) // n_parts), 1)
+
+    def _route(t: pa.Table) -> pa.Table:
+        v = t.column("ppl_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.minimum((v - lo) // width, n_parts - 1).astype(np.int32)
+        return t.append_column("part", pa.array(part, type=pa.int32()))
+
+    routed = ppl.map_batches(
+        _route, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    counts_df = routed.groupby("part").count().to_pandas()
+    counts = dict(
+        zip(counts_df["part"].astype(int), counts_df["count()"].astype(int))
+    )
+    offsets = {}
+    acc = 0
+    for p in range(n_parts):
+        offsets[p] = acc
+        acc += counts.get(p, 0)
+
+    q, r = divmod(n_total, k)
+    cut = r * (q + 1)
+    labels = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if k == 3
+        else {i: f"b{i}" for i in range(1, k + 1)}
+    )
+
+    def _assign(g):
+        import pandas as pd
+
+        g = g.sort_values(["ppl_q", "doc_id"], kind="mergesort")
+        part = int(g["part"].iloc[0])
+        rank0 = offsets[part] + np.arange(len(g), dtype=np.int64)
+        bucket = np.empty(len(g), dtype=np.int64)
+        head = rank0 < cut
+        bucket[head] = rank0[head] // (q + 1)
+        if q:
+            bucket[~head] = r + (rank0[~head] - cut) // q
+        bucket += 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "ppl_q": g["ppl_q"].to_numpy(dtype=np.int64),
+                "bucket": bucket,
+                "label": [labels[int(b)] for b in bucket],
+            }
+        )
+
+    return routed.groupby("part").map_groups(_assign, batch_format="pandas")
+
+
 def _levenshtein_within(a: str, b: str, cap: int) -> int:
     """Standard unit-cost Levenshtein (insert/delete/substitute — NO
     transposition, matching DuckDB's levenshtein()) with an early-exit

@@ -424,3 +424,48 @@ def test_more_like_this_guards(ray_session, tmp_path):
     s = IndexSearcher(idx)
     with pytest.raises(KeyError):
         more_like_this(s, rd.from_pandas(docs), 99)
+
+
+def test_ccnet_perplexity_buckets_ntile(ray_session, tmp_path):
+    from indexer_ray.pipelines.query import ccnet_perplexity_buckets
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for i in range(101)  # not divisible by 3: exercises the remainder
+    }
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=4)
+    out = (
+        ccnet_perplexity_buckets(idx, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 101
+    sizes = out["bucket"].value_counts().sort_index()
+    # NTILE(3) over 101 rows: first two buckets get 34, last gets 33
+    assert sizes.tolist() == [34, 34, 33]
+    assert out["label"].map({"head": 1, "middle": 2, "tail": 3}).tolist() == \
+        out["bucket"].tolist()
+    # rank semantics: every head ppl <= every middle ppl <= every tail ppl
+    assert out.loc[out["bucket"] == 1, "ppl_q"].max() <= \
+        out.loc[out["bucket"] == 2, "ppl_q"].min()
+    assert out.loc[out["bucket"] == 2, "ppl_q"].max() <= \
+        out.loc[out["bucket"] == 3, "ppl_q"].min()
+    # NTILE against pandas replay of the same total order
+    replay = out.sort_values(["ppl_q", "doc_id"]).reset_index(drop=True)
+    n, k = len(replay), 3
+    q, r = divmod(n, k)
+    want = [min(i // (q + 1), r - 1) + 1 if i < r * (q + 1) or q == 0
+            else r + (i - r * (q + 1)) // q + 1 for i in range(n)]
+    assert replay["bucket"].tolist() == want
+    # determinism across runs
+    again = (
+        ccnet_perplexity_buckets(idx, n_parts=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
