@@ -1348,6 +1348,18 @@ def _q_phrase_search_indexed(sf_dir: str):
     return phrase_search(_searcher(sf_dir, "plain"), _docs(sf_dir), "batch window")
 
 
+def _q_search_proximity(sf_dir: str):
+    """Proximity-ranked retrieval: minimal token window containing all of
+    'customer join fast'; posting-list AND prunes candidates, survivors
+    pay one two-pointer pass; integer windows are hash-checked."""
+    from indexer_ray.pipelines.query import proximity_topk
+
+    out = proximity_topk(
+        _searcher(sf_dir, "plain"), _docs(sf_dir), "customer join fast", k=10
+    ).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True).astype("int64")
+
+
 def _q_group_sample(sf_dir: str):
     """Deterministic uniform 3-per-source sample (bottom-k by Knuth hash)."""
     from indexer_ray.pipelines.sampling import sample_per_group
@@ -2314,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round (each passed the driver oracle in 2-3 prior rounds):
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
+        "search_proximity_plain": _q_search_proximity,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
@@ -2697,6 +2710,25 @@ SELECT d.doc_id, length(d.text) AS n_chars,
        COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
        COALESCE(c.dup_chars, 0) AS dup_chars
 FROM documents d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""",
+        # minimal window over positioned tokens: MIN over the 3-way
+        # position cross product == smallest span containing all terms
+        "search_proximity_plain": r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+  FROM documents
+), p1 AS (SELECT doc_id, pos FROM toks WHERE term = 'customer'),
+p2 AS (SELECT doc_id, pos FROM toks WHERE term = 'fast'),
+p3 AS (SELECT doc_id, pos FROM toks WHERE term = 'join'),
+win AS (
+  SELECT p1.doc_id,
+         CAST(MIN(GREATEST(p1.pos, p2.pos, p3.pos)
+                  - LEAST(p1.pos, p2.pos, p3.pos) + 1) AS BIGINT) AS window_len
+  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, window_len,
+       CAST(row_number() OVER (ORDER BY window_len, doc_id) - 1 AS BIGINT) AS rank
+FROM win ORDER BY window_len, doc_id LIMIT 10""",
         # the MG sketch only prunes; output counts are exact
         "heavy_hitters": f"""{_TOKS_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS cnt

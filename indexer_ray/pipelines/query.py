@@ -1120,6 +1120,95 @@ def doc_unigram_nll(index_dir: str, n_parts: int = 64):
     )
 
 
+def proximity_topk(searcher: "IndexSearcher", docs_ds, query: str, k: int = 10):
+    """Proximity-ranked retrieval — minimal-window span scoring, the
+    classic positional-IR ranker (Clarke et al. 1995 shortest-substring
+    ranking): a document's score is the length of the SMALLEST token
+    window containing at least one occurrence of every distinct query
+    term; top-k ascending (ties break doc_id asc).
+
+    Shape (phrase_search's pruning + the partial-top-k merge): the
+    posting-list AND prunes the corpus to candidate docs and the sorted
+    candidate-id array broadcasts once; survivors tokenize and run one
+    linear two-pointer minimal-window pass over their query-term
+    positions only; each batch emits a local top-k and one constant-key
+    merge yields the global ranking.  Integer windows keep the output
+    hash-checkable.
+
+    Output: (doc_id, window_len, rank), rank 0-based."""
+    import ray
+
+    if searcher.mode != "plain":
+        raise ValueError("proximity_topk requires a plain-mode index")
+    words = sorted(set(tokenize_plain(query)))
+    if not words:
+        raise ValueError("query has no plain tokens")
+    cand = searcher.search_boolean(words)
+    ids_ref = ray.put(np.sort(cand.astype(np.int64)))
+    need = len(words)
+    wset = set(words)
+
+    def _min_window(toks: list[str]) -> int:
+        # two-pointer over query-term hits only: O(#hits)
+        hits = [(i, t) for i, t in enumerate(toks) if t in wset]
+        best = -1
+        have: dict[str, int] = {}
+        left = 0
+        for right in range(len(hits)):
+            have[hits[right][1]] = have.get(hits[right][1], 0) + 1
+            while len(have) == need:
+                w = hits[right][0] - hits[left][0] + 1
+                if best < 0 or w < best:
+                    best = w
+                t = hits[left][1]
+                have[t] -= 1
+                if not have[t]:
+                    del have[t]
+                left += 1
+        return best
+
+    def _score(batch: pa.Table):
+        import pandas as pd
+
+        ids = ray.get(ids_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.filter(pa.array(_member_mask(ids, d)))
+        rows = []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            w = _min_window(tokenize_plain(text or ""))
+            if w > 0:
+                rows.append((int(doc_id), w))
+        rows.sort(key=lambda r: (r[1], r[0]))
+        out = pd.DataFrame(
+            rows[:k], columns=["doc_id", "window_len"]
+        ).astype({"doc_id": "int64", "window_len": "int64"})
+        out["g"] = np.int32(0)
+        return out
+
+    def _merge(g):
+        import pandas as pd
+
+        g = (
+            g.sort_values(["window_len", "doc_id"])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["doc_id", "window_len", "rank"]].astype(
+            {"doc_id": "int64", "window_len": "int64"}
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_score, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def ccnet_perplexity_buckets(index_dir: str, k: int = 3, n_parts: int = 64):
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3,
     arXiv:1911.00359): rank every document by its per-token unigram NLL

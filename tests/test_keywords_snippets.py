@@ -469,3 +469,36 @@ def test_ccnet_perplexity_buckets_ntile(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_proximity_topk_minimal_windows(ray_session, tmp_path):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.query import IndexSearcher, proximity_topk
+
+    texts = {
+        0: "alpha beta gamma",                      # window 3
+        1: "alpha x x beta x gamma",                # window 6 (spans all three)
+        2: "gamma beta alpha",                      # window 3, any order
+        3: "alpha beta alpha gamma",                # window 3 via 2nd alpha
+        4: "alpha beta",                            # missing gamma -> pruned
+        5: "x alpha x x gamma x x x beta x",        # window 8
+        6: "no query terms here at all",
+    }
+    docs = pd.DataFrame(
+        {"doc_id": pd.array(list(texts), dtype="int64"), "text": list(texts.values())}
+    )
+    idx = _build(docs, str(tmp_path / "idx"), n_partitions=2)
+    out = (
+        proximity_topk(
+            IndexSearcher(idx), rd.from_pandas(docs), "alpha beta gamma", k=10
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = {0: 3, 1: 6, 2: 3, 3: 3, 5: 8}
+    assert dict(zip(out["doc_id"], out["window_len"])) == want
+    # rank order: (window asc, doc_id asc)
+    assert out["doc_id"].tolist() == [0, 2, 3, 1, 5]
+    assert out["rank"].tolist() == list(range(5))
