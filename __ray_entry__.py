@@ -2013,6 +2013,38 @@ def _q_resumable_write_roundtrip(sf_dir: str):
     return back.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_jsonl_ingest(sf_dir: str):
+    """JSONL corpus ingestion under a full SQL oracle (the warc_ingest
+    pattern): 4 shards — two plain, two gzip — synthesized from the
+    documents table (shard = doc_id %% 4), read back through the
+    vectorized NDJSON reader; the result must BE the documents table."""
+    import shutil
+
+    import ray.data as rd
+
+    from indexer_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    df = t.to_pandas()
+    tag = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    root = f"/tmp/indexer_ray_entry/{tag}_jsonl"
+    shutil.rmtree(root, ignore_errors=True)
+    for s in range(4):
+        write_jsonl(
+            rd.from_pandas(df[df["doc_id"] % 4 == s]),
+            root,
+            compress=bool(s % 2),
+        )
+    out = read_jsonl(root, columns=cols).to_pandas()
+    return (
+        out[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+
+
 def _q_warc_ingest(sf_dir: str):
     """WARC crawl ingestion under a full SQL oracle: both sides derive the
     SAME deterministic crawl from the documents table (url and WARC-Date
@@ -2328,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
+        "jsonl_ingest": _q_jsonl_ingest,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
@@ -3291,6 +3324,9 @@ FROM edges GROUP BY src_host, dst_host ORDER BY src_host, dst_host""",
         # WARC ingestion: the synthesized crawl is a pure function of
         # doc_id (url, WARC-Date = 2021-01-01 + doc_id seconds) with the
         # document text as the record body, so the read-back is the table
+        # JSONL read-back is the documents table itself
+        "jsonl_ingest": """SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id""",
         "warc_ingest": """SELECT 'https://corpus.test/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(epoch(TIMESTAMP '2021-01-01 00:00:00') AS BIGINT) + doc_id AS ts_s,
        text

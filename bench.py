@@ -89,11 +89,13 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import numpy as _np
     import pyarrow.parquet as _pq
 
+    dedup.substring_dup_stats(_tiny_docs, min_len=30, n_parts=8).materialize()
     _tiny_emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet")).limit(64).materialize()
     _tq = _pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     ).to_pandas().head(2)
     ann.ann_brute_topk(_tiny_emb, _np.stack(_tq["embedding"].to_numpy()), k=2)
+    dedup.semdedup_keep(_tiny_emb, n_clusters=2, sample_size=64).materialize()
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -180,6 +182,22 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         lambda: dedup_paragraphs(
             read_parquet_clean(docs_path, columns=["doc_id", "text"])
         ).materialize(),
+    )
+
+    # round-4 dedup-family completion: the substring census is the
+    # heaviest op in the repo (one shuffle row per corpus CHARACTER) —
+    # benched so a regression in the rolling-hash map or the routed
+    # census shows up in the driver's BENCH capture
+    timed(
+        "substring_dup_stats",
+        lambda: dedup.substring_dup_stats(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            min_len=30,
+        ).materialize(),
+    )
+    timed(
+        "semdedup",
+        lambda: dedup.semdedup_keep(emb, n_clusters=16).materialize(),
     )
     return out
 

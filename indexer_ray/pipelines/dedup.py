@@ -2139,7 +2139,7 @@ class _GramHashStage:
         )
 
 
-def substring_dup_stats(ds, min_len: int = 25, n_parts: int = 32):
+def substring_dup_stats(ds, min_len: int = 25, n_parts: int | None = None):
     """Corpus-level exact duplicate-substring census — the suffix-array
     dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better", arXiv:2107.06499) re-expressed for Ray Data: a
@@ -2168,6 +2168,15 @@ def substring_dup_stats(ds, min_len: int = 25, n_parts: int = 32):
     from indexer_ray.functions.hashing import key_partition
 
     L = min_len
+    # shuffle width tracks corpus size (same rationale as
+    # _adaptive_pair_parts: a 32-way sort of a toy corpus pays fixed
+    # per-task scheduling for no parallelism win); explicit n_parts wins.
+    # grams-per-doc >> 1, so bias the width up vs the pair heuristic.
+    n_parts = (
+        n_parts
+        if n_parts is not None
+        else max(_adaptive_pair_parts(ds, None), 16)
+    )
 
     grams = ds.select_columns(["doc_id", "text"]).map_batches(
         _GramHashStage,
