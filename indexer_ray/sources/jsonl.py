@@ -109,3 +109,41 @@ def write_jsonl(ds, out_dir: str, compress: bool = False,
         os.replace(tmp, path)
         paths.append(path)
     return paths
+
+
+def index_jsonl_corpus(root_or_paths, index_dir: str, config=None,
+                       resume: bool = False,
+                       id_column: str = "doc_id",
+                       text_column: str = "text"):
+    """End-to-end JSONL ingestion: shards -> pages parquet -> build_index,
+    the same materialize-then-build resume contract as index_warc_corpus
+    (sources/warc.py): extraction runs once behind a completion marker,
+    the build resumes from its own per-partition checkpoints.  Returns
+    (manifest, n_docs)."""
+    import glob as g
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+
+    if config is None:
+        # JSONL docs carry native ids, not urls — key the build on them
+        config = BuildConfig(id_column=id_column)
+
+    pages_dir = index_dir.rstrip("/") + "_pages"
+    marker = os.path.join(pages_dir, "_EXTRACTION_COMPLETE")
+    if not (resume and os.path.exists(marker)):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        read_jsonl(root_or_paths, columns=[id_column, text_column]).write_parquet(
+            pages_dir
+        )
+        os.makedirs(pages_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = sorted(g.glob(os.path.join(pages_dir, "*.parquet")))
+    if not files:
+        return None, 0
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    manifest = build_index(files, index_dir, config, resume=resume)
+    return manifest, n

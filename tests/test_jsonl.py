@@ -99,3 +99,23 @@ def test_jsonl_discovery_recursive_sorted(tmp_path):
         "b.jsonl",
         "c.ndjson",
     ]
+
+
+def test_index_jsonl_corpus_e2e(ray_session, docs_df, tmp_path):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.query import IndexSearcher
+    from indexer_ray.sources.jsonl import index_jsonl_corpus, write_jsonl
+
+    shards = str(tmp_path / "shards")
+    write_jsonl(rd.from_pandas(docs_df[["doc_id", "text"]]), shards,
+                compress=True)
+    idx = str(tmp_path / "idx")
+    manifest, n = index_jsonl_corpus(shards, idx)
+    assert n == len(docs_df)
+    s = IndexSearcher(idx)
+    hits = s.search("batch window", k=5)
+    assert len(hits) > 0
+    # resume path: second call with resume=True reuses the extraction
+    manifest2, n2 = index_jsonl_corpus(shards, idx, resume=True)
+    assert n2 == n
