@@ -112,6 +112,26 @@ def cmd_index(args) -> int:
         if m is None:
             print("no WARC records found", file=sys.stderr)
             return 1
+    elif args.corpus == "jsonl":
+        # web-dump mode: .jsonl/.ndjson(.gz) shards (sources/jsonl.py);
+        # JSONL docs carry native ids — default the build key to doc_id
+        import dataclasses
+
+        from indexer_ray.sources.jsonl import index_jsonl_corpus
+
+        if cfg.id_column is None:
+            cfg = dataclasses.replace(cfg, id_column="doc_id")
+        _init_ray(args.ray_address)
+        m, n_docs = index_jsonl_corpus(
+            args.path,
+            args.output,
+            cfg,
+            resume=args.resume,
+            id_column=cfg.id_column,
+        )
+        if m is None:
+            print("no JSONL records found", file=sys.stderr)
+            return 1
     else:
         files = _resolve_inputs(args.path, args.skip_paths)
         if not files:
@@ -234,10 +254,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--corpus",
         default="parquet",
-        choices=["parquet", "files", "warc"],
+        choices=["parquet", "files", "warc", "jsonl"],
         help="'parquet' = pages/documents tables; 'files' = a directory of "
         "txt/md/csv/html/xml/pdf files (the reference CLI's input mode); "
-        "'warc' = .warc/.warc.gz crawl archives (ISO 28500)",
+        "'warc' = .warc/.warc.gz crawl archives (ISO 28500); "
+        "'jsonl' = .jsonl/.ndjson(.gz) web-dump shards",
     )
     p.add_argument("--hidden", action="store_true", help="files corpus: include hidden files")
     p.add_argument("--mode", default="conformance", choices=["conformance", "plain"])

@@ -119,3 +119,27 @@ def test_index_jsonl_corpus_e2e(ray_session, docs_df, tmp_path):
     # resume path: second call with resume=True reuses the extraction
     manifest2, n2 = index_jsonl_corpus(shards, idx, resume=True)
     assert n2 == n
+
+
+def test_cli_index_jsonl_corpus(ray_session, tmp_path, capsys):
+    import ray.data as rd
+
+    from indexer_ray.cli import main
+    from indexer_ray.sources.jsonl import write_jsonl
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(5), dtype="int64"),
+            "text": [f"needle{i} running fast words here" for i in range(5)],
+        }
+    )
+    d = tmp_path / "dump"
+    write_jsonl(rd.from_pandas(rows), str(d), compress=True)
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "-p", str(d), "-o", idx, "--corpus", "jsonl"])
+    assert rc == 0
+    assert "Indexed 5 docs" in capsys.readouterr().out
+    rc = main(["search", "-i", idx, "-q", "needle2", "-c", "3"])
+    assert rc == 0
+    assert "2" in capsys.readouterr().out
+    assert main(["verify", "-i", idx, "--deep"]) == 0
