@@ -1032,6 +1032,53 @@ def _q_c4_line_filter(sf_dir: str):
     )
 
 
+def _gopher_synth_rows(sf_dir: str) -> pd.DataFrame:
+    """Deterministic lined corpus for the Gopher rule oracle: lines are
+    8-word windows of each document's \\S+ words; a hash of (doc_id,
+    line_idx) injects bullets / '...' / ' ##' / ' …' decorations, and docs
+    at doc_id % 3 == 0 get a required-stopword line prepended — so every
+    Table-A1 rule (bullet lines, ellipsis lines, symbol ratios, required
+    stopwords) is exercised with non-trivial counts on both sides."""
+    import re
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for d, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        words = re.findall(r"\S+", tx or "")
+        lines = []
+        if d % 3 == 0:
+            lines.append("the data have moved with that pipeline.")
+        for li in range(-(-len(words) // 8)):
+            seg = " ".join(words[li * 8 : (li + 1) * 8])
+            h = ((d * 131 + li) * 2654435761 % 2**32) % 10
+            if h == 0:
+                seg = "- " + seg
+            elif h == 1:
+                seg = seg + "..."
+            elif h == 2:
+                seg = seg + " ##"
+            elif h == 3:
+                seg = seg + " …"
+            lines.append(seg)
+        rows.append({"doc_id": d, "text": "\n".join(lines)})
+    return pd.DataFrame(rows)
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Full Gopher Table-A1 quality rule set (Rae et al. 2021) over the
+    synthesized lined corpus; every threshold integer-compared so the
+    DuckDB oracle replays the identical arithmetic (counts AND the final
+    page-keep decision are hash-checked)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import gopher_quality_stats
+
+    out = gopher_quality_stats(rd.from_pandas(_gopher_synth_rows(sf_dir))).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_substring_dup(sf_dir: str):
     """Exact duplicate-substring census (Lee et al. 2022 suffix-array
     dedup semantics): per doc, 30-codepoint grams occurring >= 2 times
@@ -2356,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- slot 50 boundary ----
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
+        "gopher_quality": _q_gopher_quality,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -2717,6 +2765,70 @@ SELECT d.doc_id, COALESCE(a.n_lines, 1) AS n_lines,
                  THEN 1 ELSE 0 END AS BIGINT) AS kept,
        COALESCE(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+        # full Gopher Table-A1 rule set over the synthesized lined corpus
+        # (8-word windows + hash-assigned bullet/'...'/##/… decorations +
+        # required-stopword injection at doc_id % 3 == 0) — the derivation
+        # mirrors _gopher_synth_rows exactly; every threshold is integer
+        # cross-multiplication so counts AND the keep decision hash-match
+        "gopher_quality": r"""WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), seg AS (
+  SELECT doc_id, pos // 8 AS li,
+         CASE ((doc_id*131 + pos // 8) * 2654435761 % 4294967296) % 10
+           WHEN 0 THEN '- ' || string_agg(term, ' ' ORDER BY pos)
+           WHEN 1 THEN string_agg(term, ' ' ORDER BY pos) || '...'
+           WHEN 2 THEN string_agg(term, ' ' ORDER BY pos) || ' ##'
+           WHEN 3 THEN string_agg(term, ' ' ORDER BY pos) || ' …'
+           ELSE string_agg(term, ' ' ORDER BY pos)
+         END AS line
+  FROM words GROUP BY doc_id, pos // 8
+), inj AS (
+  SELECT doc_id, -1 AS li, 'the data have moved with that pipeline.' AS line
+  FROM documents WHERE doc_id % 3 = 0
+), pages AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text
+  FROM (SELECT * FROM seg UNION ALL SELECT * FROM inj) GROUP BY doc_id
+), pg AS (
+  SELECT d.doc_id, COALESCE(p.text, '') AS text
+  FROM documents d LEFT JOIN pages p USING (doc_id)
+), c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+         l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+         l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+         w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    CAST((CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])the([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])be([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])to([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])of([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])and([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])that([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])have([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])with([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_req_stop
+  FROM pg
+)
+SELECT doc_id, n_words, word_chars, n_lines, n_bullet_lines, n_ellipsis_lines,
+       n_hash, n_ellipsis, n_alpha_words, n_req_stop,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND 3*n_words <= word_chars AND word_chars <= 10*n_words
+                  AND 10*n_hash <= n_words AND 10*n_ellipsis <= n_words
+                  AND 10*n_bullet_lines <= 9*n_lines
+                  AND 10*n_ellipsis_lines <= 3*n_lines
+                  AND 10*n_alpha_words >= 8*n_words
+                  AND n_req_stop >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c ORDER BY doc_id""",
         # 30-codepoint gram census; coverage via the equal-length-
         # interval identity L + sum(min(L, gap)) — exactly
         # dedup.substring_dup_stats

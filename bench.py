@@ -68,6 +68,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
     warm_dir = os.path.join(SCRATCH, "warmup_index")
     warm_pages = os.path.join(SCRATCH, "warmup_pages.parquet")
+    os.makedirs(SCRATCH, exist_ok=True)
     shutil.rmtree(warm_dir, ignore_errors=True)
     _pqw.write_table(
         _pqw.ParquetFile(docs_path).read_row_group(0).slice(0, 512), warm_pages

@@ -2257,10 +2257,15 @@ def substring_dup_stats(ds, min_len: int = 25, n_parts: int | None = None):
         _dup_positions, batch_format="pandas"
     )
     # tagged union (base rows tag=1, dup-position rows tag=0) — one
-    # doc-routed groupby merges both sides without a join
+    # doc-routed groupby merges both sides without a join.  The pandas
+    # map_groups blocks pick up pandas schema metadata on the arrow
+    # conversion; strip it or the downstream sort's schema dedup is
+    # defeated (unhashable-dict warnings, driver metadata bloat).
     unioned = base.union(
         dups.map_batches(
-            lambda t: t.select(["doc_id", "pos", "n_chars", "n_grams", "tag"]),
+            lambda t: t.select(
+                ["doc_id", "pos", "n_chars", "n_grams", "tag"]
+            ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
     ).map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)

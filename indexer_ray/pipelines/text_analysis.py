@@ -712,6 +712,135 @@ def _flatten_ws_tokens(batch: pa.Table):
     return rows[mask], flat_arr.to_numpy(zero_copy_only=False)[mask]
 
 
+# Rae et al. 2021 (Gopher), Table A1: the page must contain >= 2 of these
+# "required words" to survive the stopword rule.
+_GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(ds):
+    """Full Gopher quality rule set (Rae et al. 2021, Table A1) as integer
+    counts plus the page-keep decision:
+
+      r1  50 <= n_words <= 100,000                (\\S+ words)
+      r2  3 <= mean word length <= 10             (3*n_words <= word_chars
+                                                   <= 10*n_words)
+      r3  hash / ellipsis symbol-to-word ratio <= 0.1
+      r4  <= 90% of lines start with a bullet ('-', '*' or U+2022)
+      r5  <= 30% of lines end with an ellipsis ('...' or U+2026)
+      r6  >= 80% of words contain an alphabetic character
+      r7  >= 2 distinct required stopwords present (plain-token boundaries)
+
+    Every threshold is compared by integer cross-multiplication so the
+    DuckDB oracle is float-free and exact; the emitted columns are the raw
+    integer counts (not ratios), matching the repetition_stats discipline.
+    Pure map_batches — the rules are per-document, no shuffle.  All string
+    work is Arrow kernels over the whole batch (RE2 patterns, no
+    lookarounds, so the identical regexes run in the DuckDB oracle).
+
+    Output: (doc_id, n_words, word_chars, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_hash, n_ellipsis, n_alpha_words, n_req_stop, kept).
+    """
+    import pyarrow.compute as pc
+
+    req_pats = [
+        f"(^|[^a-z0-9]){w}([^a-z0-9]|$)" for w in _GOPHER_REQUIRED_WORDS
+    ]
+
+    def _flat_counts(col, splitter, flat_pred):
+        """split each row -> (per-row counts of elements, of pred hits)."""
+        lst = splitter(col)
+        flat = lst.flatten()
+        counts = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
+        n = len(counts)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        hits, lens = flat_pred(flat)
+        total = np.bincount(rows, weights=hits, minlength=n).astype(np.int64)
+        chars = np.bincount(rows, weights=lens, minlength=n).astype(np.int64)
+        nonempty = np.bincount(rows, weights=lens > 0, minlength=n).astype(np.int64)
+        return nonempty, total, chars
+
+    def _gopher(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        col = pc.fill_null(batch.column("text").combine_chunks(), "")
+
+        # words: \S+ runs (Arrow's split emits '' for repeated whitespace;
+        # masked out via the zero-length lane in _flat_counts)
+        def _word_pred(flat):
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+                zero_copy_only=False
+            )
+            return alpha & (lens > 0), lens
+
+        n_words, n_alpha_words, word_chars = _flat_counts(
+            col, pc.ascii_split_whitespace, _word_pred
+        )
+
+        # lines: '\n'-separated (empty lines count, as in the SQL split)
+        def _line_pred(flat):
+            bullet = pc.match_substring_regex(flat, "^[-*•]").to_numpy(
+                zero_copy_only=False
+            )
+            return bullet, np.ones(len(flat), dtype=np.int64)
+
+        def _line_pred_ell(flat):
+            ell = pc.match_substring_regex(
+                flat, r"(\.\.\.|…)$"
+            ).to_numpy(zero_copy_only=False)
+            return ell, np.ones(len(flat), dtype=np.int64)
+
+        split_nl = lambda c: pc.split_pattern(c, pattern="\n")  # noqa: E731
+        n_lines, n_bullet_lines, _ = _flat_counts(col, split_nl, _line_pred)
+        _, n_ellipsis_lines, _ = _flat_counts(col, split_nl, _line_pred_ell)
+
+        n_hash = pc.count_substring(col, "#").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_ellipsis = (
+            pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
+            + pc.count_substring(col, "…").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+
+        lower = pc.utf8_lower(col)
+        n_req_stop = np.zeros(n, dtype=np.int64)
+        for pat in req_pats:
+            n_req_stop += pc.match_substring_regex(lower, pat).to_numpy(
+                zero_copy_only=False
+            )
+
+        kept = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (3 * n_words <= word_chars)
+            & (word_chars <= 10 * n_words)
+            & (10 * n_hash <= n_words)
+            & (10 * n_ellipsis <= n_words)
+            & (10 * n_bullet_lines <= 9 * n_lines)
+            & (10 * n_ellipsis_lines <= 3 * n_lines)
+            & (10 * n_alpha_words >= 8 * n_words)
+            & (n_req_stop >= 2)
+        ).astype(np.int64)
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "word_chars": pa.array(word_chars, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_bullet_lines": pa.array(n_bullet_lines, type=pa.int64()),
+                "n_ellipsis_lines": pa.array(n_ellipsis_lines, type=pa.int64()),
+                "n_hash": pa.array(n_hash, type=pa.int64()),
+                "n_ellipsis": pa.array(n_ellipsis, type=pa.int64()),
+                "n_alpha_words": pa.array(n_alpha_words, type=pa.int64()),
+                "n_req_stop": pa.array(n_req_stop, type=pa.int64()),
+                "kept": pa.array(kept, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_gopher, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=2048)
+
+
 def repetition_stats(ds):
     """Per-document repetition signals over whitespace tokens — the
     Gopher-style (Rae et al. 2021, §A1.1) quality heuristics that catch
