@@ -1079,6 +1079,16 @@ def _q_gopher_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-100 adjacent-bigram collocations by quantized PMI (Church &
+    Hanks 1990); every ln(count) floor-quantized to int64 before the
+    signed combination so the oracle replays exact integers."""
+    from indexer_ray.pipelines.text_analysis import pmi_collocations
+
+    out = pmi_collocations(_docs(sf_dir), k=100, min_count=5).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def _q_substring_dup(sf_dir: str):
     """Exact duplicate-substring census (Lee et al. 2022 suffix-array
     dedup semantics): per doc, 30-codepoint grams occurring >= 2 times
@@ -2404,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "gopher_quality": _q_gopher_quality,
+        "pmi_collocations": _q_pmi_collocations,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -2765,6 +2776,37 @@ SELECT d.doc_id, COALESCE(a.n_lines, 1) AS n_lines,
                  THEN 1 ELSE 0 END AS BIGINT) AS kept,
        COALESCE(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+        # quantized-PMI collocations: q(c12) + 2q(N1) - q(N2) - q(c1) -
+        # q(c2), q(x) = floor(1e6*ln(x)+0.5) — exactly
+        # text_analysis.pmi_collocations' integer combination
+        "pmi_collocations": """WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(c12) FROM big) AS n2
+), q AS (
+  SELECT w1, w2, c12 AS cnt,
+         CAST(floor(1e6*ln(c12) + 0.5) AS BIGINT)
+       + 2*CAST(floor(1e6*ln(t.n1) + 0.5) AS BIGINT)
+       - CAST(floor(1e6*ln(t.n2) + 0.5) AS BIGINT)
+       - CAST(floor(1e6*ln(u1.c) + 0.5) AS BIGINT)
+       - CAST(floor(1e6*ln(u2.c) + 0.5) AS BIGINT) AS pmi_q
+  FROM big CROSS JOIN tot t
+  JOIN uni u1 ON big.w1 = u1.term
+  JOIN uni u2 ON big.w2 = u2.term
+  WHERE c12 >= 5
+)
+SELECT w1, w2, cnt, pmi_q,
+       row_number() OVER (ORDER BY pmi_q DESC, w1, w2) - 1 AS rank
+FROM q QUALIFY rank < 100 ORDER BY rank""",
         # full Gopher Table-A1 rule set over the synthesized lined corpus
         # (8-word windows + hash-assigned bullet/'...'/##/… decorations +
         # required-stopword injection at doc_id % 3 == 0) — the derivation

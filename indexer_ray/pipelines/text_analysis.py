@@ -686,6 +686,170 @@ def bigram_counts(ds, k: int = 100):
     )
 
 
+def pmi_collocations(ds, k: int = 100, min_count: int = 5, n_parts: int = 32):
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi = ln(P(w1 w2) / (P(w1) P(w2))) with
+    P(w1 w2) = c12/N2 and P(w) = c/N1 over plain tokens — the classic
+    corpus-linguistics collocation extractor (raw counts rank "of the";
+    PMI ranks genuinely associated pairs).
+
+    Exactness: each ln(count) quantizes to int64 (×1e6, floor+0.5) BEFORE
+    the signed combination, so
+      pmi_q = q(c12) + 2·q(N1) − q(N2) − q(c1) − q(c2)
+    is an exact integer the DuckDB oracle reproduces term by term.
+
+    Scale shape — no count-table broadcast, no join:
+      * ONE tagged partial-count pass (per-batch Counters; unigram rows
+        keyed w2 = '' — plain tokens are never empty) and ONE groupby-sum
+        merge both count kinds in a single shuffle;
+      * N1/N2 are per-block partial sums (1 row per block to the driver);
+      * c1/c2 attach via two hash-routed tagged-union passes (the
+        doc_bigram_nll two-routing pattern): unigram rows travel WITH the
+        bigram rows to the partition that owns their term, so each group
+        resolves its counts locally;
+      * top-k is local-topk + constant-key merge, never a global sort.
+    Bigram rows below `min_count` drop before the routing shuffles.
+
+    Output: (w1, w2, cnt, pmi_q, rank), rank by (pmi_q desc, w1, w2)."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from indexer_ray.functions.hashing import key_partition
+
+    def _tagged_partials(batch: pa.Table) -> pa.Table:
+        cb: Counter = Counter()
+        cu: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_plain(t or "")
+            cu.update(toks)
+            cb.update(zip(toks, toks[1:]))
+        w1 = [p[0] for p in cb] + list(cu.keys())
+        w2 = [p[1] for p in cb] + [""] * len(cu)
+        cnt = [cb[p] for p in cb] + [cu[t] for t in cu]
+        return pa.table(
+            {
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(
+            _tagged_partials,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        isuni = pc.equal(batch.column("w2"), "")
+        cnt = batch.column("cnt")
+        n1 = pc.sum(pc.if_else(isuni, cnt, pa.scalar(0, pa.int64()))).as_py() or 0
+        n2 = pc.sum(pc.if_else(isuni, pa.scalar(0, pa.int64()), cnt)).as_py() or 0
+        return pa.table(
+            {"n1": pa.array([n1], pa.int64()), "n2": pa.array([n2], pa.int64())}
+        )
+
+    tot = merged.map_batches(_totals, batch_format="pyarrow").to_pandas()
+    n1_total, n2_total = int(tot["n1"].sum()), int(tot["n2"].sum())
+
+    def _q_int(x) -> np.ndarray:
+        return np.floor(np.log(np.asarray(x, dtype=np.float64)) * 1e6 + 0.5).astype(
+            np.int64
+        )
+
+    qn1 = int(_q_int([n1_total])[0]) if n1_total else 0
+    qn2 = int(_q_int([n2_total])[0]) if n2_total else 0
+
+    def _hash_parts(terms: list[str]) -> np.ndarray:
+        h = np.array(
+            [
+                int.from_bytes(_hl.blake2b(t.encode(), digest_size=8).digest(), "big")
+                for t in terms
+            ],
+            dtype=np.uint64,
+        )
+        return key_partition(h, n_parts)
+
+    def _route1(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(batch.column("w2"), ""),
+            pc.greater_equal(batch.column("cnt"), min_count),
+        )
+        t = batch.filter(keep)
+        return t.append_column(
+            "p", pa.array(_hash_parts(t.column("w1").to_pylist()), type=pa.int32())
+        )
+
+    def _attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["w2"] == ""]
+        big = g[g["w2"] != ""].copy()
+        big["c1"] = big["w1"].map(dict(zip(uni["w1"], uni["cnt"]))).astype("int64")
+        uni = uni.copy()
+        uni["c1"] = np.int64(0)
+        return pd.concat([big, uni], ignore_index=True)[["w1", "w2", "cnt", "c1"]]
+
+    def _route2(batch: pa.Table) -> pa.Table:
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        terms = [b if b else a for a, b in zip(w1, w2)]
+        return batch.append_column(
+            "p", pa.array(_hash_parts(terms), type=pa.int32())
+        )
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["w2"] == ""]
+        big = g[g["w2"] != ""]
+        out = pd.DataFrame(
+            {
+                "w1": big["w1"],
+                "w2": big["w2"],
+                "cnt": big["cnt"].astype("int64"),
+                "pmi_q": (
+                    _q_int(big["cnt"])
+                    + 2 * qn1
+                    - qn2
+                    - _q_int(big["c1"])
+                    - _q_int(big["w2"].map(dict(zip(uni["w1"], uni["cnt"]))))
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    scored = (
+        merged.map_batches(_route1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(_attach_c1, batch_format="pandas")
+        .map_batches(_route2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(_score, batch_format="pandas")
+    )
+
+    def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["pmi_q", "w1", "w2"], ascending=[False, True, True]).head(k)
+        b["g"] = np.int32(0)
+        return b
+
+    def _merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pmi_q", "w1", "w2"], ascending=[False, True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["w1", "w2", "cnt", "pmi_q", "rank"]]
+
+    return (
+        scored.map_batches(_local_topk, batch_format="pandas", batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge_topk, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------- repetition signals
 
 
