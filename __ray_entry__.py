@@ -1463,6 +1463,38 @@ def _q_canonical_urls(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+def _q_latest_snapshot(sf_dir: str):
+    """Crawl re-fetch dedup (keep the newest fetch per URL) under a full
+    SQL oracle: both sides synthesize the SAME deterministic (url, ts)
+    per doc_id — 221 distinct urls over the corpus so most urls carry
+    several fetches — and keep ROW_NUMBER() OVER (PARTITION BY url ORDER
+    BY ts DESC, doc_id DESC) = 1."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import keep_latest_per_key
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "url": [f"https://s{i % 13}.example/p{i % 17}" for i in ids],
+            "ts": pd.array(
+                [(i * 2654435761 % 2**32) % 100000 for i in ids], dtype="int64"
+            ),
+        }
+    )
+    out = keep_latest_per_key(rd.from_pandas(df)).to_pandas()
+    return (
+        out.sort_values("url")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "ts": "int64"})
+    )
+
+
 def _q_link_graph(sf_dir: str):
     """Host-level link graph under a full SQL oracle: both sides derive
     the SAME deterministic page (url + anchor set) per doc_id — absolute,
@@ -2415,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round (each passed the driver oracle in 2-3 prior rounds):
         "gopher_quality": _q_gopher_quality,
         "pmi_collocations": _q_pmi_collocations,
+        "latest_snapshot": _q_latest_snapshot,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -2776,6 +2809,18 @@ SELECT d.doc_id, COALESCE(a.n_lines, 1) AS n_lines,
                  THEN 1 ELSE 0 END AS BIGINT) AS kept,
        COALESCE(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+        # crawl re-fetch dedup: newest (ts, doc_id) fetch per synthesized
+        # url — exactly urls.keep_latest_per_key
+        "latest_snapshot": """WITH pg AS (
+  SELECT doc_id,
+         'https://s' || CAST(doc_id % 13 AS VARCHAR) || '.example/p'
+           || CAST(doc_id % 17 AS VARCHAR) AS url,
+         CAST((doc_id * 2654435761 % 4294967296) % 100000 AS BIGINT) AS ts
+  FROM documents
+)
+SELECT url, CAST(doc_id AS BIGINT) AS doc_id, ts FROM pg
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY ts DESC, doc_id DESC) = 1
+ORDER BY url""",
         # quantized-PMI collocations: q(c12) + 2q(N1) - q(N2) - q(c1) -
         # q(c2), q(x) = floor(1e6*ln(x)+0.5) — exactly
         # text_analysis.pmi_collocations' integer combination

@@ -92,3 +92,51 @@ def host_doc_counts(ds, url_col: str = "url"):
         .groupby("host")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def keep_latest_per_key(
+    ds,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+):
+    """Crawl re-fetch dedup: keep exactly ONE row per key — the newest
+    fetch, i.e. ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC,
+    id DESC) = 1`` (ts ties break on the larger id, so re-crawls with a
+    coarse clock are still deterministic).  This is the freshness step a
+    continuously-refreshed web index runs before build/merge: only the
+    latest snapshot of each URL should be indexed.
+
+    Shape: hash-route whole key groups into `n_parts` partitions (the
+    cap_per_group routing — one vectorized lexsort + drop_duplicates pass
+    per PARTITION, never per key), shuffle moves only (key, id, ts).
+    Output: (key_col, id_col, ts_col) survivors."""
+    from indexer_ray.pipelines.sampling import _group_parts
+
+    def _route(t: pa.Table) -> pa.Table:
+        part = _group_parts(t.column(key_col), n_parts)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                id_col: t.column(id_col),
+                ts_col: t.column(ts_col),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def _latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, ts_col, id_col], ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return g.drop_duplicates(key_col, keep="first")[
+            [key_col, id_col, ts_col]
+        ]
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby("part")
+        .map_groups(_latest, batch_format="pandas")
+    )

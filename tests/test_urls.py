@@ -90,3 +90,60 @@ _url_st = st.one_of(
 def test_canonicalization_is_idempotent(u):
     once = _canon_one(u)
     assert _canon_one(once) == once
+
+
+# --------------------------------------------- keep_latest_per_key
+
+
+def test_keep_latest_per_key_picks_newest_then_largest_id(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import keep_latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "url": ["a", "a", "a", "b", "b", "c"],
+            "doc_id": [1, 2, 3, 10, 11, 20],
+            "ts": [5, 9, 9, 7, 3, 1],
+        }
+    )
+    out = (
+        keep_latest_per_key(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # a: ts tie at 9 -> larger doc_id (3); b: newest ts 7 -> doc 10
+    assert out["url"].tolist() == ["a", "b", "c"]
+    assert out["doc_id"].tolist() == [3, 10, 20]
+    assert out["ts"].tolist() == [9, 7, 1]
+
+
+def test_keep_latest_per_key_layout_independent(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import keep_latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i % 9}" for i in range(100)],
+            "doc_id": list(range(100)),
+            "ts": [(i * 37) % 11 for i in range(100)],
+        }
+    )
+    a = (
+        keep_latest_per_key(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        keep_latest_per_key(rd.from_pandas(df).repartition(8))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 9
