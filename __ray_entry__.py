@@ -1218,6 +1218,25 @@ def _q_ann_brute(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]].astype("int64")
 
 
+def _q_mmr_topk(sf_dir: str):
+    """MMR-diversified top-10 (lambda=0.7, pool=100, query = vec 0's
+    embedding): the greedy selection order is replayed by a recursive-CTE
+    oracle; rank + vec_id are hash-checked (scores are float, rows-only
+    discipline applies to them — same stance as ann_brute_topk)."""
+    import pyarrow.parquet as _pq
+
+    from indexer_ray.pipelines.ann import mmr_topk
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q = np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+    out = mmr_topk(_emb(sf_dir), q, k=10, pool=100, lam=0.7)
+    return out[["rank", "vec_id"]].astype("int64")
+
+
 def _q_ann_lsh(sf_dir: str):
     from indexer_ray.pipelines.ann import ann_lsh_topk
 
@@ -2448,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "pmi_collocations": _q_pmi_collocations,
         "latest_snapshot": _q_latest_snapshot,
+        "mmr_topk": _q_mmr_topk,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3689,6 +3709,34 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
+        # MMR greedy diversification replayed as a recursive CTE: step 0 =
+        # best rel, each later step the LATERAL argmax of
+        # 0.7*rel - 0.3*max(sim to chosen); DOUBLE[] casts force DuckDB's
+        # double cosine kernel to match the engine's float64 arithmetic
+        "mmr_topk": """WITH RECURSIVE
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS rel
+  FROM embeddings e CROSS JOIN q
+  ORDER BY rel DESC, e.vec_id LIMIT 100
+),
+sel AS (
+  (SELECT 0 AS step, vec_id, [vec_id] AS chosen
+   FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT s.step + 1, c.vec_id, list_append(s.chosen, c.vec_id)
+  FROM sel s, LATERAL (
+    SELECT p.vec_id,
+           0.7*p.rel - 0.3*(SELECT max(list_cosine_similarity(p.emb, p2.emb))
+                            FROM pool p2 WHERE list_contains(s.chosen, p2.vec_id)) AS mmr
+    FROM pool p WHERE NOT list_contains(s.chosen, p.vec_id)
+    ORDER BY mmr DESC, p.vec_id LIMIT 1
+  ) c
+  WHERE s.step < 9
+)
+SELECT CAST(step AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id
+FROM sel ORDER BY rank""",
         # same Knuth lattice as hash_split_assign; rate 10000ths per source
         "mixture_sample": """SELECT doc_id, text, lang, source, n_chars
 FROM documents

@@ -181,6 +181,70 @@ def ann_brute_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     return _final_topk_ds(partials, k)
 
 
+def mmr_topk(
+    emb_ds, query: np.ndarray, k: int = 10, pool: int = 100, lam: float = 0.7
+) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    1998): greedily select argmax ``lam*rel(d) − (1−lam)*max_{s∈S} sim(d,s)``
+    — the result-diversification step a retrieval pipeline runs so the top
+    page isn't k near-duplicates of one answer.
+
+    Scale shape: stage 1 is the exact distributed cosine top-`pool`
+    candidate cut (brute partial-top-k + grouped merge — only `pool` rows
+    reach the driver); stage 2 fetches just the pool's embeddings via a
+    broadcast membership filter and runs the greedy selection over the
+    pool×pool cosine matrix on the driver — pool is a CONSTANT (default
+    100), so the driver work is O(pool²) regardless of corpus size.
+
+    Ties: step 0 picks (rel desc, vec_id asc); later steps (mmr desc,
+    vec_id asc) — the order the SQL oracle replays.  Output:
+    (rank, vec_id, cosine) in selection order."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    cand = ann_brute_topk(emb_ds, q, k=pool)
+    ids = cand["vec_id"].to_numpy()
+    relmap = dict(zip(ids.tolist(), cand["cosine"].to_numpy().tolist()))
+    idset = pa.array(sorted(relmap), type=pa.int64())
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            pc.cast(batch.column("vec_id"), pa.int64()), value_set=idset
+        )
+        return batch.filter(m)
+
+    sub = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(_pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    vid = sub["vec_id"].to_numpy().astype(np.int64)
+    X = _normalize(np.stack(sub["embedding"].to_numpy()).astype(np.float64))
+    rels = np.array([relmap[v] for v in vid], dtype=np.float64)
+    S = X @ X.T
+    n = len(vid)
+    chosen: list[int] = []
+    chosen_mask = np.zeros(n, dtype=bool)
+    maxsim = np.full(n, -np.inf)
+    for step in range(min(k, n)):
+        scores = rels if step == 0 else lam * rels - (1.0 - lam) * maxsim
+        scores = np.where(chosen_mask, -np.inf, scores)
+        best = int(np.lexsort((vid, -scores))[0])
+        chosen.append(best)
+        chosen_mask[best] = True
+        maxsim = np.maximum(maxsim, S[:, best])
+    sel = np.array(chosen, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(sel), dtype=np.int64),
+            "vec_id": vid[sel],
+            "cosine": rels[sel],
+        }
+    )
+
+
 def ann_lsh_topk(
     emb_ds,
     queries: np.ndarray,
