@@ -452,6 +452,24 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_search_rocchio(sf_dir: str):
+    """Pseudo-relevance-feedback expanded search over 'batch window':
+    top-5 feedback docs -> top-3 expansion terms (tf·idf weight off the
+    index, quantized rank) -> re-search; rank frame AND the chosen
+    expansion string are hash-checked against the SQL replay."""
+    from indexer_ray.pipelines.query import search_rocchio
+
+    s = _searcher(sf_dir, "plain")
+    return search_rocchio(
+        s,
+        os.path.join(sf_dir, "documents.parquet"),
+        _PLAIN_SEARCH_QUERIES[0],
+        k=10,
+        n_fb=5,
+        m_exp=3,
+    )
+
+
 def _sharded_search_frame(sf_dir: str, scorer: str) -> pd.DataFrame:
     """DOC-SHARDED distributed search, hash-checked against the SAME SQL
     oracle as the single-index query: two shard indexes over disjoint
@@ -2468,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "latest_snapshot": _q_latest_snapshot,
         "mmr_topk": _q_mmr_topk,
+        "search_rocchio_plain": _q_search_rocchio,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3709,6 +3728,51 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
+        # Rocchio blind feedback: base tf-idf top-5 -> expansion terms by
+        # quantized (sum tf)*idf rank -> re-search with q0 + expansion;
+        # the expansion STRING is checked too (same chain as
+        # query.search_rocchio; q0 = plain tokens of 'batch window')
+        "search_rocchio_plain": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+q0(term) AS (VALUES ('batch'), ('window')),
+sc0 AS (
+  SELECT tf.doc_id, sum(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / df.df))) AS score
+  FROM q0 JOIN df ON df.term = q0.term JOIN tf ON tf.term = q0.term CROSS JOIN nn
+  GROUP BY tf.doc_id
+), fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY CAST(floor(score*1e6+0.5) AS BIGINT) DESC, doc_id) AS rn
+    FROM sc0 WHERE score <> 0) WHERE rn <= 5
+), expw AS (
+  SELECT tf.term, sum(tf.tf) AS tfs
+  FROM tf JOIN fb USING (doc_id)
+  WHERE tf.term NOT IN (SELECT term FROM q0)
+  GROUP BY tf.term
+), expq AS (
+  SELECT term, rn FROM (
+    SELECT e.term, row_number() OVER (
+      ORDER BY CAST(floor(e.tfs * abs(ln(CAST(nn.n_docs AS DOUBLE)/df.df))*1e6+0.5) AS BIGINT) DESC,
+               e.term) AS rn
+    FROM expw e JOIN df ON df.term = e.term CROSS JOIN nn
+  ) WHERE rn <= 3
+), qf(term) AS (SELECT term FROM q0 UNION ALL SELECT term FROM expq),
+scf AS (
+  SELECT tf.doc_id, sum(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / df.df))) AS score
+  FROM qf JOIN df ON df.term = qf.term JOIN tf ON tf.term = qf.term CROSS JOIN nn
+  GROUP BY tf.doc_id
+), r AS (
+  SELECT doc_id, CAST(floor(score*1e6+0.5) AS BIGINT) AS score_q,
+         row_number() OVER (
+           ORDER BY CAST(floor(score*1e6+0.5) AS BIGINT) DESC, doc_id) - 1 AS rank
+  FROM scf WHERE score <> 0
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_q,
+       (SELECT string_agg(term, ' ' ORDER BY rn) FROM expq) AS exp_terms
+FROM r WHERE rank < 10 ORDER BY rank""",
         # MMR greedy diversification replayed as a recursive CTE: step 0 =
         # best rel, each later step the LATERAL argmax of
         # 0.7*rel - 0.3*max(sim to chosen); DOUBLE[] casts force DuckDB's

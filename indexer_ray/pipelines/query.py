@@ -1584,3 +1584,79 @@ def more_like_this(
             "score_q": pd.Series([r[1] for r in rows], dtype="int64"),
         }
     )
+
+
+def search_rocchio(
+    searcher: "IndexSearcher",
+    docs_path: str,
+    query: str,
+    k: int = 10,
+    n_fb: int = 5,
+    m_exp: int = 3,
+):
+    """Pseudo-relevance-feedback query expansion (the Rocchio 1971 /
+    Buckley 1994 "blind feedback" loop over the conformance tf-idf):
+
+      1. base search, keep the top `n_fb` feedback docs (quantized
+         score desc, doc_id asc — the repo's rank contract);
+      2. expansion weight w(t) = (Σ_{d∈F} tf(t, d)) · |ln(N / df(t))|
+         over the feedback docs' plain tokens, df from index point
+         reads; the top `m_exp` terms NOT already in the query
+         (floor(w·1e6 + 0.5) desc, term asc) join the query;
+      3. re-search with the expanded term set (all distinct, so the
+         duplicate-token m² semantics stay inert).
+
+    Feedback texts are fetched by a predicate-pushdown parquet read of
+    the `n_fb` ids — constant rows, never a corpus scan; expansion df
+    lookups are the searcher's bounded point reads.  Returns
+    (rank, doc_id, score_q, exp_terms) — `exp_terms` is the space-joined
+    expansion in weight order (constant per row, so the oracle
+    hash-checks the chosen expansion too)."""
+    import math
+    from collections import Counter as _Counter
+
+    import pyarrow.parquet as _pq
+
+    import pandas as pd
+
+    from indexer_ray.conformance.lexer import tokenize_plain as _tp
+
+    base = searcher.search(query, k=None, scorer="tfidf", algorithm="exhaustive")
+    ranked = sorted((-(int(math.floor(sc * 1e6 + 0.5))), d) for d, sc in base)
+    fb_ids = [int(d) for _, d in ranked[:n_fb]]
+
+    cnt: _Counter = _Counter()
+    if fb_ids:
+        t = _pq.read_table(
+            docs_path, columns=["doc_id", "text"],
+            filters=[("doc_id", "in", fb_ids)],
+        )
+        for tx in t.column("text").to_pylist():
+            cnt.update(_tp(tx or ""))
+
+    qset = set(_tp(query))
+    n = searcher.n_docs
+    weighted = []
+    for term, tf in cnt.items():
+        if term in qset:
+            continue
+        df = searcher.term_df(term)
+        if df <= 0:
+            continue
+        w_q = int(math.floor(tf * abs(math.log(n / df)) * 1e6 + 0.5))
+        weighted.append((-w_q, term))
+    weighted.sort()
+    exp_terms = [t for _, t in weighted[:m_exp]]
+
+    expanded = " ".join(list(dict.fromkeys(_tp(query))) + exp_terms)
+    hits = searcher.search(expanded, k=None, scorer="tfidf", algorithm="exhaustive")
+    final = sorted((-(int(math.floor(sc * 1e6 + 0.5))), d) for d, sc in hits)[:k]
+    exp_str = " ".join(exp_terms)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(final)), dtype="int64"),
+            "doc_id": pd.Series([int(d) for _, d in final], dtype="int64"),
+            "score_q": pd.Series([int(-negq) for negq, _ in final], dtype="int64"),
+            "exp_terms": pd.Series([exp_str] * len(final), dtype="object"),
+        }
+    )

@@ -1,0 +1,65 @@
+"""Rocchio pseudo-relevance feedback: the expansion must pick the term
+that co-occurs with the query inside the feedback docs, and a document
+that never mentions the query but matches the expansion must enter the
+final ranking (the whole point of blind feedback)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rocchio_setup(ray_session, tmp_path_factory):
+    from indexer_ray.pipelines.build import BuildConfig, build_index
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    base = tmp_path_factory.mktemp("rocchio")
+    docs_path = os.path.join(base, "docs.parquet")
+    # feedback docs pair 'needle' with 'gemstone'; doc 50+ are pure
+    # gemstone docs that never say needle; filler keeps idf meaningful
+    rows = []
+    for i in range(8):
+        rows.append((i, "needle gemstone needle gemstone shared corpus"))
+    for i in range(8, 12):
+        rows.append((i, "gemstone vault gemstone vault deep storage"))
+    for i in range(12, 60):
+        rows.append((i, f"filler{i} common words drift apart slowly here"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df.to_parquet(docs_path, index=False)
+    idx = os.path.join(base, "index")
+    build_index([docs_path], idx, BuildConfig(mode="plain", id_column="doc_id",
+                                              n_partitions=4))
+    return IndexSearcher(idx), docs_path
+
+
+def test_rocchio_expands_with_cooccurring_term(rocchio_setup):
+    from indexer_ray.pipelines.query import search_rocchio
+
+    s, docs_path = rocchio_setup
+    out = search_rocchio(s, docs_path, "needle", k=12, n_fb=5, m_exp=1)
+    assert out["exp_terms"].iloc[0] == "gemstone"
+    # the gemstone-only docs (8..11) never contain 'needle' but must now rank
+    assert set(range(8, 12)) <= set(out["doc_id"])
+
+
+def test_rocchio_rank_contract(rocchio_setup):
+    from indexer_ray.pipelines.query import search_rocchio
+
+    s, docs_path = rocchio_setup
+    out = search_rocchio(s, docs_path, "needle", k=10, n_fb=5, m_exp=2)
+    assert out["rank"].tolist() == list(range(len(out)))
+    # scores non-increasing, doc_id asc within equal scores
+    sq = out["score_q"].tolist()
+    assert all(a >= b for a, b in zip(sq, sq[1:]))
+    for a, b in zip(out.itertuples(), out.iloc[1:].itertuples()):
+        if a.score_q == b.score_q:
+            assert a.doc_id < b.doc_id
+
+
+def test_rocchio_no_feedback_docs_returns_empty(rocchio_setup):
+    from indexer_ray.pipelines.query import search_rocchio
+
+    s, docs_path = rocchio_setup
+    out = search_rocchio(s, docs_path, "zzznotindexedzzz", k=10)
+    assert len(out) == 0
