@@ -1097,6 +1097,16 @@ def _q_gopher_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_skipgram_top(sf_dir: str):
+    """Top-100 skip-gram (center, context) pairs within ±3 positions —
+    the word2vec training-pair census; the oracle is a positional
+    self-join."""
+    from indexer_ray.pipelines.text_analysis import skipgram_counts
+
+    out = skipgram_counts(_docs(sf_dir), window=3, k=100).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Top-100 adjacent-bigram collocations by quantized PMI (Church &
     Hanks 1990); every ln(count) floor-quantized to int64 before the
@@ -2442,13 +2452,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
         "link_graph_hosts": _q_link_graph,
         "lang_run_clusters": _q_lang_run_clusters,
-        "seq_packing": _q_pack_sequences,
-        "hash_split_assign": _q_hash_split,
         "index_merge_postings": _q_index_merge_postings,
-        "repetition_stats": _q_repetition_stats,
-        "cap_per_source": _q_cap_per_source,
-        "chunk_dedup_stats": _q_chunk_dedup_stats,
         "pii_redact_docs": _q_pii_redact,
+        # new-in-r04-session-4 oracle queries, first driver capture this
+        # round (displaced: seq_packing, hash_split_assign,
+        # repetition_stats, cap_per_source, chunk_dedup_stats — each
+        # driver-green in r03 AND the builder's r04 strict sweeps):
+        "gopher_quality": _q_gopher_quality,
+        "pmi_collocations": _q_pmi_collocations,
+        "latest_snapshot": _q_latest_snapshot,
+        "mmr_topk": _q_mmr_topk,
+        "search_rocchio_plain": _q_search_rocchio,
         "pagerank_hosts": _q_pagerank_hosts,
         "warc_ingest": _q_warc_ingest,
         "ccnet_paragraph_dedup": _q_ccnet_paragraph_dedup,
@@ -2480,13 +2494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
+        "skipgram_top": _q_skipgram_top,
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
-        "gopher_quality": _q_gopher_quality,
-        "pmi_collocations": _q_pmi_collocations,
-        "latest_snapshot": _q_latest_snapshot,
-        "mmr_topk": _q_mmr_topk,
-        "search_rocchio_plain": _q_search_rocchio,
+        "seq_packing": _q_pack_sequences,
+        "hash_split_assign": _q_hash_split,
+        "repetition_stats": _q_repetition_stats,
+        "cap_per_source": _q_cap_per_source,
+        "chunk_dedup_stats": _q_chunk_dedup_stats,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3728,6 +3743,21 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
+        # word2vec-style skip-gram pair census: ordered (center, context)
+        # pairs within +-3 positions, exactly text_analysis.skipgram_counts
+        "skipgram_top": """WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+  FROM documents
+), pairs AS (
+  SELECT a.term AS center, b.term AS context
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos <> a.pos
+   AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS cnt,
+       row_number() OVER (ORDER BY count(*) DESC, center, context) - 1 AS rank
+FROM pairs GROUP BY center, context QUALIFY rank < 100 ORDER BY rank""",
         # Rocchio blind feedback: base tf-idf top-5 -> expansion terms by
         # quantized (sum tf)*idf rank -> re-search with q0 + expansion;
         # the expansion STRING is checked too (same chain as

@@ -686,6 +686,106 @@ def bigram_counts(ds, k: int = 100):
     )
 
 
+def skipgram_counts(ds, window: int = 3, k: int = 100):
+    """Skip-gram (center, context) pair counts within ±`window` token
+    positions — the training-pair extraction step of word2vec-style
+    embedding training (Mikolov et al. 2013): every ordered pair
+    (t[i], t[j]) with 0 < |i−j| <= window inside a document counts once.
+    Plain tokenization, so the DuckDB oracle recomputes it exactly as a
+    positional self-join.
+
+    Shape: per-batch partial counts (one vectorized Arrow flatten, then
+    2·window shifted-pair frames through ONE pandas value_counts — no
+    per-document loop), groupby-sum over (center, context), distributed
+    top-k via local-topk + constant-key merge (never a global sort).
+
+    Output: (center, context, cnt, rank), rank by (cnt desc, center,
+    context)."""
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        rows, flat = _flatten_plain_tokens(batch)
+        frames = []
+        for d in range(1, window + 1):
+            if len(rows) <= d:
+                break
+            adj = rows[d:] == rows[:-d]
+            if not adj.any():
+                continue
+            a, b = flat[:-d][adj], flat[d:][adj]
+            frames.append(pd.DataFrame({"center": a, "context": b}))
+            frames.append(pd.DataFrame({"center": b, "context": a}))
+        if not frames:
+            return pa.table(
+                {
+                    "center": pa.array([], type=pa.string()),
+                    "context": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        c = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "center": pa.array(c["center"], type=pa.string()),
+                "context": pa.array(c["context"], type=pa.string()),
+                "cnt": pa.array(c["cnt"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(_partials, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=1024)
+        .groupby(["center", "context"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["cnt", "center", "context"], ascending=[False, True, True]
+        ).head(k)
+        b["g"] = np.int32(0)
+        return b
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cnt", "center", "context"], ascending=[False, True, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype="int64")
+        return g[["center", "context", "cnt", "rank"]]
+
+    return (
+        summed.map_batches(_local_topk, batch_format="pandas", batch_size=8192)
+        .groupby("g")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def _flatten_plain_tokens(batch: pa.Table):
+    """(rows, flat) over PLAIN tokens ([a-z0-9]+ runs of lower(text)) —
+    the plain-mode sibling of _flatten_ws_tokens: one Arrow lower + one
+    RE2 split per batch, empty fragments masked out (adjacent separators
+    produce '' fragments, exactly what regexp_extract_all never emits)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    lower = pc.utf8_lower(pc.fill_null(batch.column("text").combine_chunks(), ""))
+    toks = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+    flat_arr = toks.flatten()
+    counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    mask = pc.greater(pc.binary_length(flat_arr), 0).to_numpy(zero_copy_only=False)
+    return rows[mask], flat_arr.to_numpy(zero_copy_only=False)[mask]
+
+
 def pmi_collocations(ds, k: int = 100, min_count: int = 5, n_parts: int = 32):
     """Top-k adjacent-bigram collocations by pointwise mutual information
     (Church & Hanks 1990): pmi = ln(P(w1 w2) / (P(w1) P(w2))) with
@@ -719,15 +819,29 @@ def pmi_collocations(ds, k: int = 100, min_count: int = 5, n_parts: int = 32):
     from indexer_ray.functions.hashing import key_partition
 
     def _tagged_partials(batch: pa.Table) -> pa.Table:
-        cb: Counter = Counter()
-        cu: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = tokenize_plain(t or "")
-            cu.update(toks)
-            cb.update(zip(toks, toks[1:]))
-        w1 = [p[0] for p in cb] + list(cu.keys())
-        w2 = [p[1] for p in cb] + [""] * len(cu)
-        cnt = [cb[p] for p in cb] + [cu[t] for t in cu]
+        # one vectorized Arrow flatten for the whole batch, then integer
+        # codes: factorize once, count unigrams with bincount and bigrams
+        # with one np.unique over packed 64-bit pair codes — no
+        # per-document Python loop, no object-dtype groupby
+        rows, flat = _flatten_plain_tokens(batch)
+        if not len(rows):
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(flat)
+        v = len(uniques)
+        ucnt = np.bincount(codes, minlength=v).astype(np.int64)
+        adj = rows[1:] == rows[:-1]
+        key = codes[:-1][adj].astype(np.int64) * v + codes[1:][adj]
+        pk, pc_ = np.unique(key, return_counts=True)
+        terms = np.asarray(uniques, dtype=object)
+        w1 = np.concatenate([terms[(pk // v)], terms])
+        w2 = np.concatenate([terms[(pk % v)], np.full(v, "", dtype=object)])
+        cnt = np.concatenate([pc_.astype(np.int64), ucnt])
         return pa.table(
             {
                 "w1": pa.array(w1, type=pa.string()),

@@ -99,3 +99,59 @@ def test_pmi_layout_independent(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ skipgram_counts
+
+
+def _brute_skipgrams(texts, window, k):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        for i, a in enumerate(toks):
+            for j in range(max(0, i - window), min(len(toks), i + window + 1)):
+                if j != i:
+                    c[(a, toks[j])] += 1
+    rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        [
+            {"center": a, "context": b, "cnt": n, "rank": i}
+            for i, ((a, b), n) in enumerate(rows)
+        ]
+    )
+
+
+def test_skipgram_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import skipgram_counts
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick red fox runs",
+        "Punct-uation; splits! tokens 42 here",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        skipgram_counts(rd.from_pandas(df), window=2, k=30)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    ref = _brute_skipgrams(texts, 2, 30)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_skipgram_window_bounds(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import skipgram_counts
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]})
+    out = skipgram_counts(rd.from_pandas(df), window=1, k=100).to_pandas()
+    pairs = set(zip(out["center"], out["context"]))
+    assert ("a", "b") in pairs and ("b", "a") in pairs
+    assert ("a", "c") not in pairs  # beyond the window
