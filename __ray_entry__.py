@@ -452,6 +452,31 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_hard_negatives(sf_dir: str):
+    """DPR-style hard-negative mining over the plain query set: per query
+    the top-10 quantized-tf-idf docs NOT in the synthesized qrels
+    (relevant iff doc_id % 17 == query_id * 3); ranks dense over
+    negatives only — the oracle replays the exclusion before ranking."""
+    from indexer_ray.pipelines.evaluation import mine_hard_negatives
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    qrels = pd.DataFrame(
+        [
+            (qi, d)
+            for qi in range(len(_PLAIN_SEARCH_QUERIES))
+            for d in ids
+            if d % 17 == qi * 3
+        ],
+        columns=["query_id", "doc_id"],
+    )
+    s = _searcher(sf_dir, "plain")
+    return mine_hard_negatives(s, _PLAIN_SEARCH_QUERIES, qrels, k=10)
+
+
 def _q_search_rocchio(sf_dir: str):
     """Pseudo-relevance-feedback expanded search over 'batch window':
     top-5 feedback docs -> top-3 expansion terms (tf·idf weight off the
@@ -2495,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
         "skipgram_top": _q_skipgram_top,
+        "hard_negatives": _q_hard_negatives,
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "seq_packing": _q_pack_sequences,
@@ -2628,6 +2654,45 @@ sc AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, score_q
 FROM r WHERE rank < {_SEARCH_K}"""
+
+
+def _hard_negatives_oracle_sql() -> str:
+    """The tf-idf search oracle with the synthesized qrels excluded
+    BEFORE ranking (relevant iff doc_id % 17 == query_id * 3) — exactly
+    evaluation.mine_hard_negatives."""
+    values = ", ".join(f"({qi}, '{t}', {m})" for qi, t, m in _plain_query_terms())
+    contrib = (
+        "q.m * q.m * tf.tf * "
+        "abs(ln(CAST(nn.n_docs AS DOUBLE) / (q.m * df.df)))"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+), q(query_id, term, m) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, tf.doc_id, sum({contrib}) AS score
+  FROM q JOIN df ON q.term = df.term
+         JOIN tf ON tf.term = q.term
+         CROSS JOIN nn
+  GROUP BY q.query_id, tf.doc_id
+), r AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * {_SCORE_QUANT} + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score * {_SCORE_QUANT} + 0.5) AS BIGINT) DESC,
+                    doc_id) - 1 AS rank
+  FROM sc
+  WHERE score <> 0 AND doc_id % 17 <> query_id * 3
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score_q
+FROM r WHERE rank < {_SEARCH_K} ORDER BY query_id, rank"""
 
 
 def _snippets_oracle_sql() -> str:
@@ -3743,6 +3808,9 @@ FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}""",
+        # DPR hard negatives: search oracle minus synthesized qrels,
+        # excluded BEFORE ranking
+        "hard_negatives": _hard_negatives_oracle_sql(),
         # word2vec-style skip-gram pair census: ordered (center, context)
         # pairs within +-3 positions, exactly text_analysis.skipgram_counts
         "skipgram_top": """WITH toks AS (

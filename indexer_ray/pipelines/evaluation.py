@@ -111,3 +111,44 @@ def eval_retrieval(results, qrels, k: int = 10, n_parts: int = 32):
         )
 
     return tagged.groupby("part").map_groups(_metrics, batch_format="pandas")
+
+
+def mine_hard_negatives(
+    searcher,
+    queries: list[str],
+    qrels: "pd.DataFrame",
+    k: int = 10,
+    scorer: str = "tfidf",
+):
+    """Hard-negative mining for dense-retriever training — the
+    BM25-negatives recipe of Karpukhin et al. 2020 (DPR): per query, the
+    `k` highest-scoring documents NOT judged relevant are the hard
+    negatives (lexically close to the query, semantically wrong — the
+    pairs that actually teach the bi-encoder).
+
+    Ranking follows the repo's quantize-then-rank contract
+    (floor(score·1e6 + 0.5) desc, doc_id asc) so the SQL oracle replays
+    the cut exactly; relevant docs are excluded BEFORE ranking, so each
+    rank is dense over negatives only.
+
+    `qrels`: DataFrame (query_id, doc_id).  Returns (query_id, rank,
+    doc_id, score_q).  Per-query index search is the searcher's bounded
+    point-read path; qrels membership is a set probe (qrels for a query
+    set are small — judgments, not the corpus)."""
+    import math
+
+    import pandas as pd
+
+    rel = {
+        (int(q), int(d))
+        for q, d in zip(qrels["query_id"].to_numpy(), qrels["doc_id"].to_numpy())
+    }
+    rows = []
+    for qi, q in enumerate(queries):
+        hits = searcher.search(q, k=None, scorer=scorer, algorithm="exhaustive")
+        ranked = sorted((-(int(math.floor(sc * 1e6 + 0.5))), int(d)) for d, sc in hits)
+        neg = [(d, -negq) for negq, d in ranked if (qi, d) not in rel][:k]
+        rows.extend((qi, r, d, sq) for r, (d, sq) in enumerate(neg))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score_q"]
+    ).astype("int64")

@@ -63,3 +63,31 @@ def test_rocchio_no_feedback_docs_returns_empty(rocchio_setup):
     s, docs_path = rocchio_setup
     out = search_rocchio(s, docs_path, "zzznotindexedzzz", k=10)
     assert len(out) == 0
+
+
+# --------------------------------------------- mine_hard_negatives
+
+
+def test_hard_negatives_excludes_relevant(rocchio_setup):
+    from indexer_ray.pipelines.evaluation import mine_hard_negatives
+    from indexer_ray.pipelines.query import search_rocchio  # noqa: F401
+
+    s, _ = rocchio_setup
+    # query 'needle' matches docs 0-7; mark 0, 1 relevant
+    qrels = pd.DataFrame({"query_id": [0, 0], "doc_id": [0, 1]})
+    out = mine_hard_negatives(s, ["needle"], qrels, k=4)
+    assert 0 not in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+    # negatives are the remaining needle docs, ranks dense from 0
+    assert out["rank"].tolist() == [0, 1, 2, 3]
+    assert set(out["doc_id"]) <= set(range(2, 8))
+
+
+def test_hard_negatives_multi_query_ids(rocchio_setup):
+    from indexer_ray.pipelines.evaluation import mine_hard_negatives
+
+    s, _ = rocchio_setup
+    qrels = pd.DataFrame({"query_id": [1], "doc_id": [8]})
+    out = mine_hard_negatives(s, ["needle", "gemstone"], qrels, k=3)
+    by_q = dict(tuple(out.groupby("query_id")))
+    assert set(by_q) == {0, 1}
+    assert 8 not in set(by_q[1]["doc_id"])  # excluded only for query 1
