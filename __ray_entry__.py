@@ -452,6 +452,36 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_temperature_mixture(sf_dir: str):
+    """XLM-R temperature sampling (alpha=0.5): keep rate per source =
+    sqrt(n_min/n_s) as a 10000ths bucket cut — one sqrt of one division,
+    bit-exact on both engines.  The testdata sources are uniform (the
+    filter would be keep-all), so both sides derive the SAME skewed
+    source from doc_id (8:6:2) and the downsampling actually bites."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import temperature_mixture
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    src = [
+        "big" if i % 16 < 8 else ("mid" if i % 16 < 14 else "small") for i in ids
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "source": src})
+    )
+    out = temperature_mixture(ds, alpha=0.5).to_pandas()
+    return (
+        out[["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_hard_negatives(sf_dir: str):
     """DPR-style hard-negative mining over the plain query set: per query
     the top-10 quantized-tf-idf docs NOT in the synthesized qrels
@@ -2521,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- slot 50 boundary ----
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
+        "temperature_mixture": _q_temperature_mixture,
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "seq_packing": _q_pack_sequences,
@@ -3811,6 +3842,27 @@ FROM r WHERE rank < {_ANN_K}""",
         # DPR hard negatives: search oracle minus synthesized qrels,
         # excluded BEFORE ranking
         "hard_negatives": _hard_negatives_oracle_sql(),
+        # XLM-R temperature sampling at alpha=0.5: cut = floor(10000 *
+        # sqrt(n_min/n_s)), Knuth bucket draw — exactly
+        # sampling.temperature_mixture
+        "temperature_mixture": """WITH pg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 16 < 8 THEN 'big'
+              WHEN doc_id % 16 < 14 THEN 'mid'
+              ELSE 'small' END AS source
+  FROM documents
+), c AS (
+  SELECT source, count(*) AS n FROM pg GROUP BY source
+), m AS (SELECT min(n) AS nmin FROM c),
+cut AS (
+  SELECT source,
+         CAST(floor(10000 * sqrt(CAST(m.nmin AS DOUBLE) / c.n)) AS BIGINT) AS cut
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.source
+FROM pg d JOIN cut USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < cut.cut
+ORDER BY d.doc_id""",
         # word2vec-style skip-gram pair census: ordered (center, context)
         # pairs within +-3 positions, exactly text_analysis.skipgram_counts
         "skipgram_top": """WITH toks AS (

@@ -357,3 +357,76 @@ def stratified_sample(ds, score_col: str, boundaries: list[float],
 
     return ds.map_batches(_keep, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=8192)
+
+
+def temperature_mixture(ds, alpha: float = 0.5, group_col: str = "source",
+                        id_col: str = "doc_id"):
+    """Temperature-based source rebalancing — the multilingual sampling
+    rule of Lample & Conneau 2019 / XLM-R (Conneau 2020): the target
+    mixture follows p(s) ∝ n_s^alpha, implemented as a per-doc keep rate
+    r_s = (n_min / n_s)^(1-alpha) so the SMALLEST source keeps every row
+    and larger sources are downsampled toward their tempered share
+    (alpha=1 keeps the natural mix; alpha→0 equalizes sources).
+
+    Exactness: cut_s = floor(10000 · (n_min/n_s)^(1-alpha)); at the
+    default alpha=0.5 the power is ONE sqrt of one division — both
+    correctly-rounded IEEE ops, so DuckDB reproduces every cut bit-exactly
+    (general pow is not correctly rounded; other alphas work but the
+    oracle pins 0.5).  The draw itself is the repo's Knuth-bucket lattice:
+    deterministic, layout-independent, nested across alpha increases.
+
+    Shape: ONE small partial-count groupby (n_sources rows to the
+    driver), cuts broadcast in the filter closure, then a pure
+    map_batches filter — no shuffle of the corpus."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        enc = t.column(group_col).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: enc.dictionary,
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=8192)
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if counts.empty:
+        return ds.filter(lambda _row: False)
+    n_min = int(counts["n"].min())
+
+    def _rate(n: int) -> float:
+        # sqrt explicitly at the default (correctly rounded; libm pow at
+        # exponent 0.5 is not guaranteed identical to sqrt)
+        r = n_min / n
+        return math.sqrt(r) if alpha == 0.5 else r ** (1.0 - alpha)
+
+    cuts = {
+        g: int(math.floor(_BUCKETS * _rate(int(n))))
+        for g, n in zip(counts[group_col], counts["n"])
+    }
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(ids)
+        enc = t.column(group_col).combine_chunks().dictionary_encode()
+        uniq_cuts = np.array(
+            [cuts.get(v, 0) for v in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(b < uniq_cuts[codes]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=8192)

@@ -1311,3 +1311,57 @@ def test_bloom_dedup_census_fp_bounded_and_deterministic(ray_session, docs_ds):
     assert (tiny["n_bloom_dup_units"] >= tiny["n_dup_units"]).all()
     # a 256-bit filter over thousands of units must saturate -> real FPs
     assert tiny["n_bloom_dup_units"].sum() > tiny["n_dup_units"].sum()
+
+
+# -------------------------------------------- temperature_mixture
+
+
+def test_temperature_mixture_rates(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import _bucket_of, temperature_mixture
+
+    # skewed sources: 1600 big / 400 small
+    n = 2000
+    src = ["big" if i < 1600 else "small" for i in range(n)]
+    df = pd.DataFrame({"doc_id": range(n), "source": src})
+    out = temperature_mixture(rd.from_pandas(df), alpha=0.5).to_pandas()
+    kept = out.groupby("source").size()
+    # the smallest source keeps everything
+    assert kept["small"] == 400
+    # big keeps exactly the ids whose bucket < floor(10000*sqrt(400/1600))
+    cut = math.floor(10000 * math.sqrt(400 / 1600))
+    ids = np.arange(1600, dtype=np.int64)
+    expect = int((_bucket_of(ids) < cut).sum())
+    assert kept["big"] == expect
+    # tempered: big/small ratio moves from 4.0 toward sqrt(4)=2.0
+    assert 1.5 < kept["big"] / kept["small"] < 2.5
+
+
+def test_temperature_mixture_alpha_one_keeps_all(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import temperature_mixture
+
+    df = pd.DataFrame(
+        {"doc_id": range(100), "source": ["a"] * 80 + ["b"] * 20}
+    )
+    out = temperature_mixture(rd.from_pandas(df), alpha=1.0).to_pandas()
+    assert len(out) == 100  # natural mixture untouched
+
+
+def test_temperature_mixture_bad_alpha_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sampling import temperature_mixture
+
+    df = pd.DataFrame({"doc_id": [1], "source": ["a"]})
+    with pytest.raises(ValueError):
+        temperature_mixture(rd.from_pandas(df), alpha=1.5)
