@@ -452,6 +452,34 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_hits_hosts(sf_dir: str):
+    """HITS hubs/authorities (2 iterations, L1-normalized integer
+    arithmetic) over a synthesized 23-host edge list; every iteration is
+    exact integer math, so the chained-CTE oracle is cell-exact."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import hits_hosts
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    edges = pd.DataFrame(
+        {
+            "src_host": [f"h{i % 23}" for i in ids],
+            "dst_host": [f"h{(i * 7 + 3) % 23}" for i in ids],
+            "n_links": pd.array([(i % 5) + 1 for i in ids], dtype="int64"),
+        }
+    )
+    out = hits_hosts(rd.from_pandas(edges), iters=2).to_pandas()
+    return (
+        out.sort_values("host")
+        .reset_index(drop=True)
+        .astype({"auth": "int64", "hub": "int64"})
+    )
+
+
 def _q_temperature_mixture(sf_dir: str):
     """XLM-R temperature sampling (alpha=0.5): keep rate per source =
     sqrt(n_min/n_s) as a 10000ths bucket cut — one sqrt of one division,
@@ -2552,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
         "temperature_mixture": _q_temperature_mixture,
+        "hits_hosts": _q_hits_hosts,
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "seq_packing": _q_pack_sequences,
@@ -3842,6 +3871,44 @@ FROM r WHERE rank < {_ANN_K}""",
         # DPR hard negatives: search oracle minus synthesized qrels,
         # excluded BEFORE ranking
         "hard_negatives": _hard_negatives_oracle_sql(),
+        # HITS, 2 iterations, L1 integer normalization; HUGEINT carries
+        # the raw*scale products — exactly links.hits_hosts
+        "hits_hosts": """WITH e AS (
+  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst,
+         CAST((doc_id % 5) + 1 AS BIGINT) AS n
+  FROM documents
+), nodes AS (
+  SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
+), nn AS (SELECT count(*) AS n_nodes FROM nodes),
+s0 AS (SELECT host, CAST(1000000000 // n_nodes AS BIGINT) AS v
+       FROM nodes CROSS JOIN nn),
+ra1 AS (SELECT e.dst AS host, sum(e.n * s.v) AS raw
+        FROM e JOIN s0 s ON s.host = e.src GROUP BY e.dst),
+sa1 AS (SELECT sum(raw) AS s FROM ra1),
+a1 AS (SELECT n.host,
+              CAST(COALESCE(CAST(r.raw AS HUGEINT) * 1000000000 // sa1.s, 0) AS BIGINT) AS v
+       FROM nodes n LEFT JOIN ra1 r USING (host) CROSS JOIN sa1),
+rh1 AS (SELECT e.src AS host, sum(e.n * a.v) AS raw
+        FROM e JOIN a1 a ON a.host = e.dst GROUP BY e.src),
+sh1 AS (SELECT sum(raw) AS s FROM rh1),
+h1 AS (SELECT n.host,
+              CAST(COALESCE(CAST(r.raw AS HUGEINT) * 1000000000 // sh1.s, 0) AS BIGINT) AS v
+       FROM nodes n LEFT JOIN rh1 r USING (host) CROSS JOIN sh1),
+ra2 AS (SELECT e.dst AS host, sum(e.n * s.v) AS raw
+        FROM e JOIN h1 s ON s.host = e.src GROUP BY e.dst),
+sa2 AS (SELECT sum(raw) AS s FROM ra2),
+a2 AS (SELECT n.host,
+              CAST(COALESCE(CAST(r.raw AS HUGEINT) * 1000000000 // sa2.s, 0) AS BIGINT) AS v
+       FROM nodes n LEFT JOIN ra2 r USING (host) CROSS JOIN sa2),
+rh2 AS (SELECT e.src AS host, sum(e.n * a.v) AS raw
+        FROM e JOIN a2 a ON a.host = e.dst GROUP BY e.src),
+sh2 AS (SELECT sum(raw) AS s FROM rh2),
+h2 AS (SELECT n.host,
+              CAST(COALESCE(CAST(r.raw AS HUGEINT) * 1000000000 // sh2.s, 0) AS BIGINT) AS v
+       FROM nodes n LEFT JOIN rh2 r USING (host) CROSS JOIN sh2)
+SELECT a2.host, a2.v AS auth, h2.v AS hub
+FROM a2 JOIN h2 USING (host) ORDER BY a2.host""",
         # XLM-R temperature sampling at alpha=0.5: cut = floor(10000 *
         # sqrt(n_min/n_s)), Knuth bucket draw — exactly
         # sampling.temperature_mixture

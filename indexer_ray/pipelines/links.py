@@ -431,6 +431,303 @@ def pagerank_hosts(
     return ranks
 
 
+def hits_hosts(
+    edges,
+    iters: int = 2,
+    scale: int = 10**9,
+    broadcast_hosts_threshold: int = 2_000_000,
+):
+    """HITS hubs & authorities (Kleinberg 1999) over a (src_host,
+    dst_host, n_links) edge list, in EXACT integer arithmetic:
+
+      a0 = h0 = scale // N  for every host
+      per iteration (classic sequential update):
+        raw_a[v] = Σ_{edges u→v} n · h[u];  a = raw_a · scale // Σ raw_a
+        raw_h[u] = Σ_{edges u→v} n · a[v];  h = raw_h · scale // Σ raw_h
+
+    L1 (sum) normalization instead of the textbook L2 so every step is an
+    integer: the per-host division is computed in arbitrary precision
+    (Python int / SQL HUGEINT — raw · scale overflows int64 by design)
+    and the DuckDB oracle replays each iteration as a chained CTE
+    cell-exactly.  Bound: Σ n_links · scale must fit int64 per raw sum
+    (same realistic-degree-counts bound as pagerank_hosts; scale=1e9
+    leaves 9.2e9 weighted links of headroom).
+
+    Regimes, gated on the HOST count exactly like pagerank_hosts:
+      * broadcast (n_hosts <= threshold — even the full web is ~10^8
+        hosts): code-ified edges stream once per half-iteration through a
+        vectorized pre-aggregated pass; the two node-sized int arrays live
+        on the driver and ship via ray.put.
+      * tagged-union groupby regime above the threshold: state is a
+        Dataset, each half-iteration co-partitions state with edges by
+        the gather key (join avoided — Ray 2.49 empty-partition bug, see
+        pagerank_hosts), normalization is one tiny global sum + a
+        node-sized map.  Pinned identical to broadcast by test.
+
+    Returns a Dataset (host, auth, hub) with quantized int64 scores."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _sel(name):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"host": pc.cast(t.column(name).combine_chunks(), pa.string())}
+            )
+
+        return _f
+
+    edges = edges.materialize()
+    nodes = (
+        edges.map_batches(_sel("src_host"), batch_format="pyarrow")
+        .union(edges.map_batches(_sel("dst_host"), batch_format="pyarrow"))
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "auth": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    v0 = scale // n_nodes
+
+    def _norm_exact(raw: np.ndarray) -> np.ndarray:
+        s = int(raw.sum())
+        if s <= 0:
+            return np.zeros(len(raw), dtype=np.int64)
+        return np.array(
+            [int(x) * scale // s for x in raw.tolist()], dtype=np.int64
+        )
+
+    if n_nodes <= broadcast_hosts_threshold:
+        import ray
+
+        hosts = np.sort(
+            np.array([r["host"] for r in nodes.iter_rows()], dtype=object)
+        )
+        hosts_ref = ray.put(hosts)
+
+        def _codify(t: pa.Table) -> pa.Table:
+            hs = ray.get(hosts_ref)
+            s = np.array(t.column("src_host").to_pylist(), dtype=object)
+            d = np.array(t.column("dst_host").to_pylist(), dtype=object)
+            return pa.table(
+                {
+                    "sc": pa.array(np.searchsorted(hs, s), type=pa.int64()),
+                    "dc": pa.array(np.searchsorted(hs, d), type=pa.int64()),
+                    "n": pc.cast(t.column("n_links").combine_chunks(), pa.int64()),
+                }
+            )
+
+        enc = edges.map_batches(_codify, batch_format="pyarrow").materialize()
+
+        def _sparse_sum(codes: np.ndarray, vals: np.ndarray) -> pa.Table:
+            uniq, inv = np.unique(codes, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, vals.astype(np.int64))
+            return pa.table(
+                {
+                    "c": pa.array(uniq, type=pa.int64()),
+                    "v": pa.array(acc, type=pa.int64()),
+                }
+            )
+
+        def _gather(state: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+            ref = ray.put(state)
+
+            def _partial(t: pa.Table) -> pa.Table:
+                sv = ray.get(ref)
+                s = t.column(src_col).to_numpy(zero_copy_only=False)
+                d = t.column(dst_col).to_numpy(zero_copy_only=False)
+                n = t.column("n").to_numpy(zero_copy_only=False)
+                return _sparse_sum(d, n * sv[s])
+
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            for t in enc.map_batches(_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
+                np.add.at(
+                    raw,
+                    t.column("c").to_numpy(zero_copy_only=False),
+                    t.column("v").to_numpy(zero_copy_only=False),
+                )
+            return raw
+
+        a = np.full(n_nodes, v0, dtype=np.int64)
+        h = np.full(n_nodes, v0, dtype=np.int64)
+        for _ in range(iters):
+            a = _norm_exact(_gather(h, "sc", "dc"))
+            h = _norm_exact(_gather(a, "dc", "sc"))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(list(hosts), type=pa.string()),
+                    "auth": pa.array(a, type=pa.int64()),
+                    "hub": pa.array(h, type=pa.int64()),
+                }
+            )
+        )
+
+    # ---- tagged-union groupby regime (host count above the threshold) ----
+    def _edge_rows(gather_key: str, emit_key: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(t.column(gather_key).combine_chunks(), pa.string()),
+                    "dst": pc.cast(t.column(emit_key).combine_chunks(), pa.string()),
+                    "n": pc.cast(t.column("n_links").combine_chunks(), pa.int64()),
+                    "val": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        return _f
+
+    def _state_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("host").combine_chunks(), pa.string()),
+                "dst": pa.array([""] * t.num_rows, type=pa.string()),
+                "n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "val": pc.cast(t.column("val").combine_chunks(), pa.int64()),
+                "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _contrib(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["tag"] == 0]
+        if not len(e):
+            return pd.DataFrame(
+                {"dst": [g["key"].iloc[0]], "contrib": np.zeros(1, dtype=np.int64)}
+            )
+        val = int(g.loc[g["tag"] == 1, "val"].iloc[0])
+        n = e["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"dst": e["dst"].to_numpy(), "contrib": n * val})
+
+    def _node_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("host").combine_chunks(), pa.string()),
+                "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def _inflow_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("dst").combine_chunks(), pa.string()),
+                "contrib": pc.cast(t.column("contrib").combine_chunks(), pa.int64()),
+            }
+        )
+
+    def _sum_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["key"].iloc[0]],
+                "raw": np.array([int(g["contrib"].sum())], dtype=np.int64),
+            }
+        )
+
+    def _half_iteration(state, gather_key: str, emit_key: str):
+        """one HITS half-step: gather state along edges, L1-normalize."""
+        raw = (
+            edges.map_batches(_edge_rows(gather_key, emit_key),
+                              batch_format="pyarrow")
+            .union(state.map_batches(_state_rows, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(_contrib, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+        )
+        full = (
+            nodes.map_batches(_node_rows, batch_format="pyarrow")
+            .union(raw.map_batches(_inflow_rows, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(_sum_group, batch_format="pandas")
+            .materialize()
+        )
+        total = int(
+            full.aggregate(Sum("raw", alias_name="s"))["s"] or 0
+        )
+
+        def _norm_batch(t: pa.Table) -> pa.Table:
+            raw_np = t.column("raw").to_numpy(zero_copy_only=False)
+            if total <= 0:
+                vals = np.zeros(len(raw_np), dtype=np.int64)
+            else:
+                vals = np.array(
+                    [int(x) * scale // total for x in raw_np.tolist()],
+                    dtype=np.int64,
+                )
+            return pa.table(
+                {
+                    "host": t.column("host"),
+                    "val": pa.array(vals, type=pa.int64()),
+                }
+            )
+
+        return full.map_batches(_norm_batch, batch_format="pyarrow").materialize()
+
+    def _const_state(v: int):
+        return nodes.map_batches(
+            lambda t: t.append_column(
+                "val", pa.array(np.full(t.num_rows, v, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    a_ds = _const_state(v0)
+    h_ds = _const_state(v0)
+    for _ in range(iters):
+        a_ds = _half_iteration(h_ds, "src_host", "dst_host")
+        h_ds = _half_iteration(a_ds, "dst_host", "src_host")
+
+    def _a_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "auth": pc.cast(t.column("val").combine_chunks(), pa.int64()),
+                "hub": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _h_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "auth": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "hub": pc.cast(t.column("val").combine_chunks(), pa.int64()),
+                "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def _zip(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "auth": np.array([int(g["auth"].sum())], dtype=np.int64),
+                "hub": np.array([int(g["hub"].sum())], dtype=np.int64),
+            }
+        )
+
+    return (
+        a_ds.map_batches(_a_rows, batch_format="pyarrow")
+        .union(h_ds.map_batches(_h_rows, batch_format="pyarrow"))
+        .groupby("host")
+        .map_groups(_zip, batch_format="pandas")
+    )
+
+
 def crawl_frontier(
     pages_ds,
     seen_urls,

@@ -369,3 +369,77 @@ def test_anchor_texts_cap_keeps_true_count(ray_session):
     out = anchor_texts(pages, max_anchors=3).to_pandas().iloc[0]
     assert out["anchor_text"] == "w00 w01 w02"  # first 3 in src order
     assert out["n_anchors"] == 6  # true count survives the cap
+
+
+# --------------------------------------------------- hits_hosts
+
+
+def _hits_edges():
+    import pandas as pd
+
+    # star: hub0 links to a1,a2,a3; hub1 links to a1,a2; a3 links back
+    return pd.DataFrame(
+        {
+            "src_host": ["hub0", "hub0", "hub0", "hub1", "hub1", "a3"],
+            "dst_host": ["a1", "a2", "a3", "a1", "a2", "hub0"],
+            "n_links": [1, 1, 1, 1, 1, 1],
+        }
+    )
+
+
+def test_hits_hub_and_authority_ordering(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import hits_hosts
+
+    out = (
+        hits_hosts(rd.from_pandas(_hits_edges()), iters=3)
+        .to_pandas()
+        .set_index("host")
+    )
+    # hub0 points at all three authorities -> best hub; a1/a2 receive from
+    # both hubs -> best authorities and equal by symmetry
+    assert out["hub"].idxmax() == "hub0"
+    assert out.loc["a1", "auth"] == out.loc["a2", "auth"]
+    assert out.loc["a1", "auth"] > out.loc["a3", "auth"]
+    assert out.loc["a1", "auth"] > out.loc["hub1", "auth"]
+    assert out.loc["hub1", "hub"] > out.loc["a1", "hub"]
+
+
+def test_hits_regimes_identical(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import hits_hosts
+
+    edges = pd.DataFrame(
+        {
+            "src_host": [f"s{i % 7}" for i in range(60)],
+            "dst_host": [f"s{(i * 3 + 1) % 11}" for i in range(60)],
+            "n_links": [(i % 4) + 1 for i in range(60)],
+        }
+    )
+    a = (
+        hits_hosts(rd.from_pandas(edges), iters=2)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    b = (
+        hits_hosts(rd.from_pandas(edges), iters=2, broadcast_hosts_threshold=0)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hits_empty_edges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.links import hits_hosts
+
+    empty = pd.DataFrame({"src_host": [], "dst_host": [], "n_links": []})
+    out = hits_hosts(rd.from_pandas(empty)).to_pandas()
+    assert len(out) == 0
