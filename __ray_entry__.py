@@ -452,6 +452,21 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+def _q_percolate(sf_dir: str):
+    """Percolation: 4 stored conjunctive alerts (the plain query set)
+    matched against every document; the oracle is a per-alert
+    all-terms-present HAVING count."""
+    from indexer_ray.pipelines.text_analysis import percolate_alerts
+
+    alerts = dict(enumerate(_PLAIN_SEARCH_QUERIES))
+    out = percolate_alerts(_docs(sf_dir), alerts).to_pandas()
+    return (
+        out.sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_hits_hosts(sf_dir: str):
     """HITS hubs/authorities (2 iterations, L1-normalized integer
     arithmetic) over a synthesized 23-host edge list; every iteration is
@@ -2534,9 +2549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _q_c4_line_filter,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
         "link_graph_hosts": _q_link_graph,
-        "lang_run_clusters": _q_lang_run_clusters,
         "index_merge_postings": _q_index_merge_postings,
-        "pii_redact_docs": _q_pii_redact,
+        # (second displacement wave: lang_run_clusters and pii_redact_docs
+        # — both driver-green in r03 — move past the boundary for
+        # hits_hosts and temperature_mixture)
+        "hits_hosts": _q_hits_hosts,
+        "temperature_mixture": _q_temperature_mixture,
         # new-in-r04-session-4 oracle queries, first driver capture this
         # round (displaced: seq_packing, hash_split_assign,
         # repetition_stats, cap_per_source, chunk_dedup_stats — each
@@ -2579,8 +2597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- slot 50 boundary ----
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
-        "temperature_mixture": _q_temperature_mixture,
-        "hits_hosts": _q_hits_hosts,
+        "percolate_alerts": _q_percolate,
+        "lang_run_clusters": _q_lang_run_clusters,
+        "pii_redact_docs": _q_pii_redact,
         # SQL-checked but past the driver's 50-slot capture window this
         # round (each passed the driver oracle in 2-3 prior rounds):
         "seq_packing": _q_pack_sequences,
@@ -2753,6 +2772,22 @@ sc AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, score_q
 FROM r WHERE rank < {_SEARCH_K} ORDER BY query_id, rank"""
+
+
+def _percolate_oracle_sql() -> str:
+    """Alert qid fires for doc when every DISTINCT plain token of its
+    query appears in the doc — exactly text_analysis.percolate_alerts."""
+    values = ", ".join(f"({qi}, '{t}')" for qi, t, _m in _plain_query_terms())
+    return f"""WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents)
+), q(query_id, term) AS (VALUES {values}),
+need AS (SELECT query_id, count(*) AS k FROM q GROUP BY query_id)
+SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id
+FROM q JOIN toks t ON t.term = q.term
+GROUP BY q.query_id, t.doc_id
+HAVING count(*) = (SELECT k FROM need WHERE need.query_id = q.query_id)
+ORDER BY query_id, doc_id"""
 
 
 def _snippets_oracle_sql() -> str:
@@ -3871,6 +3906,9 @@ FROM r WHERE rank < {_ANN_K}""",
         # DPR hard negatives: search oracle minus synthesized qrels,
         # excluded BEFORE ranking
         "hard_negatives": _hard_negatives_oracle_sql(),
+        # percolation: alert fires when ALL its distinct terms appear —
+        # exactly text_analysis.percolate_alerts
+        "percolate_alerts": _percolate_oracle_sql(),
         # HITS, 2 iterations, L1 integer normalization; HUGEINT carries
         # the raw*scale products — exactly links.hits_hosts
         "hits_hosts": """WITH e AS (

@@ -1262,6 +1262,61 @@ def phrase_match_docs(ds, phrase: str):
         zero_copy_batch=True, batch_size=8192)
 
 
+def percolate_alerts(ds, alerts: dict[int, str]):
+    """Reverse search / percolation (the Elasticsearch-percolator,
+    Google-Alerts shape): a SET of stored conjunctive queries is matched
+    against every incoming document — "which alerts fire for this doc" —
+    instead of one query against a stored index.  Alert `qid` fires for a
+    doc when EVERY plain token of its query string appears in the doc.
+
+    Shape: pure map_batches — each stored query compiles once (closure)
+    to its RE2 token-boundary patterns, a batch pays n_alerts × n_terms
+    vectorized Arrow regex kernels and NO tokenization; stored-query sets
+    are small (alerts, not corpora), so the per-batch cost is a constant
+    factor.  At 100 TB this streams: no shuffle, no index required.
+
+    Output: (query_id, doc_id), one row per firing (alert, doc) pair."""
+    import pyarrow.compute as pc
+
+    compiled: list[tuple[int, list[str]]] = []
+    for qid, q in sorted(alerts.items()):
+        terms = tokenize_plain(q)
+        if not terms:
+            raise ValueError(f"alert {qid!r} has no plain tokens: {q!r}")
+        compiled.append(
+            (int(qid), [f"(^|[^a-z0-9]){re.escape(t)}([^a-z0-9]|$)" for t in terms])
+        )
+
+    def _match(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(batch.column("text").combine_chunks(), ""))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_d = [], []
+        for qid, pats in compiled:
+            mask = np.ones(len(ids), dtype=bool)
+            for p in pats:
+                mask &= pc.match_substring_regex(lower, p).to_numpy(
+                    zero_copy_only=False
+                )
+                if not mask.any():
+                    break
+            hit = ids[mask]
+            out_q.append(np.full(len(hit), qid, dtype=np.int64))
+            out_d.append(hit)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(out_q) if out_q else [], type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else [], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_match, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=4096)
+
+
 # -------------------------------------------------- training chunking
 
 

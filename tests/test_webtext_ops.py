@@ -725,3 +725,48 @@ def test_ngram_counts(ray_session):
     # layout independence
     out2 = ngram_counts(rd.from_arrow(t).repartition(3), n=3, k=5).to_pandas()
     assert out.equals(out2)
+
+
+# --------------------------------------------------- percolate_alerts
+
+
+def test_percolator_all_terms_required(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import percolate_alerts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma",
+                "alpha only here",
+                "Beta then ALPHA capitalized",
+                "gamma delta",
+            ],
+        }
+    )
+    out = (
+        percolate_alerts(rd.from_pandas(docs), {7: "alpha beta", 9: "gamma"})
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    fired = set(zip(out["query_id"], out["doc_id"]))
+    # alert 7 needs BOTH alpha and beta (case-folded, token boundaries)
+    assert fired == {(7, 0), (7, 2), (9, 0), (9, 3)}
+
+
+def test_percolator_token_boundaries_and_empty_alert(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import percolate_alerts
+
+    docs = pd.DataFrame({"doc_id": [0], "text": ["alphabet soup"]})
+    out = percolate_alerts(rd.from_pandas(docs), {1: "alpha"}).to_pandas()
+    assert len(out) == 0  # 'alphabet' must not fire the 'alpha' alert
+    with pytest.raises(ValueError):
+        percolate_alerts(rd.from_pandas(docs), {2: "!!!"})
