@@ -452,6 +452,52 @@ def _q_search_tfidf_plain(sf_dir: str):
     return _plain_search_frame(sf_dir, "tfidf")
 
 
+_TRIGRAM_BUILT: dict[str, str] = {}
+
+
+def _trigram_dir_for(sf_dir: str) -> str:
+    from indexer_ray.pipelines.grep import build_trigram_index
+
+    key = os.path.abspath(sf_dir)
+    cached = _TRIGRAM_BUILT.get(key)
+    if cached and os.path.exists(os.path.join(cached, "grep_meta.json")):
+        return cached
+    tag = os.path.basename(key).replace(".", "_")
+    out = f"/tmp/indexer_ray_entry/{tag}_trigram"
+    build_trigram_index(_docs(sf_dir), out, n_parts=16)
+    _TRIGRAM_BUILT[key] = out
+    return out
+
+
+def _q_regex_grep_indexed(sf_dir: str):
+    """Trigram-index-accelerated regex search (Cox 2012): the pattern's
+    required literals prune candidates through the trigram posting
+    index, RE2 verifies survivors; oracle = regexp_matches over the
+    corpus (same RE2 engine)."""
+    from indexer_ray.pipelines.grep import regex_grep
+
+    out, stats = regex_grep(
+        _trigram_dir_for(sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        "batch [a-z]+ window",
+        return_stats=True,
+    )
+    assert stats["used_index"], "pattern has required literals"
+    return out
+
+
+def _q_regex_grep_scan(sf_dir: str):
+    """The full-scan fallback of regex_grep (top-level alternation — no
+    required substring exists, exactly Cox's fallback case)."""
+    from indexer_ray.pipelines.grep import regex_grep
+
+    return regex_grep(
+        _trigram_dir_for(sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        "stream(ing)? (sort|merge)",
+    )
+
+
 def _q_percolate(sf_dir: str):
     """Percolation: 4 stored conjunctive alerts (the plain query set)
     matched against every document; the oracle is a per-alert
@@ -2598,6 +2644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
         "percolate_alerts": _q_percolate,
+        "regex_grep_indexed": _q_regex_grep_indexed,
+        "regex_grep_scan": _q_regex_grep_scan,
         "lang_run_clusters": _q_lang_run_clusters,
         "pii_redact_docs": _q_pii_redact,
         # SQL-checked but past the driver's 50-slot capture window this
@@ -3909,6 +3957,12 @@ FROM r WHERE rank < {_ANN_K}""",
         # percolation: alert fires when ALL its distinct terms appear —
         # exactly text_analysis.percolate_alerts
         "percolate_alerts": _percolate_oracle_sql(),
+        # trigram-pruned regex search == plain regexp over the corpus
+        # (pyarrow and DuckDB share the RE2 engine); the index only prunes
+        "regex_grep_indexed": """SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'batch [a-z]+ window') ORDER BY doc_id""",
+        "regex_grep_scan": """SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'stream(ing)? (sort|merge)') ORDER BY doc_id""",
         # HITS, 2 iterations, L1 integer normalization; HUGEINT carries
         # the raw*scale products — exactly links.hits_hosts
         "hits_hosts": """WITH e AS (

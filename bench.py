@@ -200,6 +200,23 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "semdedup",
         lambda: dedup.semdedup_keep(emb, n_clusters=16).materialize(),
     )
+
+    # round-4 session 4: trigram regex index (Cox 2012) — build is the
+    # other one-row-per-corpus-character op; the query time shows the
+    # point-read + verify path
+    from indexer_ray.pipelines import grep as _grep
+
+    tri_dir = os.path.join(SCRATCH, "trigram_index")
+    timed(
+        "trigram_index_build",
+        lambda: _grep.build_trigram_index(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]), tri_dir
+        ),
+    )
+    timed(
+        "regex_grep",
+        lambda: _grep.regex_grep(tri_dir, docs_path, "batch [a-z]+ window"),
+    )
     return out
 
 

@@ -1,0 +1,125 @@
+"""Trigram-index regex search (Cox 2012): literal extraction, index
+roundtrip, pruned-vs-scan identity, regimes, and the superset invariant
+(candidates always contain every true match)."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from indexer_ray.pipelines.grep import required_literals
+
+
+# ------------------------------------------------- literal extraction
+def test_required_literals_cases():
+    assert required_literals("batch [a-z]+ window") == ["batch ", " window"]
+    assert required_literals("plaintext") == ["plaintext"]
+    # quantifier drops the preceding char; the run after it IS required
+    assert required_literals("foobar+baz") == ["fooba", "baz"]
+    assert required_literals("colou?r fast") == ["colo", "r fast"]
+    # alternation anywhere -> no required substring
+    assert required_literals("alpha|beta") == []
+    assert required_literals("pre (a|b) post") == []
+    # escapes break runs; both sides stay required
+    assert required_literals(r"abc\d+def") == ["abc", "def"]
+    # {m,n} quantifier body skipped
+    assert required_literals("head{2,3}tail") == ["hea", "tail"]
+    # short fragments dropped
+    assert required_literals("ab.cd") == []
+
+
+def test_required_literals_superset_semantics():
+    # every extracted literal must be a substring of every match
+    pats = ["batch [a-z]+ window", "foobar+baz", "head{2,3}tail", "colou?r fast"]
+    samples = {
+        "batch [a-z]+ window": "x batch zzz window y",
+        "foobar+baz": "foobarrrbaz",
+        "head{2,3}tail": "headdtail",
+        "colou?r fast": "color fast",
+    }
+    for p in pats:
+        m = samples[p]
+        assert re.search(p, m)
+        for lit in required_literals(p):
+            assert lit in m, (p, lit)
+
+
+# ------------------------------------------------------ index + grep
+@pytest.fixture(scope="module")
+def grep_corpus(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.grep import build_trigram_index
+
+    base = tmp_path_factory.mktemp("grep")
+    rows = []
+    for i in range(200):
+        body = f"filler{i} common text body number {i}"
+        if i % 7 == 0:
+            body += " needle alpha needle"
+        if i % 11 == 0:
+            body += " magic WORD here"
+        rows.append((i, body))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs_path = os.path.join(base, "docs.parquet")
+    df.to_parquet(docs_path, index=False)
+    idx = os.path.join(base, "tri_index")
+    meta = build_trigram_index(rd.from_pandas(df), idx, n_parts=8)
+    assert meta["n_rows"] > 0
+    return idx, docs_path, df
+
+
+def _brute(df, pattern):
+    return sorted(
+        int(d) for d, t in zip(df["doc_id"], df["text"]) if re.search(pattern, t)
+    )
+
+
+def test_grep_indexed_matches_brute(grep_corpus):
+    from indexer_ray.pipelines.grep import regex_grep
+
+    idx, docs_path, df = grep_corpus
+    for pat in ["needle [a-z]+ needle", "magic WORD", "number 19"]:
+        out, stats = regex_grep(idx, docs_path, pat, return_stats=True)
+        assert stats["used_index"]
+        assert out["doc_id"].tolist() == _brute(df, pat), pat
+
+
+def test_grep_candidates_prune(grep_corpus):
+    from indexer_ray.pipelines.grep import regex_grep
+
+    idx, docs_path, df = grep_corpus
+    out, stats = regex_grep(idx, docs_path, "magic WORD", return_stats=True)
+    # the trigram cut must be much smaller than the corpus
+    assert stats["n_candidates"] < 50
+    assert stats["n_candidates"] >= len(out)  # superset invariant
+
+
+def test_grep_scan_fallback_alternation(grep_corpus):
+    from indexer_ray.pipelines.grep import regex_grep
+
+    idx, docs_path, df = grep_corpus
+    pat = "needle|magic"
+    out, stats = regex_grep(idx, docs_path, pat, return_stats=True)
+    assert not stats["used_index"]
+    assert out["doc_id"].tolist() == _brute(df, pat)
+
+
+def test_grep_distributed_verify_regime(grep_corpus):
+    from indexer_ray.pipelines.grep import regex_grep
+
+    idx, docs_path, df = grep_corpus
+    pat = "needle alpha"
+    a = regex_grep(idx, docs_path, pat)
+    b = regex_grep(idx, docs_path, pat, scan_threshold=0)  # force streaming
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_grep_no_match_early_exit(grep_corpus):
+    from indexer_ray.pipelines.grep import regex_grep
+
+    idx, docs_path, _ = grep_corpus
+    out, stats = regex_grep(idx, docs_path, "zzqx absent trigram", return_stats=True)
+    assert len(out) == 0 and stats["n_candidates"] == 0
