@@ -571,6 +571,17 @@ def _q_temperature_mixture(sf_dir: str):
     )
 
 
+def _q_search_wildcard(sf_dir: str):
+    """Wildcard search 's* window': the star term expands through the
+    dictionary to its top-25 prefix terms by global df, one OR tf-idf
+    search scores the union; ranks AND the expansion string are
+    hash-checked."""
+    from indexer_ray.pipelines.query import search_wildcard
+
+    s = _searcher(sf_dir, "plain")
+    return search_wildcard(s, "s* window", k=10, max_expand=25)
+
+
 def _q_hard_negatives(sf_dir: str):
     """DPR-style hard-negative mining over the plain query set: per query
     the top-10 quantized-tf-idf docs NOT in the synthesized qrels
@@ -2646,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_alerts": _q_percolate,
         "regex_grep_indexed": _q_regex_grep_indexed,
         "regex_grep_scan": _q_regex_grep_scan,
+        "search_wildcard_plain": _q_search_wildcard,
         "lang_run_clusters": _q_lang_run_clusters,
         "pii_redact_docs": _q_pii_redact,
         # SQL-checked but past the driver's 50-slot capture window this
@@ -3957,6 +3969,33 @@ FROM r WHERE rank < {_ANN_K}""",
         # percolation: alert fires when ALL its distinct terms appear —
         # exactly text_analysis.percolate_alerts
         "percolate_alerts": _percolate_oracle_sql(),
+        # wildcard expansion: top-25 's%' dict terms by (df desc, term),
+        # plain-token dupes excluded AFTER the cap, then one OR tf-idf
+        # search — exactly query.search_wildcard
+        "search_wildcard_plain": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+expall AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+  FROM df WHERE term LIKE 's%'
+), expq AS (
+  SELECT term, rn FROM expall WHERE rn <= 25 AND term <> 'window'
+), qf(term) AS (SELECT 'window' UNION ALL SELECT term FROM expq),
+sc AS (
+  SELECT tf.doc_id, sum(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / df.df))) AS score
+  FROM qf JOIN df ON df.term = qf.term JOIN tf ON tf.term = qf.term CROSS JOIN nn
+  GROUP BY tf.doc_id
+), r AS (
+  SELECT doc_id, CAST(floor(score*1e6+0.5) AS BIGINT) AS score_q,
+         row_number() OVER (
+           ORDER BY CAST(floor(score*1e6+0.5) AS BIGINT) DESC, doc_id) - 1 AS rank
+  FROM sc WHERE score <> 0
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_q,
+       (SELECT string_agg(term, ' ' ORDER BY rn) FROM expq) AS exp_terms
+FROM r WHERE rank < 10 ORDER BY rank""",
         # trigram-pruned regex search == plain regexp over the corpus
         # (pyarrow and DuckDB share the RE2 engine); the index only prunes
         "regex_grep_indexed": """SELECT doc_id FROM documents

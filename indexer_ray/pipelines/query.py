@@ -1660,3 +1660,68 @@ def search_rocchio(
             "exp_terms": pd.Series([exp_str] * len(final), dtype="object"),
         }
     )
+
+
+def search_wildcard(
+    searcher: "IndexSearcher",
+    query: str,
+    k: int = 10,
+    max_expand: int = 25,
+):
+    """Wildcard query support — 'bat*' matches every term with that
+    prefix (the reference's exact-token-only query path cannot): each
+    trailing-star token expands through the DICTIONARY (prefix_suggest's
+    row-group-pruned range read) to its top `max_expand` prefix terms by
+    global df (df desc, term asc — Lucene's deterministic max-expansions
+    cap), and ONE search scores the distinct union of plain + expanded
+    terms with the standard tf-idf (a doc matching several expansions
+    sums their contributions — OR semantics).
+
+    Expanded terms already present as plain tokens are dropped from the
+    expansion (no duplicate-token m² inflation), so the SQL oracle can
+    replay the whole chain.  Returns (rank, doc_id, score_q, exp_terms);
+    `exp_terms` is the space-joined expansion in rank order."""
+    import math
+
+    import pandas as pd
+
+    from indexer_ray.conformance.lexer import tokenize_plain as _tp
+
+    plain: list[str] = []
+    prefixes: list[str] = []
+    for raw in query.split():
+        if raw.endswith("*") and len(raw) > 1:
+            body = _tp(raw[:-1])
+            if len(body) != 1:
+                raise ValueError(f"wildcard token must be one plain token: {raw!r}")
+            prefixes.append(body[0])
+        else:
+            plain.extend(_tp(raw))
+
+    expanded: list[str] = []
+    seen = set(plain)
+    for p in prefixes:
+        sug = prefix_suggest(searcher.index_dir, p, k=max_expand)
+        if hasattr(sug, "to_pandas"):
+            sug = sug.to_pandas()
+        for t in sug.sort_values("rank")["term"]:
+            if t not in seen:
+                expanded.append(t)
+                seen.add(t)
+
+    terms = list(dict.fromkeys(plain)) + expanded
+    if not terms:
+        raise ValueError("query has no plain tokens after expansion")
+    hits = searcher.search(
+        " ".join(terms), k=None, scorer="tfidf", algorithm="exhaustive"
+    )
+    final = sorted((-(int(math.floor(sc * 1e6 + 0.5))), int(d)) for d, sc in hits)[:k]
+    exp_str = " ".join(expanded)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(final)), dtype="int64"),
+            "doc_id": pd.Series([d for _, d in final], dtype="int64"),
+            "score_q": pd.Series([int(-negq) for negq, _ in final], dtype="int64"),
+            "exp_terms": pd.Series([exp_str] * len(final), dtype="object"),
+        }
+    )

@@ -91,3 +91,42 @@ def test_hard_negatives_multi_query_ids(rocchio_setup):
     by_q = dict(tuple(out.groupby("query_id")))
     assert set(by_q) == {0, 1}
     assert 8 not in set(by_q[1]["doc_id"])  # excluded only for query 1
+
+
+# --------------------------------------------- search_wildcard
+
+
+def test_wildcard_expands_prefix(rocchio_setup):
+    from indexer_ray.pipelines.query import search_wildcard
+
+    s, _ = rocchio_setup
+    # 'gem*' must expand to 'gemstone' and find the gemstone docs
+    out = search_wildcard(s, "gem*", k=12)
+    assert "gemstone" in out["exp_terms"].iloc[0].split()
+    assert set(range(8, 12)) <= set(out["doc_id"])
+
+
+def test_wildcard_no_m2_inflation(rocchio_setup):
+    """a plain token repeated by its own expansion must not get the
+    duplicate-token m^2 weight: 'needle need*' == 'needle' + other
+    need-prefix terms (none here), so scores equal the plain query's."""
+    import math
+
+    from indexer_ray.pipelines.query import search_wildcard
+
+    s, _ = rocchio_setup
+    wild = search_wildcard(s, "needle need*", k=10)
+    base = s.search("needle", k=None, scorer="tfidf", algorithm="exhaustive")
+    base_q = sorted((-(int(math.floor(sc * 1e6 + 0.5))), d) for d, sc in base)[:10]
+    assert wild["doc_id"].tolist() == [d for _, d in base_q]
+    assert wild["score_q"].tolist() == [-q for q, _ in base_q]
+
+
+def test_wildcard_requires_token(rocchio_setup):
+    import pytest
+
+    from indexer_ray.pipelines.query import search_wildcard
+
+    s, _ = rocchio_setup
+    with pytest.raises(ValueError):
+        search_wildcard(s, "!!*", k=5)
