@@ -53,26 +53,14 @@ def _doc_trigrams(text: str) -> np.ndarray:
     return np.unique([text[i : i + 3] for i in range(len(text) - 2)])
 
 
-def build_trigram_index(ds, index_dir: str, n_parts: int = 32) -> dict:
-    """Build the trigram posting index under `index_dir`.
-
-    Layout: `part=<p>/trigrams.parquet`, rows (tri, doc_id) sorted by
-    (tri, doc_id), row groups of 4096 so a filters=[('tri','=',t)] read
-    prunes on row-group statistics.  Commit = manifest-last over wiped
-    partition dirs (the repo's crash-safe protocol)."""
-    import shutil
+def _write_trigram_gen(ds, index_dir: str, n_parts: int, gen: str) -> int:
+    """One generation of (tri, doc_id) posting files:
+    `part=<p>/<gen>.parquet`, sorted by (tri, doc_id), 4096-row groups so
+    a filters=[('tri','=',t)] read prunes on row-group statistics.
+    Returns total rows written.  The caller commits meta LAST."""
+    import hashlib
 
     from indexer_ray.functions.hashing import key_partition
-
-    os.makedirs(index_dir, exist_ok=True)
-    meta_path = os.path.join(index_dir, _META)
-    if os.path.exists(meta_path):
-        os.remove(meta_path)
-    for d in os.listdir(index_dir):
-        if d.startswith("part="):
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-
-    import hashlib
 
     def _rows(batch: pa.Table) -> pa.Table:
         ids_out, tris_out = [], []
@@ -122,9 +110,9 @@ def build_trigram_index(ds, index_dir: str, n_parts: int = 32) -> dict:
         )
         d = os.path.join(index_dir, f"part={p}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, ".tmp.trigrams.parquet")
+        tmp = os.path.join(d, f".tmp.{gen}.parquet")
         pq.write_table(t, tmp, row_group_size=_ROW_GROUP)
-        os.replace(tmp, os.path.join(d, "trigrams.parquet"))
+        os.replace(tmp, os.path.join(d, f"{gen}.parquet"))
         return pd.DataFrame({"part": [p], "n_rows": [len(g)]})
 
     parts = (
@@ -135,13 +123,60 @@ def build_trigram_index(ds, index_dir: str, n_parts: int = 32) -> dict:
         .map_groups(_write, batch_format="pandas")
         .to_pandas()
     )
-    meta = {
-        "n_parts": n_parts,
-        "parts": {int(r.part): int(r.n_rows) for r in parts.itertuples()},
-        "n_rows": int(parts["n_rows"].sum()) if len(parts) else 0,
-    }
+    return int(parts["n_rows"].sum()) if len(parts) else 0
+
+
+def build_trigram_index(ds, index_dir: str, n_parts: int = 32) -> dict:
+    """Build the trigram posting index under `index_dir` (generation 0).
+
+    Commit = meta-LAST over wiped partition dirs (the repo's crash-safe
+    protocol); `trigram_index_append` adds re-crawl generations without
+    rewriting the base."""
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, _META)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for d in os.listdir(index_dir):
+        if d.startswith("part="):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+    n_rows = _write_trigram_gen(ds, index_dir, n_parts, "gen0")
+    meta = {"n_parts": n_parts, "gens": ["gen0"], "n_rows": n_rows}
     with open(meta_path, "w") as f:
         json.dump(meta, f)
+    return meta
+
+
+def trigram_index_append(index_dir: str, ds) -> dict:
+    """Append a re-crawl batch as a new GENERATION without rewriting the
+    base (the LSM shape of merge.merge_indexes / ann_index_append):
+    posting files land as `part=<p>/gen<N>.parquet`, meta commits LAST —
+    a crashed append leaves files no reader consults, and the retry
+    reclaims them (same generation name, tmp+rename overwrite).
+
+    Re-crawled doc_ids may leave STALE postings in older generations;
+    that only widens the candidate set, and regex_grep's verify pass
+    reads the CURRENT corpus — correctness is unaffected (documented
+    superset invariant), compaction is a rebuild."""
+    meta_path = os.path.join(index_dir, _META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    gen = f"gen{len(meta['gens'])}"
+    # reclaim a crashed earlier attempt at this generation name
+    for d in os.listdir(index_dir):
+        if d.startswith("part="):
+            p = os.path.join(index_dir, d, f"{gen}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+    n_rows = _write_trigram_gen(ds, index_dir, int(meta["n_parts"]), gen)
+    meta["gens"].append(gen)
+    meta["n_rows"] = int(meta["n_rows"]) + n_rows
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
     return meta
 
 
@@ -231,8 +266,10 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     return [r for r in runs if len(r) >= min_len]
 
 
-def _trigram_docs(index_dir: str, tri: str, n_parts: int) -> np.ndarray:
-    """doc_ids containing `tri`: one row-group-pruned point read."""
+def _trigram_docs(index_dir: str, tri: str, meta: dict) -> np.ndarray:
+    """doc_ids containing `tri`: one row-group-pruned point read per
+    committed generation (only generations listed in meta are consulted —
+    crashed-append orphans are invisible)."""
     import hashlib
 
     from indexer_ray.functions.hashing import key_partition
@@ -241,12 +278,17 @@ def _trigram_docs(index_dir: str, tri: str, n_parts: int) -> np.ndarray:
         [int.from_bytes(hashlib.blake2b(tri.encode(), digest_size=8).digest(), "big")],
         dtype=np.uint64,
     )
-    p = int(key_partition(h, n_parts)[0])
-    path = os.path.join(index_dir, f"part={p}", "trigrams.parquet")
-    if not os.path.exists(path):
+    p = int(key_partition(h, int(meta["n_parts"]))[0])
+    parts = []
+    for gen in meta["gens"]:
+        path = os.path.join(index_dir, f"part={p}", f"{gen}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["doc_id"], filters=[("tri", "=", tri)])
+        parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+    if not parts:
         return np.empty(0, dtype=np.int64)
-    t = pq.read_table(path, columns=["doc_id"], filters=[("tri", "=", tri)])
-    return t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
 
 
 def trigram_candidates(index_dir: str, literals: list[str]) -> np.ndarray:
@@ -254,12 +296,11 @@ def trigram_candidates(index_dir: str, literals: list[str]) -> np.ndarray:
     required literal, rarest-first with early exit."""
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
-    n_parts = int(meta["n_parts"])
     tris = sorted({lit[i : i + 3] for lit in literals for i in range(len(lit) - 2)})
     cand: np.ndarray | None = None
     # read all, then intersect smallest-first (posting sizes unknown a
     # priori; the reads are row-group-pruned point reads either way)
-    posts = sorted((_trigram_docs(index_dir, t, n_parts) for t in tris), key=len)
+    posts = sorted((_trigram_docs(index_dir, t, meta) for t in tris), key=len)
     for p in posts:
         cand = p if cand is None else np.intersect1d(cand, p, assume_unique=True)
         if cand is not None and len(cand) == 0:

@@ -123,3 +123,76 @@ def test_grep_no_match_early_exit(grep_corpus):
     idx, docs_path, _ = grep_corpus
     out, stats = regex_grep(idx, docs_path, "zzqx absent trigram", return_stats=True)
     assert len(out) == 0 and stats["n_candidates"] == 0
+
+
+# -------------------------------------------------- generation append
+
+
+def test_trigram_append_equals_rebuild(grep_corpus, tmp_path, ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.grep import (
+        build_trigram_index,
+        regex_grep,
+        trigram_index_append,
+    )
+
+    new = pd.DataFrame(
+        {
+            "doc_id": [1000, 1001],
+            "text": ["fresh needle alpha needle crawl", "fresh magic WORD page"],
+        }
+    )
+    _, docs_path, df = grep_corpus
+    both = pd.concat([df, new], ignore_index=True)
+    docs2 = os.path.join(tmp_path, "docs2.parquet")
+    both.to_parquet(docs2, index=False)
+
+    idx_a = os.path.join(tmp_path, "appended")
+    build_trigram_index(rd.from_pandas(df), idx_a, n_parts=8)
+    meta = trigram_index_append(idx_a, rd.from_pandas(new))
+    assert meta["gens"] == ["gen0", "gen1"]
+
+    idx_b = os.path.join(tmp_path, "rebuilt")
+    build_trigram_index(rd.from_pandas(both), idx_b, n_parts=8)
+
+    for pat in ["needle [a-z]+ needle", "magic WORD"]:
+        a = regex_grep(idx_a, docs2, pat)
+        b = regex_grep(idx_b, docs2, pat)
+        pd.testing.assert_frame_equal(a, b)
+        assert 1000 in set(a["doc_id"]) or pat == "magic WORD"
+
+
+def test_trigram_append_crash_orphan_invisible_then_reclaimed(
+    grep_corpus, tmp_path, ray_session
+):
+    import json
+
+    import ray.data as rd
+
+    from indexer_ray.pipelines.grep import (
+        build_trigram_index,
+        regex_grep,
+        trigram_index_append,
+    )
+
+    _, _, df = grep_corpus
+    idx = os.path.join(tmp_path, "crashy")
+    build_trigram_index(rd.from_pandas(df), idx, n_parts=4)
+    new = pd.DataFrame({"doc_id": [5000], "text": ["zzqx absent trigram page"]})
+    docs2 = os.path.join(tmp_path, "docs3.parquet")
+    pd.concat([df, new], ignore_index=True).to_parquet(docs2, index=False)
+
+    # simulate a crashed append: gen1 files written, meta NOT committed
+    from indexer_ray.pipelines.grep import _write_trigram_gen
+
+    _write_trigram_gen(rd.from_pandas(new), idx, 4, "gen1")
+    out = regex_grep(idx, docs2, "zzqx absent")
+    assert len(out) == 0  # orphan generation is invisible
+
+    # retry reclaims and commits
+    trigram_index_append(idx, rd.from_pandas(new))
+    meta = json.load(open(os.path.join(idx, "grep_meta.json")))
+    assert meta["gens"] == ["gen0", "gen1"]
+    out = regex_grep(idx, docs2, "zzqx absent")
+    assert out["doc_id"].tolist() == [5000]
