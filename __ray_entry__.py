@@ -571,6 +571,18 @@ def _q_temperature_mixture(sf_dir: str):
     )
 
 
+def _q_ltr_features(sf_dir: str):
+    """LTR feature vectors for the top-20 tf-idf candidates of 'batch
+    window': both scorers' quantized scores, match counts, doc length and
+    the minimal all-terms window, every column replayed by the oracle."""
+    from indexer_ray.pipelines.evaluation import ltr_features
+
+    s = _searcher(sf_dir, "plain")
+    return ltr_features(
+        s, os.path.join(sf_dir, "documents.parquet"), "batch window", k=20
+    )
+
+
 def _q_search_wildcard(sf_dir: str):
     """Wildcard search 's* window': the star term expands through the
     dictionary to its top-25 prefix terms by global df, one OR tf-idf
@@ -2658,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_grep_indexed": _q_regex_grep_indexed,
         "regex_grep_scan": _q_regex_grep_scan,
         "search_wildcard_plain": _q_search_wildcard,
+        "ltr_features": _q_ltr_features,
         "lang_run_clusters": _q_lang_run_clusters,
         "pii_redact_docs": _q_pii_redact,
         # SQL-checked but past the driver's 50-slot capture window this
@@ -3969,6 +3982,56 @@ FROM r WHERE rank < {_ANN_K}""",
         # percolation: alert fires when ALL its distinct terms appear —
         # exactly text_analysis.percolate_alerts
         "percolate_alerts": _percolate_oracle_sql(),
+        # LTR features for 'batch window' top-20 tf-idf candidates: both
+        # scorers + match counts + dl + two-term minimal window — exactly
+        # evaluation.ltr_features
+        "ltr_features": f"""WITH toks AS (
+  SELECT doc_id, unnest({_PLAIN_TOKS}) AS term,
+         unnest(range(len({_PLAIN_TOKS}))) AS pos
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs,
+              CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+       FROM toks),
+q(term) AS (VALUES ('batch'), ('window')),
+sct AS (
+  SELECT tf.doc_id, sum(tf.tf * abs(ln(CAST(nn.n_docs AS DOUBLE) / df.df))) AS score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term CROSS JOIN nn
+  GROUP BY tf.doc_id
+), r AS (
+  SELECT doc_id, CAST(floor(score*1e6+0.5) AS BIGINT) AS tfidf_q,
+         row_number() OVER (
+           ORDER BY CAST(floor(score*1e6+0.5) AS BIGINT) DESC, doc_id) - 1 AS rank
+  FROM sct WHERE score <> 0
+), scb AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (nn.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / nn.avgdl))) AS score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn
+  GROUP BY tf.doc_id
+), m AS (
+  SELECT t.doc_id, CAST(count(DISTINCT t.term) AS BIGINT) AS n_matched,
+         CAST(count(*) AS BIGINT) AS sum_tf
+  FROM toks t JOIN q ON t.term = q.term GROUP BY t.doc_id
+), win AS (
+  SELECT a.doc_id,
+         CAST(MIN(GREATEST(a.pos, b.pos) - LEAST(a.pos, b.pos) + 1) AS BIGINT) AS w
+  FROM (SELECT doc_id, pos FROM toks WHERE term = 'batch') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE term = 'window') b USING (doc_id)
+  GROUP BY a.doc_id
+)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.tfidf_q,
+       CAST(floor(b.score*1e6+0.5) AS BIGINT) AS bm25_q,
+       m.n_matched, m.sum_tf, CAST(dl.dl AS BIGINT) AS dl,
+       CAST(COALESCE(w.w, -1) AS BIGINT) AS min_window
+FROM r JOIN scb b ON b.doc_id = r.doc_id
+JOIN m ON m.doc_id = r.doc_id
+JOIN dl ON dl.doc_id = r.doc_id
+LEFT JOIN win w ON w.doc_id = r.doc_id
+WHERE r.rank < 20 ORDER BY r.rank""",
         # wildcard expansion: top-25 's%' dict terms by (df desc, term),
         # plain-token dupes excluded AFTER the cap, then one OR tf-idf
         # search — exactly query.search_wildcard

@@ -152,3 +152,98 @@ def mine_hard_negatives(
     return pd.DataFrame(
         rows, columns=["query_id", "rank", "doc_id", "score_q"]
     ).astype("int64")
+
+
+def ltr_features(
+    searcher,
+    docs_path: str,
+    query: str,
+    k: int = 20,
+):
+    """Learning-to-rank training-feature extraction (the feature-vector
+    stage of a ranking pipeline, e.g. LambdaMART training sets): for the
+    top-`k` tf-idf candidates of `query`, one row of integer-exact
+    features per (query, doc) pair:
+
+      tfidf_q / bm25_q   both scorers' quantized scores off the index
+      n_matched          distinct query terms present in the doc
+      sum_tf             total query-term occurrences
+      dl                 plain-token document length
+      min_window         smallest token span containing ALL query terms
+                         (two-pointer over per-term position lists ==
+                         MIN over the position cross product; -1 when
+                         some term is absent)
+
+    Candidate texts are fetched by one predicate-pushdown id read
+    (bounded by k); scores come from the index; the SQL oracle replays
+    every feature from the corpus."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from indexer_ray.conformance.lexer import tokenize_plain as _tp
+
+    terms = list(dict.fromkeys(_tp(query)))
+    hits_t = searcher.search(query, k=None, scorer="tfidf", algorithm="exhaustive")
+    ranked = sorted(
+        (-(int(math.floor(sc * 1e6 + 0.5))), int(d)) for d, sc in hits_t
+    )[:k]
+    hits_b = searcher.search(query, k=None, scorer="bm25", algorithm="exhaustive")
+    bq = {int(d): int(math.floor(sc * 1e6 + 0.5)) for d, sc in hits_b}
+
+    cand = [d for _, d in ranked]
+    texts: dict[int, str] = {}
+    if cand:
+        t = _pq.read_table(
+            docs_path, columns=["doc_id", "text"],
+            filters=[("doc_id", "in", cand)],
+        )
+        texts = dict(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+
+    def _min_window(pos_lists: list[list[int]]) -> int:
+        # two-pointer sweep over the merged (pos, which-term) stream: the
+        # smallest [lo, hi] containing >= 1 position of every term — equal
+        # to MIN over the cross product of (max - min + 1)
+        stream = sorted(
+            (p, i) for i, ps in enumerate(pos_lists) for p in ps
+        )
+        need = len(pos_lists)
+        count = [0] * need
+        have = 0
+        best = None
+        lo = 0
+        for hi in range(len(stream)):
+            count[stream[hi][1]] += 1
+            if count[stream[hi][1]] == 1:
+                have += 1
+            while have == need:
+                w = stream[hi][0] - stream[lo][0] + 1
+                best = w if best is None or w < best else best
+                count[stream[lo][1]] -= 1
+                if count[stream[lo][1]] == 0:
+                    have -= 1
+                lo += 1
+        return -1 if best is None else best
+
+    rows = []
+    for rank, (negq, d) in enumerate(ranked):
+        toks = _tp(texts.get(d, "") or "")
+        dl = len(toks)
+        pos = {t: [] for t in terms}
+        for i, t in enumerate(toks):
+            if t in pos:
+                pos[t].append(i)
+        n_matched = sum(1 for t in terms if pos[t])
+        sum_tf = sum(len(pos[t]) for t in terms)
+        mw = _min_window([pos[t] for t in terms]) if n_matched == len(terms) else -1
+        rows.append((rank, d, int(-negq), bq.get(d, 0), n_matched, sum_tf, dl, mw))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "rank", "doc_id", "tfidf_q", "bm25_q",
+            "n_matched", "sum_tf", "dl", "min_window",
+        ],
+    ).astype("int64")

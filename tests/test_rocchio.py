@@ -130,3 +130,39 @@ def test_wildcard_requires_token(rocchio_setup):
     s, _ = rocchio_setup
     with pytest.raises(ValueError):
         search_wildcard(s, "!!*", k=5)
+
+
+# --------------------------------------------- ltr_features
+
+
+def test_ltr_features_values(rocchio_setup):
+    from indexer_ray.pipelines.evaluation import ltr_features
+
+    s, docs_path = rocchio_setup
+    out = ltr_features(s, docs_path, "needle gemstone", k=10)
+    row = out[out["doc_id"] == 0].iloc[0]
+    # doc 0: "needle gemstone needle gemstone shared corpus"
+    assert row["n_matched"] == 2
+    assert row["sum_tf"] == 4
+    assert row["dl"] == 6
+    assert row["min_window"] == 2  # adjacent pair
+    # gemstone-only docs match one term -> window sentinel
+    g = out[out["doc_id"] == 8].iloc[0]
+    assert g["n_matched"] == 1 and g["min_window"] == -1
+    # ranks dense, tfidf_q non-increasing
+    assert out["rank"].tolist() == list(range(len(out)))
+    tq = out["tfidf_q"].tolist()
+    assert all(a >= b for a, b in zip(tq, tq[1:]))
+    assert (out["bm25_q"] > 0).all()
+
+
+def test_ltr_min_window_multi_term(rocchio_setup):
+    from indexer_ray.pipelines.evaluation import ltr_features
+
+    s, docs_path = rocchio_setup
+    # three-term query over the feedback docs: needle..gemstone..shared
+    out = ltr_features(s, docs_path, "needle gemstone shared", k=5)
+    row = out[out["doc_id"] == 0].iloc[0]
+    # "needle gemstone needle gemstone shared corpus": best span is
+    # positions 2..4 (needle, gemstone, shared) -> window 3
+    assert row["min_window"] == 3
