@@ -1468,6 +1468,15 @@ def _q_semdedup(sf_dir: str):
     )
 
 
+def _q_kll_quantiles(sf_dir: str):
+    """KLL quantile sketch over events.value (rows-only: the state
+    depends on batch boundaries; rank-error bounds pinned by tests)."""
+    from indexer_ray.pipelines.sketches import kll_quantiles
+
+    out = kll_quantiles(_events(sf_dir), "value", [0.1, 0.5, 0.9, 0.99], k=200)
+    return out[["q_pct", "n"]].astype("int64")
+
+
 def _q_bloom_census(sf_dir: str):
     """Sharded-Bloom dedup census (BFF pattern): exact and Bloom
     duplicate counts per doc over 20-word units; rows-only (blake2b unit
@@ -2736,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "semdedup_keep": _q_semdedup,
         "bloom_dedup_census": _q_bloom_census,
+        "kll_value_quantiles": _q_kll_quantiles,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_fingerprints,
         "approx_distinct_users": _q_approx_distinct_users,

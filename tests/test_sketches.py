@@ -111,3 +111,66 @@ def test_hyperloglog_null_group_does_not_raise(ray_session):
     assert len(out) == 2  # 'a' and the null group
     by_null = out[out["g"].isna()]["approx_distinct"]
     assert len(by_null) == 1 and by_null.iloc[0] == 2
+
+
+# ------------------------------------------------------ KLL quantiles
+
+
+def test_kll_rank_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from indexer_ray.pipelines.sketches import kll_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(mean=3.0, sigma=1.5, size=50_000)  # heavy tail
+    df = pd.DataFrame({"value": vals})
+    ds = rd.from_pandas(df).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = kll_quantiles(ds, "value", qs, k=200)
+    assert out["n"].tolist() == [50_000] * 4
+    srt = np.sort(vals)
+    for q, est in zip(qs, out["estimate"]):
+        # rank error: the estimate's true rank within eps of q
+        r = np.searchsorted(srt, est) / len(srt)
+        assert abs(r - q) < 0.02, (q, est, r)
+
+
+def test_kll_merge_equals_stream():
+    import numpy as np
+
+    from indexer_ray.pipelines.sketches import KLL
+
+    rng = np.random.default_rng(1)
+    a, b = rng.normal(size=5000), rng.normal(size=5000)
+    both = np.concatenate([a, b])
+    merged = KLL(100).add_many(a).merge(KLL(100).add_many(b))
+    assert merged.n == 10_000
+    srt = np.sort(both)
+    for q in (0.25, 0.5, 0.75):
+        r = np.searchsorted(srt, merged.quantile(q)) / len(srt)
+        assert abs(r - q) < 0.05
+
+
+def test_kll_deterministic():
+    import numpy as np
+
+    from indexer_ray.pipelines.sketches import KLL
+
+    vals = np.arange(20_000, dtype=np.float64)[::-1]
+    a = KLL(64).add_many(vals)
+    b = KLL(64).add_many(vals)
+    assert a.quantile(0.5) == b.quantile(0.5)
+    assert [sorted(l) for l in a.levels] == [sorted(l) for l in b.levels]
+
+
+def test_kll_small_input_exact():
+    import numpy as np
+
+    from indexer_ray.pipelines.sketches import KLL
+
+    s = KLL(200).add_many(np.asarray([3.0, 1.0, 2.0]))
+    assert s.quantile(0.0) == 1.0
+    assert s.quantile(0.5) == 2.0
+    assert s.quantile(1.0) == 3.0
