@@ -485,11 +485,10 @@ def top_terms_per_group(ds, group_col: str = "lang", k: int = 10, mode: str = "p
             }
         )
 
-    agg = (
+    agg = _routed_cnt_sum(
         ds.map_batches(_partial, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=1024)
-        .groupby([group_col, "term"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+            zero_copy_batch=True, batch_size=1024),
+        (group_col, "term"),
     )
 
     def _topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -656,16 +655,15 @@ def bigram_counts(ds, k: int = 100):
     Output: (w1, w2, cnt, rank), rank 0-based by (cnt desc, w1 asc, w2 asc)."""
     from ray.data.aggregate import Sum
 
-    summed = (
+    summed = _routed_cnt_sum(
         ds.map_batches(
             _PartialBigrams,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=1024,
             concurrency=(1, 8),
-        )
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        ),
+        ("w1", "w2"),
     )
 
     def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
@@ -1869,9 +1867,8 @@ def ngram_counts(ds, n: int = 3, k: int = 100, mode: str = "plain"):
             zero_copy_batch=True,
             batch_size=1024,
         )
-        .groupby("ngram")
-        .aggregate(Sum("cnt", alias_name="cnt"))
     )
+    summed = _routed_cnt_sum(summed, ("ngram",))
 
     def _local_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
