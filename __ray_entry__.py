@@ -945,6 +945,51 @@ def _q_index_merge_postings(sf_dir: str):
     )
 
 
+_REMAP_DIRS: dict[str, str] = {}
+
+
+def _remap_dir_for(sf_dir: str) -> str:
+    """URL-rank remapped copy of the plain index (once per process)."""
+    from indexer_ray.pipelines.remap import remap_docids
+
+    base = _index_dir_for(sf_dir, "plain")
+    out = base + "_remap"
+    if _REMAP_DIRS.get(base) and os.path.exists(
+        os.path.join(out, "manifest.json")
+    ):
+        return out
+    remap_docids(base, out, key_cols=("url",))
+    _REMAP_DIRS[base] = out
+    return out
+
+
+def _q_index_remap_postings(sf_dir: str):
+    """Docid reassignment under the external oracle (pipelines/remap.py,
+    Silvestri 2007): the plain index's ids are rewritten to the dense
+    global rank of the docmap url — for an `id_column` build the stored
+    url is str(doc_id), so the oracle replays the rank as
+    ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) over admitted
+    (non-empty) docs and the remapped probe-term postings must match
+    posting-for-posting (same contract as `index_postings`, new id
+    space)."""
+    from indexer_ray.pipelines.query import IndexSearcher
+
+    s = IndexSearcher(_remap_dir_for(sf_dir))
+    terms, doc_ids, tfs = [], [], []
+    for term in _PROBE_TERMS:
+        d, t = s.term_postings(term)
+        terms.extend([term] * len(d))
+        doc_ids.extend(int(x) for x in d)
+        tfs.extend(int(x) for x in t)
+    return pd.DataFrame(
+        {
+            "term": pd.Series(terms, dtype="object"),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "tf": pd.Series(tfs, dtype="int64"),
+        }
+    )
+
+
 def _q_index_delete_postings(sf_dir: str):
     """Tombstone deletion lifecycle (merge.delete_docs) under the external
     oracle: full index over the documents table, delete the urls of
@@ -2615,7 +2660,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "index_term_df": _q_index_term_df,
         "index_postings": _q_index_postings,
-        "index_docmap": _q_index_docmap,
+        # index_docmap (driver-green r01+r02+r03) rotates past the window
+        # for the new remap operator's first capture:
+        "index_remap_postings": _q_index_remap_postings,
         "robots_filter": _q_robots_filter,
         # first driver capture in r04 (oracle SQL existed since r03 but sat
         # past the window):
@@ -2673,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
+        "index_docmap": _q_index_docmap,
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
         "percolate_alerts": _q_percolate,
@@ -3971,6 +4019,16 @@ GROUP BY term, doc_id""",
         "index_docmap": f"""SELECT doc_id,
        CAST(len({_PLAIN_TOKS}) AS BIGINT) AS doc_len
 FROM documents WHERE len({_PLAIN_TOKS}) > 0""",
+        "index_remap_postings": f"""{_TOKS_CTE}
+, admitted AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS new_id
+  FROM documents WHERE len({_PLAIN_TOKS}) > 0
+)
+SELECT t.term, CAST(a.new_id AS BIGINT) AS doc_id, count(*) AS tf
+FROM toks t JOIN admitted a USING (doc_id)
+WHERE t.term IN ({probe})
+GROUP BY t.term, a.new_id""",
         "ann_brute_topk": f"""WITH q AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
   FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}
