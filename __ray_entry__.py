@@ -1705,6 +1705,41 @@ def _q_drop_dup_chunks(sf_dir: str):
     )
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Two-snapshot crawl diff under a FULL OUTER JOIN oracle: old crawl =
+    docs with doc_id%7!=0 (text prefixed 'OLD ' when doc_id%5==0), new
+    crawl = docs with doc_id%11!=0 — so %7==0 urls are `added`, %11==0
+    are `removed`, %5==0 survivors are `changed`.  The engine compares
+    8-byte content digests after a distributed full-outer hash join;
+    the oracle compares the texts directly."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.urls import crawl_diff
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = docs.column("text").to_pylist()
+    urls = [f"doc://{i}" for i in ids]
+    old_rows = [
+        (u, ("OLD " + t) if i % 5 == 0 else t)
+        for i, u, t in zip(ids, urls, texts)
+        if i % 7
+    ]
+    new_rows = [(u, t) for i, u, t in zip(ids, urls, texts) if i % 11]
+    mk = lambda rows: rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+    out = crawl_diff(mk(old_rows), mk(new_rows)).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_canonical_urls(sf_dir: str):
     """URL canonicalization under a full string oracle: both sides
     synthesize the SAME deterministic messy url per doc_id (mixed-case
@@ -2659,10 +2694,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past slot 50 all passed the driver oracle in 2-3 prior rounds.
         "normalize_docs": _q_normalize_docs,
         "index_term_df": _q_index_term_df,
-        "index_postings": _q_index_postings,
-        # index_docmap (driver-green r01+r02+r03) rotates past the window
-        # for the new remap operator's first capture:
+        # index_postings and index_docmap (both driver-green r01+r02+r03)
+        # rotate past the window for two new-operator first captures;
+        # index_remap_postings re-checks the exact index_postings tf
+        # contract through the remapped id space, so the S8 anchor keeps
+        # in-window evidence:
         "index_remap_postings": _q_index_remap_postings,
+        "crawl_diff": _q_crawl_diff,
         "robots_filter": _q_robots_filter,
         # first driver capture in r04 (oracle SQL existed since r03 but sat
         # past the window):
@@ -2720,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
         # ---- slot 50 boundary ----
+        "index_postings": _q_index_postings,
         "index_docmap": _q_index_docmap,
         "skipgram_top": _q_skipgram_top,
         "hard_negatives": _q_hard_negatives,
@@ -3558,6 +3597,19 @@ SELECT p.doc_id,
 FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY p.doc_id""",
         # same synthesized mess + the same R1-R5 canonicalization chain
+        "crawl_diff": """WITH old AS (
+  SELECT 'doc://' || doc_id AS url,
+         CASE WHEN doc_id % 5 = 0 THEN 'OLD ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT 'doc://' || doc_id AS url, text FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.url = n.url""",
         "canonical_urls": """WITH m AS (
   SELECT doc_id,
          'HTTP://WWW.Src' || (doc_id % 7) || '.EXAMPLE.COM' ||

@@ -140,3 +140,83 @@ def keep_latest_per_key(
         .groupby("part")
         .map_groups(_latest, batch_format="pandas")
     )
+
+
+def crawl_diff(
+    old_ds,
+    new_ds,
+    url_col: str = "url",
+    content_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Snapshot diff between two crawls of the same site set: per url,
+    status ``added`` (new crawl only), ``removed`` (old crawl only),
+    ``changed`` (both, content differs) or ``unchanged`` — the change-
+    detection census a re-crawl scheduler feeds on (the reference's
+    mtime freshness rule, lib.rs:210-224, is the single-file analogue;
+    cf. Cho & Garcia-Molina 2000 on crawl refresh estimation).
+
+    Shape: each side reduces to (url, 8-byte blake2b content digest) in
+    one batch pass — the shuffle moves 16-byte rows, never documents —
+    then ONE distributed full-outer hash join on url and a vectorized
+    status classification.  Urls are assumed unique per snapshot
+    (dedup a multi-fetch crawl with `keep_latest_per_key` first).
+
+    Output: (url, status) rows."""
+    import hashlib
+
+    import ray
+    import pyarrow.compute as pc
+
+    def _digest(side: str):
+        col = f"h_{side}"
+
+        def _d(t: pa.Table) -> pa.Table:
+            texts = t.column(content_col).to_pylist()
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            (s or "").encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                    for s in texts
+                ),
+                dtype=np.uint64,
+                count=len(texts),
+            )
+            return pa.table(
+                {
+                    url_col: t.column(url_col),
+                    col: pa.array(h.view(np.int64), type=pa.int64()),
+                }
+            )
+
+        return _d
+
+    a = old_ds.map_batches(_digest("old"), batch_format="pyarrow")
+    b = new_ds.map_batches(_digest("new"), batch_format="pyarrow")
+    jp = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 2
+    )
+    joined = a.join(b, "full_outer", jp, on=(url_col,))
+
+    def _status(t: pa.Table) -> pa.Table:
+        ho, hn = t.column("h_old"), t.column("h_new")
+        old_null = pc.is_null(ho).to_numpy(zero_copy_only=False)
+        new_null = pc.is_null(hn).to_numpy(zero_copy_only=False)
+        same = pc.equal(ho, hn).fill_null(False).to_numpy(zero_copy_only=False)
+        status = np.where(
+            old_null,
+            "added",
+            np.where(new_null, "removed", np.where(same, "unchanged", "changed")),
+        )
+        return pa.table(
+            {
+                url_col: t.column(url_col),
+                "status": pa.array(status, type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(_status, batch_format="pyarrow")

@@ -147,3 +147,77 @@ def test_keep_latest_per_key_layout_independent(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 9
+
+
+def test_crawl_diff_statuses(ray_session):
+    import ray.data as rd
+    from indexer_ray.pipelines.urls import crawl_diff
+
+    old = pd.DataFrame(
+        {"url": ["a", "b", "c", "d"], "text": ["1", "2", "3", "4"]}
+    )
+    new = pd.DataFrame(
+        {"url": ["b", "c", "d", "e"], "text": ["2", "XX", "4", "5"]}
+    )
+    out = (
+        crawl_diff(rd.from_pandas(old), rd.from_pandas(new))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out["status"].tolist() == [
+        "removed",
+        "unchanged",
+        "changed",
+        "unchanged",
+        "added",
+    ]
+
+
+def test_crawl_diff_layout_independent(ray_session):
+    import ray.data as rd
+    from indexer_ray.pipelines.urls import crawl_diff
+
+    n = 500
+    old = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n) if i % 7],
+            "text": [
+                ("OLD " + f"t{i}" if i % 5 == 0 else f"t{i}")
+                for i in range(n)
+                if i % 7
+            ],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n) if i % 11],
+            "text": [f"t{i}" for i in range(n) if i % 11],
+        }
+    )
+    a = (
+        crawl_diff(rd.from_pandas(old), rd.from_pandas(new))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        crawl_diff(
+            rd.from_pandas(old).repartition(8),
+            rd.from_pandas(new).repartition(5),
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    counts = a["status"].value_counts()
+    # i%7==0 rows exist only in new -> added; i%11==0 only in old -> removed
+    assert counts["added"] == sum(1 for i in range(n) if i % 7 == 0 and i % 11)
+    assert counts["removed"] == sum(
+        1 for i in range(n) if i % 11 == 0 and i % 7
+    )
+    assert counts["changed"] == sum(
+        1 for i in range(n) if i % 5 == 0 and i % 7 and i % 11
+    )
