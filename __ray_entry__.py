@@ -1346,6 +1346,27 @@ def _q_substring_dup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
 
+def _q_drop_dup_substrings(sf_dir: str):
+    """Suffix-array-dedup APPLY step (Lee et al. 2022 §4.1): every
+    occurrence of a duplicated 30-codepoint gram except the corpus-wide
+    (doc_id, pos)-first is cut; the oracle rebuilds the cut text
+    character-by-character (string_agg over uncovered positions) and
+    must match the engine's utf-32 span-union rebuild byte-for-byte."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import drop_duplicate_substrings
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = drop_duplicate_substrings(docs, min_len=30).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_removed": "int64"})
+    )
+
+
 def _q_chunk_dedup_stats(sf_dir: str):
     """Span-level exact-dedup census (C4-style fixed word windows):
     per-doc chunk counts and how many chunks duplicate an earlier
@@ -2776,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "drop_dup_substrings": _q_drop_dup_substrings,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3303,6 +3325,37 @@ FROM c ORDER BY doc_id""",
         # 30-codepoint gram census; coverage via the equal-length-
         # interval identity L + sum(min(L, gap)) — exactly
         # dedup.substring_dup_stats
+        "drop_dup_substrings": """WITH grams AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS p
+        FROM documents WHERE length(text) >= 30)
+), marked AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           COUNT(*) OVER (PARTITION BY g) AS c,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM grams
+  ) WHERE c >= 2 AND rn > 1
+), removed AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, unnest(generate_series(p, p + 29)) AS i FROM marked
+  )
+), kept AS (
+  SELECT c.doc_id, c.i, substr(c.text, CAST(c.i AS INTEGER), 1) AS ch
+  FROM (SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+        FROM documents) c
+  LEFT JOIN removed r ON c.doc_id = r.doc_id AND c.i = r.i
+  WHERE r.i IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(k.text, '') AS text,
+       CAST(length(d.text) - COALESCE(k.n, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text,
+                  COUNT(*) AS n
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY d.doc_id""",
         "substring_dup_stats": """WITH grams AS (
   SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS g
   FROM (SELECT doc_id, text,

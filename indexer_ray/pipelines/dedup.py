@@ -2315,6 +2315,152 @@ def substring_dup_stats(ds, min_len: int = 25, n_parts: int | None = None):
     return unioned.groupby("dpart").map_groups(_census, batch_format="pandas")
 
 
+def drop_duplicate_substrings(
+    ds, min_len: int = 25, n_parts: int | None = None
+):
+    """Duplicate-substring REMOVAL — the apply step of the suffix-array
+    dedup (Lee et al. 2022 §4.1 remove all but one occurrence of any
+    duplicated span): every occurrence of a duplicated `min_len`-gram
+    EXCEPT the corpus-wide first (smallest (doc_id, pos)) is cut; a
+    character survives iff no removed gram covers it.  Overlapping
+    removed grams merge into one span, so the removable mass equals
+    `substring_dup_stats`' coverage minus the kept-first spans.  The
+    kept first occurrence can still lose characters to a DIFFERENT
+    key's removed span overlapping it — the paper's policy has the same
+    property (removal is by span union, not by key).
+
+    Shape: the census' `_GramHashStage` exchange (20 bytes per corpus
+    character, never the text), except the per-key pass keeps positions
+    of dup keys MINUS each key's (doc_id, pos)-first — a key's rows all
+    land in one hash partition, so "corpus-wide first" is a partition-
+    local head row.  Marked positions re-route BY DOC in a tagged union
+    with the texts; per doc one interval-difference cumsum builds the
+    covered mask and the survivors re-encode from the utf-32 view (no
+    per-character Python).
+
+    Output: (doc_id, text, n_removed) — text with the spans cut,
+    n_removed = characters deleted; one row per input document."""
+    from indexer_ray.functions.hashing import key_partition
+
+    L = min_len
+    n_parts = (
+        n_parts
+        if n_parts is not None
+        else max(_adaptive_pair_parts(ds, None), 16)
+    )
+
+    grams = ds.select_columns(["doc_id", "text"]).map_batches(
+        _GramHashStage,
+        fn_constructor_args=(L, n_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def _marked(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "pos": [], "text": []}).astype(
+            {"doc_id": "int64", "pos": "int32", "text": "object"}
+        )
+        if not len(g):
+            return empty
+        key = g["key"].to_numpy(dtype=np.uint64)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, doc, key))
+        key, doc, pos = key[order], doc[order], pos[order]
+        head = np.r_[True, key[1:] != key[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(head), len(key)])
+        in_dup = np.repeat(sizes >= 2, sizes)
+        mark = in_dup & ~head  # all but each dup key's (doc_id,pos)-first
+        if not mark.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": doc[mark],
+                "pos": pos[mark].astype("int32"),
+                # placeholder keeps the union schema string-typed
+                "text": np.full(int(mark.sum()), "", dtype=object),
+            }
+        )
+
+    def _base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "text": batch.column("text"),
+            }
+        )
+
+    def _doc_route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+            n_parts,
+        )
+        return batch.append_column("dpart", pa.array(part, type=pa.int32()))
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        _base, batch_format="pyarrow", zero_copy_batch=True
+    )
+    marked = grams.groupby("part").map_groups(_marked, batch_format="pandas")
+    unioned = base.union(
+        marked.map_batches(
+            lambda t: t.select(["doc_id", "pos", "text"]).replace_schema_metadata(
+                None
+            ),
+            batch_format="pyarrow",
+        )
+    ).map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        basef = g[g["pos"] == -1]
+        dupf = g[g["pos"] >= 0]
+        pos_by_doc = (
+            {
+                d: sub["pos"].to_numpy(dtype=np.int64)
+                for d, sub in dupf.groupby("doc_id")
+            }
+            if len(dupf)
+            else {}
+        )
+        rows_id, rows_text, rows_rm = [], [], []
+        for d, t in zip(
+            basef["doc_id"].to_numpy(dtype=np.int64), basef["text"]
+        ):
+            t = t or ""
+            ps = pos_by_doc.get(d)
+            if ps is None or not len(ps):
+                rows_id.append(d)
+                rows_text.append(t)
+                rows_rm.append(0)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cp)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, ps, 1)
+            np.add.at(diff, np.minimum(ps + L, n), -1)
+            covered = np.cumsum(diff[:n]) > 0
+            kept = cp[~covered]
+            rows_id.append(d)
+            rows_text.append(kept.tobytes().decode("utf-32-le"))
+            rows_rm.append(int(covered.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(rows_id, dtype=np.int64),
+                "text": pd.Series(rows_text, dtype="object"),
+                "n_removed": np.array(rows_rm, dtype=np.int64),
+            }
+        )
+
+    return unioned.groupby("dpart").map_groups(_cut, batch_format="pandas")
+
+
 def bloom_dedup_census(
     ds,
     chunk_words: int = 20,

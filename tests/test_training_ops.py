@@ -1365,3 +1365,98 @@ def test_temperature_mixture_bad_alpha_raises(ray_session):
     df = pd.DataFrame({"doc_id": [1], "source": ["a"]})
     with pytest.raises(ValueError):
         temperature_mixture(rd.from_pandas(df), alpha=1.5)
+
+
+def _brute_drop_substrings(texts, L):
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d in sorted(texts):
+        t = texts[d]
+        for p in range(max(len(t) - L + 1, 0)):
+            occ[t[p : p + L]].append((d, p))
+    marked = defaultdict(list)
+    for g, lst in occ.items():
+        if len(lst) >= 2:
+            for d, p in sorted(lst)[1:]:
+                marked[d].append(p)
+    rows = []
+    for d in sorted(texts):
+        t = texts[d]
+        cov = [False] * len(t)
+        for p in marked.get(d, []):
+            for i in range(p, min(p + L, len(t))):
+                cov[i] = True
+        kept = "".join(c for c, m in zip(t, cov) if not m)
+        rows.append((d, kept, sum(cov)))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "n_removed"]).astype(
+        {"doc_id": "int64", "n_removed": "int64"}
+    )
+
+
+def test_drop_duplicate_substrings_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import drop_duplicate_substrings
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(400)]
+    texts = {}
+    for i in range(50):
+        texts[i] = " ".join(rng.choice(words, size=40))
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts[3] = texts[3][:50] + shared + texts[3][50:]
+    texts[17] = shared + texts[17]
+    texts[42] = texts[42] + shared
+    texts[9] = texts[9][:30] + "abcdefghij" * 8 + texts[9][30:]  # self-repeat
+    texts[51] = "short"
+    texts[52] = ""
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}
+    )
+    L = 30
+    got = (
+        drop_duplicate_substrings(rd.from_pandas(df), min_len=L, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_drop_substrings(texts, L)
+    pd.testing.assert_frame_equal(got, want)
+    by_id = got.set_index("doc_id")
+    # the (doc_id,pos)-first occurrence (doc 3's copy precedes 17's and
+    # 42's in id order) keeps its span; later occurrences lose theirs
+    assert shared in by_id.loc[3, "text"]
+    assert shared not in by_id.loc[17, "text"]
+    assert shared not in by_id.loc[42, "text"]
+    assert by_id.loc[51, "n_removed"] == 0 and by_id.loc[52, "text"] == ""
+
+
+def test_drop_duplicate_substrings_layout_independent(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import drop_duplicate_substrings
+
+    span = "héllo wörld ünïcode span çôdepoints répeated here"
+    texts = {
+        0: "prefix " + span + " suffix",
+        1: span + " tail of document one",
+        2: "no duplicated content in this document at all here",
+        3: "mid " + span + " mid",
+    }
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}
+    )
+    a = (
+        drop_duplicate_substrings(rd.from_pandas(df), min_len=20, n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        drop_duplicate_substrings(
+            rd.from_pandas(df).repartition(3), min_len=20, n_parts=7
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    want = _brute_drop_substrings(texts, 20)
+    pd.testing.assert_frame_equal(a, want)
