@@ -1367,6 +1367,39 @@ def _q_drop_dup_substrings(sf_dir: str):
     )
 
 
+def _q_ngram_decontam(sf_dir: str):
+    """Exact 13-gram decontamination census (Brown et al. 2020 appendix
+    C) under a FULL SQL oracle: eval set = docs with doc_id%17==0, so
+    every eval doc's train copy is contaminated by construction plus any
+    natural cross-doc duplication.  The engine exchanges 62-bit rolling
+    gram keys; the oracle joins gram STRINGS built by list slicing."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import exact_ngram_overlap
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    def _eval_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    ev = docs.map_batches(_eval_rows, batch_format="pyarrow")
+    out = exact_ngram_overlap(docs, ev, n=13).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_grams": "int64",
+                "n_hits": "int64",
+                "contaminated": "bool",
+            }
+        )
+    )
+
+
 def _q_chunk_dedup_stats(sf_dir: str):
     """Span-level exact-dedup census (C4-style fixed word windows):
     per-doc chunk counts and how many chunks duplicate an earlier
@@ -2798,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "drop_dup_substrings": _q_drop_dup_substrings,
+        "ngram_decontam": _q_ngram_decontam,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3325,6 +3359,25 @@ FROM c ORDER BY doc_id""",
         # 30-codepoint gram census; coverage via the equal-length-
         # interval identity L + sum(min(L, gap)) — exactly
         # dedup.substring_dup_stats
+        "ngram_decontam": """WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), tg AS (
+  SELECT doc_id, array_to_string(ts[p:p+12], ' ') AS g
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS p
+        FROM tok WHERE len(ts) >= 13)
+), eg AS (
+  SELECT DISTINCT g FROM tg WHERE doc_id % 17 = 0
+), hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tg t JOIN eg USING (g) GROUP BY t.doc_id
+)
+SELECT k.doc_id,
+       CAST(GREATEST(len(k.ts) - 12, 0) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM tok k LEFT JOIN hits h USING (doc_id)
+ORDER BY k.doc_id""",
         "drop_dup_substrings": """WITH grams AS (
   SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS g
   FROM (SELECT doc_id, text,

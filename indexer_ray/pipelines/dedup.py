@@ -1948,6 +1948,287 @@ def decontaminate_ds(
     return clean, overlaps
 
 
+class _WordGramStage:
+    """Per-doc word n-gram keys over plain tokens: emits one 62-bit
+    double-rolling-hash key per n-gram POSITION (keys, not strings,
+    through the shuffle — 16 bytes/gram).  Token hashes come from one
+    vectorized pandas hash_array per batch; the rolling windows use the
+    census' prefix-sum trick over the FLAT token array, with windows
+    that cross a document boundary masked out — no per-position Python.
+    Power tables are actor state, grown by doubling on demand."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.pow_b: list[np.ndarray] = []
+        self.pow_binv: list[np.ndarray] = []
+        self.binv = []
+        for m, b in _SUBH:
+            binv = pow(b, m - 2, m)
+            self.binv.append(binv)
+            self.pow_b.append(_pow_table(b, m, 1024))
+            self.pow_binv.append(_pow_table(binv, m, 1024))
+
+    def _grow(self, n: int):
+        for i, (m, b) in enumerate(_SUBH):
+            if len(self.pow_b[i]) < n:
+                self.pow_b[i] = _pow_table(b, m, n, self.pow_b[i])
+                self.pow_binv[i] = _pow_table(
+                    self.binv[i], m, n, self.pow_binv[i]
+                )
+
+    def keys_of(self, batch: pa.Table):
+        """(doc_row_index, keys) for every valid n-gram window."""
+        from indexer_ray.pipelines.text_analysis import _flatten_plain_tokens
+
+        rows, flat = _flatten_plain_tokens(batch)
+        L = self.n
+        nf = len(flat)
+        if nf < L:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        self._grow(nf)
+        th = pd.util.hash_array(flat)
+        hs = []
+        for i, (m, _b) in enumerate(_SUBH):
+            M = np.uint64(m)
+            w = th % M * self.pow_binv[i][:nf] % M
+            c = np.concatenate([np.zeros(1, dtype=np.uint64), np.cumsum(w)])
+            s = (c[L:] - c[: nf - L + 1]) % M
+            hs.append(s * self.pow_b[i][L - 1 : nf] % M)
+        keys = hs[0] * np.uint64(_SUBH[1][0]) + hs[1]
+        # a window is valid iff it lies inside ONE document
+        valid = rows[: nf - L + 1] == rows[L - 1 :]
+        return rows[: nf - L + 1][valid], keys[valid]
+
+
+def exact_ngram_overlap(
+    train_ds,
+    eval_ds,
+    n: int = 13,
+    broadcast_keys_threshold: int = 1 << 22,
+    n_parts: int = 32,
+):
+    """Exact word-n-gram decontamination census — the GPT-3 appendix-C /
+    Brown et al. 2020 rule (a train doc is contaminated when it shares
+    any exact 13-gram with the eval set), over plain tokens
+    ([a-z0-9]+ runs of lower(text)) so a DuckDB oracle can replay gram
+    STRINGS while the engine exchanges 62-bit rolling-hash keys
+    (birthday-safe at these corpus sizes, same argument as
+    `substring_dup_stats`).
+
+    Two regimes on the eval gram count (which is benchmark-sized, not
+    corpus-sized — the asymmetry decontamination exists to exploit):
+      * broadcast (distinct eval keys <= threshold): the sorted eval key
+        array ships ONCE via ray.put and every train batch counts hits
+        with one searchsorted — the train corpus is never shuffled;
+      * join (pathologically large eval sets): train gram keys inner-join
+        the distinct eval keys, hit counts come from a doc groupby, and a
+        doc-routed tagged union merges them with per-doc totals.
+
+    Output: (doc_id, n_grams, n_hits, contaminated) — one row per train
+    doc; n_hits counts gram POSITIONS whose gram occurs anywhere in the
+    eval set."""
+    import ray
+    import pyarrow.compute as pc
+
+    from indexer_ray.functions.hashing import key_partition
+
+    eval_keys_ds = eval_ds.select_columns(["doc_id", "text"]).map_batches(
+        _EvalGramKeys,
+        fn_constructor_args=(n,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+    n_eval_keys = eval_keys_ds.count()
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        from indexer_ray.pipelines.text_analysis import _flatten_plain_tokens
+
+        rows, _flat = _flatten_plain_tokens(batch)
+        cnt = np.bincount(rows, minlength=batch.num_rows)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(
+                    np.maximum(cnt - n + 1, 0).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    if n_eval_keys <= broadcast_keys_threshold:
+        ek = (
+            np.unique(
+                np.array(
+                    [r["key"] for r in eval_keys_ds.take_all()],
+                    dtype=np.uint64,
+                )
+            )
+            if n_eval_keys
+            else np.empty(0, dtype=np.uint64)
+        )
+        ek_ref = ray.put(ek)
+
+        class _Census(_WordGramStage):
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                t = _totals(batch)
+                e = ray.get(ek_ref)
+                hits = np.zeros(batch.num_rows, dtype=np.int64)
+                if len(e):
+                    rows, keys = self.keys_of(batch)
+                    if len(keys):
+                        pos = np.minimum(
+                            np.searchsorted(e, keys), len(e) - 1
+                        )
+                        hit_rows = rows[e[pos] == keys]
+                        hits = np.bincount(
+                            hit_rows, minlength=batch.num_rows
+                        ).astype(np.int64)
+                return t.append_column(
+                    "n_hits", pa.array(hits, type=pa.int64())
+                ).append_column(
+                    "contaminated", pa.array(hits > 0, type=pa.bool_())
+                )
+
+        return train_ds.select_columns(["doc_id", "text"]).map_batches(
+            _Census,
+            fn_constructor_args=(n,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=(1, 8),
+        )
+
+    # ---- join regime: eval keys stay distributed ----
+    class _TrainGrams(_WordGramStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows, keys = self.keys_of(batch)
+            doc = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "jkey": pa.array(
+                        keys.view(np.int64), type=pa.int64()
+                    ),
+                    "doc_id": pa.array(doc[rows], type=pa.int64()),
+                }
+            )
+
+    eval_distinct = (
+        eval_keys_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "jkey": pa.array(
+                        t.column("key")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                        .view(np.int64),
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("jkey")
+        .count()
+        .select_columns(["jkey"])
+    )
+    jp = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    train_grams = train_ds.select_columns(["doc_id", "text"]).map_batches(
+        _TrainGrams,
+        fn_constructor_args=(n,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+    hit_counts = (
+        train_grams.join(eval_distinct, "inner", jp, on=("jkey",))
+        .groupby("doc_id")
+        .count()
+    )  # (doc_id, count())
+    totals = train_ds.select_columns(["doc_id", "text"]).map_batches(
+        _totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _tag_hits(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "n_hits": pc.cast(t.column("count()"), pa.int64()),
+            }
+        ).replace_schema_metadata(None)
+
+    def _tag_totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pc.cast(t.column("n_grams"), pa.int64()),
+                "n_hits": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ).replace_schema_metadata(None)
+
+    def _doc_route(t: pa.Table) -> pa.Table:
+        part = key_partition(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64),
+            n_parts,
+        )
+        return t.append_column("dpart", pa.array(part, type=pa.int32()))
+
+    unioned = (
+        totals.map_batches(_tag_totals, batch_format="pyarrow")
+        .union(hit_counts.map_batches(_tag_hits, batch_format="pyarrow"))
+        .map_batches(_doc_route, batch_format="pyarrow")
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"doc_id": [], "n_grams": [], "n_hits": [], "contaminated": []}
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_grams": "int64",
+                    "n_hits": "int64",
+                    "contaminated": "bool",
+                }
+            )
+        tot = g[g["n_grams"] >= 0]
+        hit = g[g["n_grams"] < 0]
+        hmap = dict(zip(hit["doc_id"], hit["n_hits"]))
+        doc = tot["doc_id"].to_numpy(dtype=np.int64)
+        nh = np.array([hmap.get(d, 0) for d in doc], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "n_grams": tot["n_grams"].to_numpy(dtype=np.int64),
+                "n_hits": nh,
+                "contaminated": nh > 0,
+            }
+        )
+
+    return unioned.groupby("dpart").map_groups(_merge, batch_format="pandas")
+
+
+class _EvalGramKeys(_WordGramStage):
+    """Eval-side gram keys, deduped per batch before the exchange."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _rows, keys = self.keys_of(batch)
+        return pa.table(
+            {"key": pa.array(np.unique(keys), type=pa.uint64())}
+        )
+
+
 # --------------------------------------------------- chunk-level dedup
 
 

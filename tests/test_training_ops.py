@@ -1460,3 +1460,71 @@ def test_drop_duplicate_substrings_layout_independent(ray_session):
     pd.testing.assert_frame_equal(a, b)
     want = _brute_drop_substrings(texts, 20)
     pd.testing.assert_frame_equal(a, want)
+
+
+def _brute_ngram_overlap(train, ev, n):
+    import re
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", (t or "").lower())
+
+    egrams = set()
+    for t in ev.values():
+        ts = toks(t)
+        for p in range(len(ts) - n + 1):
+            egrams.add(tuple(ts[p : p + n]))
+    rows = []
+    for d in sorted(train):
+        ts = toks(train[d])
+        ng = max(len(ts) - n + 1, 0)
+        nh = sum(
+            1 for p in range(ng) if tuple(ts[p : p + n]) in egrams
+        )
+        rows.append((d, ng, nh, nh > 0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "n_hits", "contaminated"]
+    ).astype({"doc_id": "int64", "n_grams": "int64", "n_hits": "int64"})
+
+
+def test_exact_ngram_overlap_matches_brute_both_regimes(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import exact_ngram_overlap
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(300)]
+    train = {
+        i: " ".join(rng.choice(words, size=30)) for i in range(40)
+    }
+    ev = {0: " ".join(rng.choice(words, size=25)), 1: "Short eval doc!"}
+    # inject eval 13-grams into three train docs (start / middle / end)
+    inj = " ".join(ev[0].split()[3:16])
+    train[7] = inj + " " + train[7]
+    train[19] = train[19][:50] + " " + inj + " " + train[19][50:]
+    train[33] = train[33] + " " + inj
+    train[38] = "tiny"
+    tdf = pd.DataFrame(
+        {"doc_id": sorted(train), "text": [train[k] for k in sorted(train)]}
+    )
+    edf = pd.DataFrame(
+        {"doc_id": sorted(ev), "text": [ev[k] for k in sorted(ev)]}
+    )
+    want = _brute_ngram_overlap(train, ev, 13)
+    a = (
+        exact_ngram_overlap(rd.from_pandas(tdf), rd.from_pandas(edf), n=13)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, want)
+    b = (
+        exact_ngram_overlap(
+            rd.from_pandas(tdf).repartition(5),
+            rd.from_pandas(edf),
+            n=13,
+            broadcast_keys_threshold=0,  # force the join regime
+            n_parts=7,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(b, want)
+    assert a.set_index("doc_id").loc[[7, 19, 33], "contaminated"].all()
+    assert not a.set_index("doc_id").loc[38, "contaminated"]
