@@ -1400,6 +1400,26 @@ def _q_ngram_decontam(sf_dir: str):
     )
 
 
+def _q_site_quality(sf_dir: str):
+    """Site-level quality admission (RefinedWeb host filtering) under a
+    float-free SQL oracle: per source, docs / docs passing the doc-level
+    quality rules / the integer cross-multiplied keep flag."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.curate import site_quality_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    out = site_quality_stats(docs).to_pandas()
+    return (
+        out.sort_values("host")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "n_pass": "int64", "kept": "bool"})
+    )
+
+
 def _q_chunk_dedup_stats(sf_dir: str):
     """Span-level exact-dedup census (C4-style fixed word windows):
     per-doc chunk counts and how many chunks duplicate an earlier
@@ -2832,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "drop_dup_substrings": _q_drop_dup_substrings,
         "ngram_decontam": _q_ngram_decontam,
+        "site_quality_hosts": _q_site_quality,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
         "search_proximity_plain": _q_search_proximity,
@@ -3359,6 +3380,22 @@ FROM c ORDER BY doc_id""",
         # 30-codepoint gram census; coverage via the equal-length-
         # interval identity L + sum(min(L, gap)) — exactly
         # dedup.substring_dup_stats
+        "site_quality_hosts": """WITH c AS (
+  SELECT source AS host, length(text) AS n,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+  FROM documents
+), f AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_tokens >= 5 AND n > 0
+                        AND n_digit * 100 <= n * 30
+                        AND n_alpha * 100 >= n * 50
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM c GROUP BY host
+)
+SELECT host, n_docs, n_pass, n_pass * 2 >= n_docs AS kept
+FROM f ORDER BY host""",
         "ngram_decontam": """WITH tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
   FROM documents

@@ -770,3 +770,35 @@ def test_percolator_token_boundaries_and_empty_alert(ray_session):
     assert len(out) == 0  # 'alphabet' must not fire the 'alpha' alert
     with pytest.raises(ValueError):
         percolate_alerts(rd.from_pandas(docs), {2: "!!!"})
+
+
+def test_site_quality_filter(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.curate import site_quality_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["good"] * 4 + ["spam"] * 4 + ["mixed"] * 2,
+            "text": (
+                ["a decent page with plenty of words here"] * 4
+                + ["1234 5678 90 12", "99 88 77", "11 22 33 44", "ok words but alone"]
+                + ["fine normal page text here today", "55 66 77 88 99 00"]
+            ),
+        }
+    )
+    kept, stats = site_quality_filter(rd.from_pandas(df))
+    s = stats.to_pandas().set_index("host").sort_index()
+    # good: 4/4 pass; spam: 0-1/4; mixed: 1/2 passes exactly the 1/2 bar
+    assert bool(s.loc["good", "kept"]) and not bool(s.loc["spam", "kept"])
+    assert bool(s.loc["mixed", "kept"])  # n_pass*2 >= n_docs at equality
+    kept_ids = sorted(kept.to_pandas()["doc_id"])
+    assert kept_ids == [0, 1, 2, 3, 8, 9]
+    # layout independence
+    kept2, stats2 = site_quality_filter(rd.from_pandas(df).repartition(4))
+    assert sorted(kept2.to_pandas()["doc_id"]) == kept_ids
+    pd.testing.assert_frame_equal(
+        stats.to_pandas().sort_values("host").reset_index(drop=True),
+        stats2.to_pandas().sort_values("host").reset_index(drop=True),
+    )
