@@ -91,6 +91,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import pyarrow.parquet as _pq
 
     dedup.substring_dup_stats(_tiny_docs, min_len=30, n_parts=8).materialize()
+    dedup.drop_duplicate_substrings(_tiny_docs, min_len=30, n_parts=8).materialize()
+    dedup.exact_ngram_overlap(
+        _tiny_docs, _tiny_docs.limit(8).materialize(), n=13
+    ).materialize()
     _tiny_emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet")).limit(64).materialize()
     _tq = _pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
@@ -216,6 +220,34 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     timed(
         "regex_grep",
         lambda: _grep.regex_grep(tri_dir, docs_path, "batch [a-z]+ window"),
+    )
+
+    # round-4 session 5: docid remap (the gap-compression lifecycle op —
+    # rank shuffle + postings rewrite over the flagship index), exact
+    # 13-gram decontamination, and the substring-dedup APPLY (census
+    # exchange + doc-routed text cut: the repo's heaviest per-byte op)
+    from indexer_ray.pipelines.remap import remap_docids
+
+    remap_dir = os.path.join(SCRATCH, "index_remapped")
+    shutil.rmtree(remap_dir, ignore_errors=True)
+    timed(
+        "index_remap",
+        lambda: remap_docids(idx, remap_dir, key_cols=("url",)),
+    )
+    timed(
+        "ngram_decontam",
+        lambda: dedup.exact_ngram_overlap(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            probe,
+            n=13,
+        ).materialize(),
+    )
+    timed(
+        "drop_dup_substrings",
+        lambda: dedup.drop_duplicate_substrings(
+            read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            min_len=30,
+        ).materialize(),
     )
     return out
 

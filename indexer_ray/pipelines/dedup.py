@@ -2700,6 +2700,10 @@ def drop_duplicate_substrings(
     ).map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
 
     def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"doc_id": [], "text": [], "n_removed": []}
+            ).astype({"doc_id": "int64", "text": "object", "n_removed": "int64"})
         basef = g[g["pos"] == -1]
         dupf = g[g["pos"] >= 0]
         pos_by_doc = (
