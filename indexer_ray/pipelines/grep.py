@@ -190,13 +190,20 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     of plain literal characters, with the char before any quantifier
     dropped (it may be optional / collapsed) and everything inside
     character classes or after escapes ignored.  A top-level alternation
-    means NO substring is required — return [] (full-scan fallback).
+    means NO substring is required — return [] (full-scan fallback), and
+    so does any ``(?...`` construct (inline flags like ``(?i)`` change
+    matching case-sensitivity, lookarounds change semantics — the
+    conservative answer is "nothing is required").  Groups are tracked
+    with a stack of run indices: a quantifier following ``)`` discards
+    every literal run produced INSIDE that group (``(foo)?bar`` requires
+    only ``bar``), while an unquantified group's runs stay required.
     The result is used only to PRUNE: a superset candidate set is always
     verified by the real regex engine, so a weak extraction costs speed,
     never correctness."""
     # alternation anywhere outside a class kills required-ness (grouped
     # alternations could still contribute shared literals, but the
-    # conservative answer is correct — Cox's full analysis is a lattice)
+    # conservative answer is correct — Cox's full analysis is a lattice);
+    # '(?' constructs (flags / non-capturing / lookaround) likewise bail
     in_class = False
     i = 0
     while i < len(pattern):
@@ -211,10 +218,13 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
             in_class = True
         elif c == "|":
             return []
+        elif c == "(" and pattern[i + 1 : i + 2] == "?":
+            return []
         i += 1
 
     runs: list[str] = []
     cur: list[str] = []
+    group_stack: list[int] = []  # len(runs) at each open '('
     in_class = False
     i = 0
     while i < len(pattern):
@@ -238,6 +248,32 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
                 runs.append("".join(cur))
                 cur = []
             i += 1
+            continue
+        if c == "(":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            group_stack.append(len(runs))
+            i += 1
+            continue
+        if c == ")":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            start = group_stack.pop() if group_stack else 0
+            nxt = pattern[i + 1 : i + 2]
+            if nxt and nxt in _QUANTIFIERS:
+                # the whole group may vanish or repeat: nothing produced
+                # inside it is required, and the quantifier must NOT pop
+                # a char from any run outside the group
+                del runs[start:]
+                if nxt == "{":
+                    j = pattern.find("}", i + 1)
+                    i = (j if j != -1 else i + 1) + 1
+                else:
+                    i += 2
+            else:
+                i += 1
             continue
         if c in _QUANTIFIERS:
             # the preceding char may repeat or vanish: drop it

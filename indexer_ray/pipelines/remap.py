@@ -51,6 +51,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from indexer_ray.pipelines.build import _auto_partitions
 from indexer_ray.pipelines.merge import (
@@ -177,8 +178,11 @@ def remap_docids(
                     .to_numpy(zero_copy_only=False)
                     .astype(np.uint64)
                 )
-                pos = np.searchsorted(o, ids)
-                if len(ids) and not (o[pos] == ids).all():
+                # clamp before indexing: searchsorted returns len(o) for
+                # an id above every docmap id, which must surface as the
+                # missing-id RuntimeError, not an IndexError
+                pos = np.minimum(np.searchsorted(o, ids), max(len(o) - 1, 0))
+                if len(ids) and (len(o) == 0 or not (o[pos] == ids).all()):
                     raise RuntimeError(
                         "remap_docids: posting doc_id missing from docmap"
                     )
@@ -191,6 +195,7 @@ def remap_docids(
             post = post.map_batches(
                 _remap_ids, batch_format="pyarrow", zero_copy_batch=True
             )
+            join_regime = False
         else:
             # join regime: everything stays distributed
             jp = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -220,6 +225,7 @@ def remap_docids(
                 .join(mapping_j, "inner", jp, on=("jkey",))
                 .map_batches(_swap_id, batch_format="pyarrow")
             )
+            join_regime = True
 
         _POST_COLS = ["term", "doc_id", "tf", "dl"]
         routed = post.map_batches(
@@ -236,6 +242,23 @@ def remap_docids(
             zero_copy_batch=True,
         )
         routed.write_parquet(raw_root, partition_cols=["part_id"])
+        if join_regime and total_postings:
+            # the inner join silently DROPS a posting whose doc_id is
+            # missing from the docmap; make the regimes consistent with
+            # the broadcast path's eager RuntimeError by comparing the
+            # written row count (parquet footer metadata only — no data
+            # read) against the manifest's posting total
+            written = sum(
+                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for r, _, fs in os.walk(raw_root)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            if written != total_postings:
+                raise RuntimeError(
+                    "remap_docids: posting doc_id missing from docmap "
+                    f"(joined {written} of {total_postings} postings)"
+                )
         progress["phase1_complete"] = True
         progress["phase1_sec"] = round(time.monotonic() - t0, 3)
         save_progress(out_dir, progress)

@@ -697,10 +697,15 @@ def _routed_cnt_sum(ds, key_cols: tuple[str, ...], n_parts: int = 64):
     import pyarrow.compute as pc
 
     def _route(t: pa.Table) -> pa.Table:
-        key = t.column(key_cols[0]).combine_chunks()
+        # fill_null before joining: binary_join_element_wise nulls the
+        # whole routing key if ANY key column is null, which would send
+        # null-keyed rows to a null hash — they must route like any other
+        # group (the "" sentinel only picks the partition; the groupby
+        # below still sees the real null values)
+        key = pc.fill_null(t.column(key_cols[0]).combine_chunks(), "")
         for c in key_cols[1:]:
             key = pc.binary_join_element_wise(
-                key, t.column(c).combine_chunks(), "\x00"
+                key, pc.fill_null(t.column(c).combine_chunks(), ""), "\x00"
             )
         h = pd.util.hash_array(key.to_numpy(zero_copy_only=False))
         return t.append_column(
@@ -710,7 +715,12 @@ def _routed_cnt_sum(ds, key_cols: tuple[str, ...], n_parts: int = 64):
     cols = list(key_cols)
 
     def _sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(cols, as_index=False, sort=False)["cnt"].sum()
+        # dropna=False: pandas groupby silently DROPS null keys by
+        # default, which would diverge from the Ray groupby semantics
+        # this routed merge replaces (null group values survive there)
+        out = g.groupby(cols, as_index=False, sort=False, dropna=False)[
+            "cnt"
+        ].sum()
         return out.astype({"cnt": "int64"})
 
     return (

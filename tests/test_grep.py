@@ -28,16 +28,40 @@ def test_required_literals_cases():
     assert required_literals("head{2,3}tail") == ["hea", "tail"]
     # short fragments dropped
     assert required_literals("ab.cd") == []
+    # quantified groups: literals inside the group are NOT required
+    assert required_literals("(foo)?bar") == ["bar"]
+    assert required_literals("(abc)*tail") == ["tail"]
+    assert required_literals("(word){0,2}rest") == ["rest"]
+    # unquantified groups keep their literals required
+    assert required_literals("(abc)def") == ["abc", "def"]
+    assert required_literals("((abc)def)?tail") == ["tail"]
+    # inline-flag / lookaround groups kill all required literals
+    assert required_literals("(?i)pattern") == []
+    assert required_literals("(?:abc)def") == []
+    assert required_literals("foo(?=bar)") == []
 
 
 def test_required_literals_superset_semantics():
     # every extracted literal must be a substring of every match
-    pats = ["batch [a-z]+ window", "foobar+baz", "head{2,3}tail", "colou?r fast"]
+    pats = [
+        "batch [a-z]+ window",
+        "foobar+baz",
+        "head{2,3}tail",
+        "colou?r fast",
+        "(foo)?bar",
+        "(abc)*tail",
+        "(word){0,2}rest",
+        "(abc)def",
+    ]
     samples = {
         "batch [a-z]+ window": "x batch zzz window y",
         "foobar+baz": "foobarrrbaz",
         "head{2,3}tail": "headdtail",
         "colou?r fast": "color fast",
+        "(foo)?bar": "xxbarxx",
+        "(abc)*tail": "zz tail zz",
+        "(word){0,2}rest": "no rest here",
+        "(abc)def": "xabcdefy",
     }
     for p in pats:
         m = samples[p]

@@ -138,3 +138,49 @@ def test_remap_multi_boundary_rank(built, tmp_path):
     dm = _docmap(str(root / "out32")).sort_values("doc_id")
     assert list(dm["url"]) == sorted(dm["url"])
     assert dm["doc_id"].tolist() == list(range(len(dm)))
+
+
+def _drop_max_doc_from_docmap(index_dir):
+    """Corrupt the docmap: remove the row of the MAX doc_id (so postings
+    reference an id past every remaining docmap id — the searchsorted
+    past-the-end case)."""
+    import pyarrow.compute as pc
+
+    fs = sorted(glob.glob(os.path.join(index_dir, "docmap", "*.parquet")))
+    max_id = max(
+        pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy().max()
+        for f in fs
+        if pq.ParquetFile(f).metadata.num_rows
+    )
+    for f in fs:
+        t = pq.read_table(f)
+        pq.write_table(t.filter(pc.field("doc_id") != int(max_id)), f)
+
+
+def test_remap_missing_docmap_id_broadcast_raises(built):
+    """A posting doc_id above every docmap id must raise the documented
+    RuntimeError, not IndexError (searchsorted returns len(o))."""
+    from indexer_ray.pipelines.remap import remap_docids
+
+    root = built("dense")
+    _drop_max_doc_from_docmap(str(root / "idx"))
+    with pytest.raises(Exception) as ei:
+        remap_docids(str(root / "idx"), str(root / "out_bx"), key_cols=("url",))
+    assert "missing from docmap" in str(ei.value)
+
+
+def test_remap_missing_docmap_id_join_raises(built):
+    """The join regime must error like the broadcast regime instead of
+    silently dropping unmapped postings."""
+    from indexer_ray.pipelines.remap import remap_docids
+
+    root = built("dense")
+    _drop_max_doc_from_docmap(str(root / "idx"))
+    with pytest.raises(Exception) as ei:
+        remap_docids(
+            str(root / "idx"),
+            str(root / "out_jx"),
+            key_cols=("url",),
+            broadcast_docs_threshold=0,
+        )
+    assert "missing from docmap" in str(ei.value)

@@ -223,3 +223,34 @@ def test_empty_pair_frames_keep_value_dtypes(ray_session):
     sh = simhash_pairs(ds, max_hamming=0)
     if len(sh) == 0:
         assert str(sh["hamming"].dtype) == "int64"
+
+
+# ------------------------------------------- routed-count null group keys
+def test_routed_cnt_sum_keeps_null_group_values(ray_session):
+    """Rows whose group column is null must still be counted (pandas
+    groupby drops NaN keys by default; the routing key join nulls out if
+    any key column is null) — top_terms_per_group over a lang column
+    containing nulls is the reported repro."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import top_terms_per_group
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", None, None, "fr"],
+            "text": [
+                "alpha beta alpha",
+                "alpha gamma",
+                "nullish words nullish",
+                "nullish more",
+                "delta delta delta",
+            ],
+        }
+    )
+    out = top_terms_per_group(rd.from_pandas(df), "lang", k=3).to_pandas()
+    null_rows = out[out["lang"].isna()]
+    assert len(null_rows) > 0, "null-lang docs vanished from the counts"
+    got = dict(zip(null_rows["term"], null_rows["cnt"]))
+    assert got["nullish"] == 3
+    en = out[out["lang"] == "en"]
+    assert dict(zip(en["term"], en["cnt"]))["alpha"] == 3
