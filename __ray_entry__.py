@@ -2630,6 +2630,80 @@ def _q_doc_bigram_nll(sf_dir: str):
     )
 
 
+# DSIR probe features: high-frequency unigrams/bigrams of the synthetic
+# corpus vocabulary (frequency does not matter for correctness — only
+# that the oracle's inline VALUES table and the Ray side agree, which
+# dsir_feature_bucket pins by construction)
+_DSIR_PROBE_FEATURES = (
+    "sort", "order", "column", "window", "agg", "part", "join", "scan",
+    "group", "slow", "key", "filter", "value", "fast", "big", "small",
+    "row", "the", "join column", "sort big", "window join",
+    "value group", "a row", "group small",
+)
+_DSIR_PROBE_BUCKETS = 16
+
+
+def _dsir_probe_values() -> str:
+    """(feature, bucket) VALUES rows for the dsir_bucket_counts oracle,
+    computed with the pipeline's own bucket hash."""
+    from indexer_ray.pipelines.text_analysis import dsir_feature_bucket
+
+    return ", ".join(
+        f"('{f}', {dsir_feature_bucket(f, _DSIR_PROBE_BUCKETS)})"
+        for f in _DSIR_PROBE_FEATURES
+    )
+
+
+def _q_bloom_dedup_exact(sf_dir: str):
+    """The Bloom dedup census projected to its EXACT columns (unit count
+    + text-equality duplicates-of-earlier over 20-word units) — the
+    SQL-checkable face of bloom_dedup_census (the Bloom column itself
+    stays rows-only: bit arithmetic over blake2b is not in SQL)."""
+    import ray.data as rd
+
+    from indexer_ray.pipelines.dedup import bloom_dedup_census
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = bloom_dedup_census(docs, chunk_words=20).to_pandas()
+    return (
+        out[["doc_id", "n_units", "n_dup_units"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def _q_dsir_bucket_counts(sf_dir: str):
+    """DSIR featurization under a full value oracle: per-doc bucket
+    counts of a fixed probe-feature list through the real blake2b bucket
+    hash (the SQL side carries the (feature, bucket) pairs as an inline
+    VALUES table)."""
+    from indexer_ray.pipelines.text_analysis import dsir_probe_bucket_counts
+
+    out = dsir_probe_bucket_counts(
+        _docs(sf_dir), _DSIR_PROBE_FEATURES, n_buckets=_DSIR_PROBE_BUCKETS
+    ).to_pandas()
+    return (
+        out.sort_values(["doc_id", "bucket"]).reset_index(drop=True).astype("int64")
+    )
+
+
+def _q_doc_trigram_nll(sf_dir: str):
+    """Interpolated trigram-LM quality score (Jelinek-Mercer over corpus
+    trigram-table counts; three-routing probability passes, ln quantized
+    per occurrence before the doc sum)."""
+    from indexer_ray.pipelines.text_analysis import doc_trigram_nll
+
+    out = doc_trigram_nll(_docs(sf_dir)).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_trigrams": "int64", "nll3_q": "int64"})
+    )
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact distinct users per tumbling hour (pair-dedup pre-reduction;
     the HLL sketch's exact sibling)."""
@@ -2762,45 +2836,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked, inside the driver's 50-slot capture window.  The
         # window is rotated each round so every oracle query accumulates
-        # driver-side evidence (VERDICT r03 "Next round" #1): rows kept
-        # here are either §2 anchors (index_*, search_*, exact_duplicates,
-        # incremental_delta) or first captured in r03/r04; rows displaced
-        # past slot 50 all passed the driver oracle in 2-3 prior rounds.
+        # driver-side evidence (VERDICT r03/r04 "Next round" #1).  Round-5
+        # rotation: the 12 oracle queries that had NEVER appeared in any
+        # round's CORRECTNESS capture (VERDICT r04 "What's missing" #1)
+        # take the head of the window; the 15 rows they displace
+        # (crawl_diff ... search_rocchio_plain, below the boundary) were
+        # every one driver-green in r04.
+        "skipgram_top": _q_skipgram_top,
+        "hard_negatives": _q_hard_negatives,
+        "percolate_alerts": _q_percolate,
+        "regex_grep_indexed": _q_regex_grep_indexed,
+        "regex_grep_scan": _q_regex_grep_scan,
+        "search_wildcard_plain": _q_search_wildcard,
+        "ltr_features": _q_ltr_features,
+        "drop_dup_substrings": _q_drop_dup_substrings,
+        "ngram_decontam": _q_ngram_decontam,
+        "site_quality_hosts": _q_site_quality,
+        "search_proximity_plain": _q_search_proximity,
+        "jsonl_ingest": _q_jsonl_ingest,
+        # §2 anchors keep in-window evidence every round:
         "normalize_docs": _q_normalize_docs,
         "index_term_df": _q_index_term_df,
-        # index_postings and index_docmap (both driver-green r01+r02+r03)
-        # rotate past the window for two new-operator first captures;
         # index_remap_postings re-checks the exact index_postings tf
         # contract through the remapped id space, so the S8 anchor keeps
         # in-window evidence:
         "index_remap_postings": _q_index_remap_postings,
-        "crawl_diff": _q_crawl_diff,
-        "robots_filter": _q_robots_filter,
-        # first driver capture in r04 (oracle SQL existed since r03 but sat
-        # past the window):
-        "chunk_documents": _q_chunk_documents,
-        "doc_unigram_nll": _q_doc_unigram_nll,
-        "fuzzy_suggest_plain": _q_fuzzy_suggest,
-        "related_terms_plain": _q_related_terms,
         "incremental_delta": _q_incremental_delta,
-        "c4_line_filter": _q_c4_line_filter,
         "search_bm25_wand_plain": _q_search_bm25_wand_plain,
-        "link_graph_hosts": _q_link_graph,
         "index_merge_postings": _q_index_merge_postings,
-        # (second displacement wave: lang_run_clusters and pii_redact_docs
-        # — both driver-green in r03 — move past the boundary for
-        # hits_hosts and temperature_mixture)
-        "hits_hosts": _q_hits_hosts,
-        "temperature_mixture": _q_temperature_mixture,
-        # new-in-r04-session-4 oracle queries, first driver capture this
-        # round (displaced: seq_packing, hash_split_assign,
-        # repetition_stats, cap_per_source, chunk_dedup_stats — each
-        # driver-green in r03 AND the builder's r04 strict sweeps):
-        "gopher_quality": _q_gopher_quality,
-        "pmi_collocations": _q_pmi_collocations,
-        "latest_snapshot": _q_latest_snapshot,
-        "mmr_topk": _q_mmr_topk,
-        "search_rocchio_plain": _q_search_rocchio,
+        "index_delete_postings": _q_index_delete_postings,
+        # first driver capture in r04, kept for a second window round:
         "pagerank_hosts": _q_pagerank_hosts,
         "warc_ingest": _q_warc_ingest,
         "ccnet_paragraph_dedup": _q_ccnet_paragraph_dedup,
@@ -2816,12 +2881,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_top": _q_trigram_top,
         "doc_host_rank": _q_doc_host_rank,
         "sitemap_ingest": _q_sitemap_ingest,
-        # new-in-r04 oracle queries, first driver capture this round:
         "mixture_sample": _q_mixture_sample,
         "token_budget_sample": _q_token_budget_sample,
         "source_len_quantiles": _q_source_len_quantiles,
         "drop_dup_chunks": _q_drop_dup_chunks,
-        "index_delete_postings": _q_index_delete_postings,
         "window_distinct_users": _q_window_distinct_users,
         "doc_bigram_nll": _q_doc_bigram_nll,
         "canonical_urls": _q_canonical_urls,
@@ -2831,33 +2894,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_stats": _q_substring_dup,
         "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
+        # new-in-r05 oracle queries, first driver capture this round:
+        "doc_trigram_nll": _q_doc_trigram_nll,
+        "bloom_dedup_exact": _q_bloom_dedup_exact,
+        "dsir_bucket_counts": _q_dsir_bucket_counts,
         # ---- slot 50 boundary ----
+        # displaced this round, each driver-green in r04:
+        "crawl_diff": _q_crawl_diff,
+        "robots_filter": _q_robots_filter,
+        "chunk_documents": _q_chunk_documents,
+        "doc_unigram_nll": _q_doc_unigram_nll,
+        "fuzzy_suggest_plain": _q_fuzzy_suggest,
+        "related_terms_plain": _q_related_terms,
+        "c4_line_filter": _q_c4_line_filter,
+        "link_graph_hosts": _q_link_graph,
+        "hits_hosts": _q_hits_hosts,
+        "temperature_mixture": _q_temperature_mixture,
+        "gopher_quality": _q_gopher_quality,
+        "pmi_collocations": _q_pmi_collocations,
+        "latest_snapshot": _q_latest_snapshot,
+        "mmr_topk": _q_mmr_topk,
+        "search_rocchio_plain": _q_search_rocchio,
+        # SQL-checked but past the driver's 50-slot capture window this
+        # round (each passed the driver oracle in 1-3 prior rounds):
         "index_postings": _q_index_postings,
         "index_docmap": _q_index_docmap,
-        "skipgram_top": _q_skipgram_top,
-        "hard_negatives": _q_hard_negatives,
-        "percolate_alerts": _q_percolate,
-        "regex_grep_indexed": _q_regex_grep_indexed,
-        "regex_grep_scan": _q_regex_grep_scan,
-        "search_wildcard_plain": _q_search_wildcard,
-        "ltr_features": _q_ltr_features,
         "lang_run_clusters": _q_lang_run_clusters,
         "pii_redact_docs": _q_pii_redact,
-        # SQL-checked but past the driver's 50-slot capture window this
-        # round (each passed the driver oracle in 2-3 prior rounds):
         "seq_packing": _q_pack_sequences,
         "hash_split_assign": _q_hash_split,
         "repetition_stats": _q_repetition_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
-        "drop_dup_substrings": _q_drop_dup_substrings,
-        "ngram_decontam": _q_ngram_decontam,
-        "site_quality_hosts": _q_site_quality,
         "search_urls_plain": _q_search_urls_plain,
         "search_tfidf_topk_plain": _q_search_tfidf_plain,
-        "search_proximity_plain": _q_search_proximity,
         "search_sharded_bm25_plain": _q_search_sharded_bm25,
-        "jsonl_ingest": _q_jsonl_ingest,
         "term_stats_plain": _q_term_stats,
         "doc_token_stats_plain": _q_doc_token_stats,
         "quality_counts": _q_quality_counts,
@@ -3225,6 +3296,45 @@ ORDER BY doc_id""",
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(dup) AS BIGINT) AS n_dup_chunks
 FROM f GROUP BY doc_id ORDER BY doc_id""",
+        # the Bloom census' exact columns: same 20-word windows +
+        # duplicates-of-earlier as chunk_dedup_stats, renamed to the
+        # census' unit vocabulary
+        "bloom_dedup_exact": r"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), c AS (
+  SELECT doc_id, pos // 20 AS chunk_idx,
+         string_agg(term, ' ' ORDER BY pos) AS chunk_text
+  FROM w GROUP BY doc_id, pos // 20
+), f AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, chunk_idx) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM c
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(dup) AS BIGINT) AS n_dup_units
+FROM f GROUP BY doc_id ORDER BY doc_id""",
+        # DSIR probe featurization: the (feature -> bucket) blake2b map
+        # inlined as VALUES (computed by the same dsir_feature_bucket the
+        # pipeline uses), features are lower().split() unigrams + bigrams
+        "dsir_bucket_counts": f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
+         unnest(range(len(regexp_extract_all(lower(text), '\\S+')))) AS i
+  FROM documents
+), feats AS (
+  SELECT doc_id, w AS f FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.w || ' ' || b.w AS f
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), probe(f, bucket) AS (VALUES {_dsir_probe_values()})
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM feats JOIN probe USING (f)
+GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
         # C4 rules over the synthesized lined corpus; the line
         # derivation (6-word windows + hash-assigned periods +
         # injections) mirrors _q_c4_line_filter exactly
@@ -3739,6 +3849,42 @@ SELECT p.doc_id,
               - floor(ln(c12.n12) * 1e6 + 0.5)) AS BIGINT) AS nll2_q
 FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY p.doc_id""",
+        # interpolated trigram NLL: p = .5*c123/c12 + .3*c23/c2 + .2*c3/N
+        # — the SAME fixed left-to-right double expression the Ray merge
+        # evaluates, quantized per occurrence before the doc sum
+        "doc_trigram_nll": f"""WITH t AS (
+  SELECT doc_id, {_PLAIN_TOKS} AS l FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM t
+), p AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), c123 AS (
+  SELECT w1, w2, w3, count(*) AS n123 FROM p GROUP BY w1, w2, w3
+), c12 AS (
+  SELECT w1, w2, count(*) AS n12 FROM p GROUP BY w1, w2
+), c23 AS (
+  SELECT w2, w3, count(*) AS n23 FROM p GROUP BY w2, w3
+), c2 AS (
+  SELECT w2, count(*) AS n2 FROM p GROUP BY w2
+), c3 AS (
+  SELECT w3, count(*) AS n3 FROM p GROUP BY w3
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS ntri FROM p
+), sc AS (
+  SELECT p.doc_id,
+         0.5 * (CAST(c123.n123 AS DOUBLE) / CAST(c12.n12 AS DOUBLE))
+       + 0.3 * (CAST(c23.n23 AS DOUBLE) / CAST(c2.n2 AS DOUBLE))
+       + 0.2 * (CAST(c3.n3 AS DOUBLE) / nn.ntri) AS pi
+  FROM p JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+         JOIN c23 USING (w2, w3) JOIN c2 USING (w2)
+         JOIN c3 USING (w3) CROSS JOIN nn
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(-floor(ln(pi) * 1e6 + 0.5)) AS BIGINT) AS nll3_q
+FROM sc GROUP BY doc_id""",
         # same synthesized mess + the same R1-R5 canonicalization chain
         "crawl_diff": """WITH old AS (
   SELECT 'doc://' || doc_id AS url,

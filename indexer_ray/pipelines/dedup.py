@@ -1278,7 +1278,7 @@ def semdedup_keep(
     seed: int = 13,
     sample_size: int = 2000,
     iters: int = 10,
-    max_cluster: int = 20_000,
+    max_cluster: int = 100_000,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means buckets the embedding space (centroids fit
@@ -1294,9 +1294,12 @@ def semdedup_keep(
     only exchange routes (vec_id, cluster, cos_c, embedding) BY CLUSTER so
     each cluster lands whole in one group.  At 100-TB scale `n_clusters`
     grows with the corpus (the paper's own regime: clusters stay
-    partition-sized); a cluster above `max_cluster` emits a counter row
-    (vec_id == -1, skipped = size) instead of an O(n^2) sim matrix —
-    no-silent-caps, same convention as the pair families.
+    partition-sized); the greedy kernel is BLOCKED — candidates screen
+    against the kept set in bounded block x chunk matmuls (memory
+    O(n·kept_chunk), never the n x n sim matrix), so `max_cluster` is a
+    wall-time valve, not a memory one; a cluster above it emits a
+    counter row (vec_id == -1, skipped = size) — no-silent-caps, same
+    convention as the pair families.
 
     Output: (vec_id, cluster, cosine_to_centroid, keep, skipped) — one
     row per vector, keep in {0, 1}, skipped == 0 on real rows."""
@@ -1378,14 +1381,40 @@ def semdedup_keep(
         cos_c = g["cos_c"].to_numpy(dtype=np.float64)
         X = np.stack(g["embedding"].to_numpy())
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ Xn.T
         order = np.lexsort((ids, cos_c))  # farthest-from-centroid first
+        # Blocked greedy, memory O(block * kept) instead of the full
+        # n x n sim matrix: a candidate block is first screened against
+        # the ALREADY-KEPT set (rejection there is final — the kept set
+        # only grows), then only the block's survivors run the
+        # sequential pass against each other.  Identical keep set to the
+        # one-row-at-a-time greedy, but the Python loop touches only
+        # survivors and every matmul is bounded at block x chunk.
+        Xo = np.ascontiguousarray(Xn[order])
+        block, kchunk = 1024, 8192
+        keep_o = np.zeros(n, dtype=bool)
+        kept_rows: list[int] = []
+        for s in range(0, n, block):
+            B = Xo[s : s + block]
+            if kept_rows:
+                mx = np.full(len(B), -np.inf)
+                for t in range(0, len(kept_rows), kchunk):
+                    Kt = Xo[kept_rows[t : t + kchunk]]
+                    np.maximum(mx, (B @ Kt.T).max(axis=1), out=mx)
+                surv = np.flatnonzero(mx < threshold)
+            else:
+                surv = np.arange(len(B))
+            if len(surv):
+                Bs = B[surv]
+                local = Bs @ Bs.T
+                lkept: list[int] = []
+                for j in range(len(surv)):
+                    if not lkept or local[j, lkept].max() < threshold:
+                        lkept.append(j)
+                for j in lkept:
+                    keep_o[s + surv[j]] = True
+                    kept_rows.append(s + int(surv[j]))
         keep = np.zeros(n, dtype=np.int64)
-        kept_idx: list[int] = []
-        for i in order:
-            if not kept_idx or sims[i, kept_idx].max() < threshold:
-                keep[i] = 1
-                kept_idx.append(int(i))
+        keep[order[keep_o]] = 1
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -2639,9 +2668,16 @@ def drop_duplicate_substrings(
         concurrency=(1, 8),
     )
 
-    def _marked(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "pos": [], "text": []}).astype(
-            {"doc_id": "int64", "pos": "int32", "text": "object"}
+    def _marked(g: pd.DataFrame):
+        # typed ARROW empty: a zero-row pandas frame with an `object`
+        # text column converts to a null-typed (schema-less) block and
+        # defeats the executor's schema dedup (r04 bench-tail warnings)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int32()),
+                "text": pa.array([], type=pa.string()),
+            }
         )
         if not len(g):
             return empty
@@ -2656,12 +2692,14 @@ def drop_duplicate_substrings(
         mark = in_dup & ~head  # all but each dup key's (doc_id,pos)-first
         if not mark.any():
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": doc[mark],
-                "pos": pos[mark].astype("int32"),
+                "doc_id": pa.array(doc[mark], type=pa.int64()),
+                "pos": pa.array(pos[mark].astype(np.int32), type=pa.int32()),
                 # placeholder keeps the union schema string-typed
-                "text": np.full(int(mark.sum()), "", dtype=object),
+                "text": pa.array(
+                    np.full(int(mark.sum()), "", dtype=object), type=pa.string()
+                ),
             }
         )
 
@@ -2689,21 +2727,43 @@ def drop_duplicate_substrings(
     base = ds.select_columns(["doc_id", "text"]).map_batches(
         _base, batch_format="pyarrow", zero_copy_batch=True
     )
-    marked = grams.groupby("part").map_groups(_marked, batch_format="pandas")
-    unioned = base.union(
-        marked.map_batches(
-            lambda t: t.select(["doc_id", "pos", "text"]).replace_schema_metadata(
-                None
-            ),
-            batch_format="pyarrow",
+    # same width rule as the dpart merge below: gram blocks outnumber the
+    # 'part' key space at small corpora, and the sort's empty ranges
+    # would inject schema-less empty blocks into the union
+    marked = (
+        grams.repartition(max(1, n_parts // 2))
+        .groupby("part")
+        .map_groups(_marked, batch_format="pandas")
+    )
+    unioned = (
+        base.union(
+            marked.map_batches(
+                lambda t: t.select(
+                    ["doc_id", "pos", "text"]
+                ).replace_schema_metadata(None),
+                batch_format="pyarrow",
+            )
         )
-    ).map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
+        # keep the sort-shuffle width at HALF the routing-key space: when
+        # ranges ~= distinct dpart values, the sort's sampled quantile
+        # boundaries collide and empty ranges surface as schema-less
+        # empty blocks (executor schema warnings, r04 bench tail); at <=
+        # keys/2 every range holds >= 1 key.  n_parts stays the one
+        # scale knob — raise it for larger corpora and both widths grow.
+        .repartition(max(1, n_parts // 2))
+    )
 
-    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+    def _cut(g: pd.DataFrame):
         if not len(g):
-            return pd.DataFrame(
-                {"doc_id": [], "text": [], "n_removed": []}
-            ).astype({"doc_id": "int64", "text": "object", "n_removed": "int64"})
+            # typed ARROW empty (see _marked)
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                    "n_removed": pa.array([], type=pa.int64()),
+                }
+            )
         basef = g[g["pos"] == -1]
         dupf = g[g["pos"] >= 0]
         pos_by_doc = (
@@ -2735,11 +2795,13 @@ def drop_duplicate_substrings(
             rows_id.append(d)
             rows_text.append(kept.tobytes().decode("utf-32-le"))
             rows_rm.append(int(covered.sum()))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": np.array(rows_id, dtype=np.int64),
-                "text": pd.Series(rows_text, dtype="object"),
-                "n_removed": np.array(rows_rm, dtype=np.int64),
+                "doc_id": pa.array(np.array(rows_id, dtype=np.int64), type=pa.int64()),
+                "text": pa.array(rows_text, type=pa.string()),
+                "n_removed": pa.array(
+                    np.array(rows_rm, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 

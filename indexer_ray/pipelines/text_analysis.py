@@ -1561,6 +1561,66 @@ def dsir_weights(ds, target_ds, n_buckets: int = 16_384):
         zero_copy_batch=True, batch_size=1024)
 
 
+def dsir_feature_bucket(feature: str, n_buckets: int) -> int:
+    """The DSIR feature->bucket hash (blake2b-64 mod n_buckets) as a
+    public single-feature function, so callers (and the SQL oracle
+    builder) can pin the exact mapping dsir_weights uses."""
+    import hashlib
+
+    return (
+        int.from_bytes(
+            hashlib.blake2b(feature.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        % n_buckets
+    )
+
+
+def dsir_probe_bucket_counts(ds, features: tuple[str, ...], n_buckets: int = 16):
+    """Per-document bucket counts of a FIXED probe-feature list through
+    the real DSIR featurization (lower().split() unigrams + space-joined
+    bigrams, blake2b bucket hash) — the SQL-checkable window onto
+    dsir_weights' feature pipeline: the probe list is small enough to
+    inline its (feature, bucket) pairs as a VALUES table in DuckDB, so
+    the whole distributed counting path gets a full value-hash oracle
+    while the unbounded-vocabulary scoring keeps its rows-only check.
+
+    Shape: pure map — per batch a Counter over unigram+bigram features,
+    filtered to the probe set, bucket-aggregated; no shuffle at all (the
+    per-(doc, bucket) rows ARE the result).
+    Output: (doc_id, bucket, cnt), only buckets with cnt > 0."""
+    probe = {f: dsir_feature_bucket(f, n_buckets) for f in features}
+
+    def _count(batch: pa.Table) -> pa.Table:
+        ids, bks, ns = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            c: Counter = Counter(toks)
+            if len(toks) > 1:
+                c.update(map(" ".join, zip(toks, toks[1:])))
+            out: dict[int, int] = {}
+            for f, b in probe.items():
+                n = c.get(f)
+                if n:
+                    out[b] = out.get(b, 0) + n
+            for b, n in sorted(out.items()):
+                ids.append(doc_id)
+                bks.append(b)
+                ns.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(bks, type=pa.int64()),
+                "cnt": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+    )
+
+
 def doc_bigram_nll(ds, n_parts: int = 32):
     """Per-document bigram-LM negative log-likelihood over corpus MLE
     counts — the next rung above doc_unigram_nll on the CCNet/Gopher LM
@@ -1691,6 +1751,162 @@ def doc_bigram_nll(ds, n_parts: int = 32):
 
     return (
         partials.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dpart")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def doc_trigram_nll(
+    ds,
+    n_parts: int = 32,
+    lambdas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+):
+    """Per-document INTERPOLATED trigram-LM NLL — the trained-LM rung of
+    the CCNet quality ladder (Wenzek 2020 §4.3; Jelinek-Mercer smoothing,
+    Chen & Goodman 1999 eq. 4 with fixed mixture weights):
+
+      p(w3 | w1 w2) = λ3·c123/c12•  +  λ2·c23/c2•  +  λ1·c3/N
+      nll3(doc)     = Σ_occurrences −q(ln p),   q(x) = floor(x·1e6 + 0.5)
+
+    where every count is over the corpus TRIGRAM-occurrence table (c12• =
+    occurrences with context (w1,w2), c2• = occurrences with middle word
+    w2, N = total trigram occurrences), so a DuckDB oracle recomputes it
+    exactly from the same GROUP BYs.  Quantization happens per occurrence
+    BEFORE the doc sum (the repo's quantize-before-sum discipline); the
+    interpolation itself is evaluated in ONE fixed expression order
+    (λ3·p3 + λ2·p2 + λ1·p1, left-to-right IEEE doubles) on both sides,
+    and each pᵢ reaches that expression through a pivot whose groupby-sum
+    adds exact float zeros — so the doubles are bit-identical to SQL's.
+
+    Scale shape — ln(a+b+c) does not decompose the way the bigram score
+    did, so instead of two subtractable streams the three conditional
+    probabilities are computed in three DIFFERENTLY-ROUTED passes over
+    the same materialized occurrence table (context (w1,w2) / middle w2 /
+    last w3 — inside each routed partition the per-key sums ARE the
+    global counts), then re-keyed by doc for the pivot + ln + sum merge.
+    The shuffles move per-(doc, trigram) count rows — never text, never a
+    count table; the only driver-side value is the scalar N.
+    Output: (doc_id, n_trigrams, nll3_q)."""
+    import hashlib as _hl
+
+    from indexer_ray.functions.hashing import key_partition
+
+    l3, l2, l1 = float(lambdas[0]), float(lambdas[1]), float(lambdas[2])
+
+    def _h64(parts: list[str]) -> int:
+        return int.from_bytes(
+            _hl.blake2b("\x00".join(parts).encode(), digest_size=8).digest(), "big"
+        )
+
+    def _occ(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, w3s, ns = [], [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = tokenize_plain(t or "")
+            if len(toks) < 3:
+                continue
+            c = Counter(zip(toks[:-2], toks[1:-1], toks[2:]))
+            for (a, b, d), n in c.items():
+                ids.append(doc_id)
+                w1s.append(a)
+                w2s.append(b)
+                w3s.append(d)
+                ns.append(n)
+        h12 = np.array([_h64([a, b]) for a, b in zip(w1s, w2s)], dtype=np.uint64)
+        h2 = np.array([_h64([b]) for b in w2s], dtype=np.uint64)
+        h3 = np.array([_h64([d]) for d in w3s], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "w1": pa.array(w1s, type=pa.string()),
+                "w2": pa.array(w2s, type=pa.string()),
+                "w3": pa.array(w3s, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "part12": pa.array(key_partition(h12, n_parts), type=pa.int32()),
+                "part2": pa.array(key_partition(h2, n_parts), type=pa.int32()),
+                "part3": pa.array(key_partition(h3, n_parts), type=pa.int32()),
+            }
+        )
+
+    occ = ds.map_batches(
+        _occ, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+    ).materialize()
+    n_total = occ.sum("n") or 0  # scalar N — the only driver-side value
+    if not n_total:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_trigrams": pa.array([], type=pa.int64()),
+                    "nll3_q": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    _KEY = ["doc_id", "w1", "w2", "w3"]
+
+    def _stream(g: pd.DataFrame, which: str) -> pd.DataFrame:
+        if which == "p3":
+            num = g.groupby(["w1", "w2", "w3"])["n"].transform("sum").to_numpy()
+            den = g.groupby(["w1", "w2"])["n"].transform("sum").to_numpy()
+        elif which == "p2":
+            num = g.groupby(["w2", "w3"])["n"].transform("sum").to_numpy()
+            den = g.groupby(["w2"])["n"].transform("sum").to_numpy()
+        else:  # p1
+            num = g.groupby(["w3"])["n"].transform("sum").to_numpy()
+            den = np.float64(n_total)
+        out = g[_KEY].copy()
+        p = num.astype(np.float64) / den
+        out["p3"] = p if which == "p3" else np.float64(0.0)
+        out["p2"] = p if which == "p2" else np.float64(0.0)
+        out["p1"] = p if which == "p1" else np.float64(0.0)
+        # n travels on exactly ONE stream so the pivot sum stays exact
+        out["n"] = g["n"].to_numpy() if which == "p3" else np.int64(0)
+        return out
+
+    drop = {"p3": ["part2", "part3"], "p2": ["part12", "part3"], "p1": ["part12", "part2"]}
+    streams = [
+        occ.groupby(part_col).map_groups(
+            lambda g, w=which: _stream(g.drop(columns=drop[w]), w),
+            batch_format="pandas",
+        )
+        for which, part_col in (("p3", "part12"), ("p2", "part2"), ("p1", "part3"))
+    ]
+    combined = streams[0].union(streams[1]).union(streams[2])
+
+    def _doc_route(batch: pa.Table) -> pa.Table:
+        part = key_partition(
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64),
+            n_parts,
+        )
+        return batch.append_column("dpart", pa.array(part, type=pa.int32()))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        # pivot: per (doc, trigram) each pᵢ column holds one non-zero
+        # contribution plus exact float zeros — the sum is order-exact
+        piv = g.groupby(_KEY, as_index=False, sort=False)[
+            ["p3", "p2", "p1", "n"]
+        ].sum()
+        pi = (
+            l3 * piv["p3"].to_numpy()
+            + l2 * piv["p2"].to_numpy()
+            + l1 * piv["p1"].to_numpy()
+        )
+        q = np.floor(np.log(pi) * 1e6 + 0.5).astype(np.int64)
+        nv = piv["n"].to_numpy(dtype=np.int64)
+        s = pd.DataFrame(
+            {"doc_id": piv["doc_id"], "n_trigrams": nv, "nll3_q": -q * nv}
+        )
+        out = s.groupby("doc_id", as_index=False, sort=False).sum()
+        return out.astype(
+            {"doc_id": "int64", "n_trigrams": "int64", "nll3_q": "int64"}
+        )
+
+    return (
+        combined.map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("dpart")
         .map_groups(_merge, batch_format="pandas")
     )

@@ -1028,6 +1028,156 @@ def test_doc_bigram_nll_layout_independent(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+# --------------------------------------------- interpolated trigram NLL
+def _brute_trigram_nll(texts: dict[int, str]) -> pd.DataFrame:
+    """Single-process reimplementation of the Jelinek-Mercer score with
+    the SAME fixed expression order (0.5*p3 + 0.3*p2 + 0.2*p1)."""
+    from collections import Counter
+
+    from indexer_ray.conformance.lexer import tokenize_plain
+
+    c123: Counter = Counter()
+    c12: Counter = Counter()
+    c23: Counter = Counter()
+    c2: Counter = Counter()
+    c3: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for did in sorted(texts):
+        toks = tokenize_plain(texts[did] or "")
+        tg = Counter(zip(toks[:-2], toks[1:-1], toks[2:]))
+        if tg:
+            per_doc[did] = tg
+            for (a, b, c), n in tg.items():
+                c123[(a, b, c)] += n
+                c12[(a, b)] += n
+                c23[(b, c)] += n
+                c2[b] += n
+                c3[c] += n
+    ntri = float(sum(c123.values()))
+    rows = []
+    for did, tg in per_doc.items():
+        s = 0
+        for (a, b, c), n in tg.items():
+            pi = (
+                0.5 * (np.float64(c123[(a, b, c)]) / np.float64(c12[(a, b)]))
+                + 0.3 * (np.float64(c23[(b, c)]) / np.float64(c2[b]))
+                + 0.2 * (np.float64(c3[c]) / np.float64(ntri))
+            )
+            s += -int(np.floor(np.log(pi) * 1e6 + 0.5)) * n
+        rows.append((did, sum(tg.values()), s))
+    return pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "nll3_q"]).astype(
+        {"doc_id": "int64", "n_trigrams": "int64", "nll3_q": "int64"}
+    )
+
+
+def test_doc_trigram_nll_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import doc_trigram_nll
+
+    rng = np.random.default_rng(73)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for i in range(120)
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    got = (
+        doc_trigram_nll(rd.from_pandas(df), n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_trigrams": "int64", "nll3_q": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _brute_trigram_nll(texts))
+    # interpolated p <= 1 always, so the NLL is non-negative
+    assert (got["nll3_q"] >= 0).all()
+
+
+def test_doc_trigram_nll_layout_independent(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import doc_trigram_nll
+
+    rng = np.random.default_rng(74)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "text": [" ".join(rng.choice([f"v{i}" for i in range(12)], size=14))
+                     for _ in range(60)],
+        }
+    )
+    a = (doc_trigram_nll(rd.from_pandas(df), n_parts=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (doc_trigram_nll(rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(5),
+                         n_parts=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_trigram_nll_empty_and_short_docs(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import doc_trigram_nll
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["", "one", "two words", "alpha beta gamma"]}
+    )
+    out = doc_trigram_nll(rd.from_pandas(df)).to_pandas()
+    # only the 3-token doc produces a trigram row
+    assert out["doc_id"].tolist() == [3]
+    assert out["n_trigrams"].tolist() == [1]
+
+
+# --------------------------------------------- DSIR probe bucket counts
+def test_dsir_probe_bucket_counts_matches_brute(ray_session):
+    import ray.data as rd
+
+    from indexer_ray.pipelines.text_analysis import (
+        dsir_feature_bucket,
+        dsir_probe_bucket_counts,
+    )
+
+    features = ("alpha", "beta", "gamma", "alpha beta", "beta beta")
+    nb = 8
+    texts = {
+        0: "Alpha beta beta gamma",
+        1: "beta BETA beta",
+        2: "delta epsilon",
+        3: "",
+    }
+    df = pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[k] for k in sorted(texts)]}
+    )
+    got = (
+        dsir_probe_bucket_counts(rd.from_pandas(df), features, n_buckets=nb)
+        .to_pandas().sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    )
+    from collections import Counter
+
+    rows = []
+    for did in sorted(texts):
+        toks = texts[did].lower().split()
+        c = Counter(toks)
+        c.update(map(" ".join, zip(toks, toks[1:])))
+        agg: dict[int, int] = {}
+        for f in features:
+            if c.get(f):
+                b = dsir_feature_bucket(f, nb)
+                agg[b] = agg.get(b, 0) + c[f]
+        for b in sorted(agg):
+            rows.append((did, b, agg[b]))
+    want = pd.DataFrame(rows, columns=["doc_id", "bucket", "cnt"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # doc 2 and 3 contain no probe feature -> absent
+    assert set(got["doc_id"]) == {0, 1}
+
+
 def test_build_vocab_matches_brute(ray_session):
     import ray.data as rd
 
@@ -1121,6 +1271,40 @@ def test_semdedup_oversized_cluster_counter_rows(ray_session, emb_ds):
     counters = out[out["vec_id"] == -1]
     assert len(counters) >= 1
     assert counters["skipped"].sum() == emb_ds.count()
+
+
+def test_semdedup_blocked_kernel_matches_naive_greedy(ray_session):
+    """A cluster larger than the 1024-row screening block must produce
+    the EXACT keep set of the one-row-at-a-time greedy (the blocked
+    kernel's equivalence claim)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    n, d = 3000, 16
+    # low-dim crowded ball -> plenty of > threshold neighbors
+    X = rng.normal(size=(n, d))
+    X[n // 2 :] = X[: n - n // 2] + rng.normal(scale=0.02, size=(n // 2, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+    )
+    out = _semdedup_frame(
+        rd.from_pandas(df), n_clusters=1, threshold=0.98, sample_size=500
+    )
+    assert (out["skipped"] == 0).all()
+    # naive greedy in the same order the kernel documents
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    srt = out.sort_values("vec_id")
+    cos_c = srt["cosine_to_centroid"].to_numpy()
+    order = np.lexsort((srt["vec_id"].to_numpy(), cos_c))
+    sims = Xn @ Xn.T
+    kept_idx: list[int] = []
+    keep = np.zeros(n, dtype=np.int64)
+    for i in order:
+        if not kept_idx or sims[i, kept_idx].max() < 0.98:
+            keep[i] = 1
+            kept_idx.append(int(i))
+    assert (srt["keep"].to_numpy() == keep).all()
+    assert 0 < keep.sum() < n  # both branches actually exercised
 
 
 def _brute_substring_stats(texts: dict, L: int) -> pd.DataFrame:
