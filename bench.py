@@ -129,6 +129,18 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     lat.sort()
     out["query_p95"] = round(lat[int(0.95 * len(lat))], 6)
 
+    # WAND pruning regression gate: on a selective query the block-max
+    # skip path must actually prune (not merely equal exhaustive) —
+    # assert payload decodes avoided > 0 and export the counters
+    s.search("batch window", k=10, scorer="bm25", algorithm="wand")
+    ws = dict(s.last_wand_stats)
+    ws["blocks_skipped"] = ws["blocks_total"] - ws["blocks_decoded"]
+    assert ws["blocks_skipped"] > 0 or ws["windows_skipped"] > 0, (
+        f"WAND pruned nothing on a selective query: {ws}"
+    )
+    out["wand_blocks_skipped"] = ws["blocks_skipped"]
+    out["wand_windows_skipped"] = ws["windows_skipped"]
+
     docs = read_parquet_clean(docs_path)
     timed("term_stats", lambda: text_analysis.term_stats(docs, mode="plain").materialize())
     timed("minhash_dedup", lambda: dedup.minhash_lsh_pairs(read_parquet_clean(docs_path)))

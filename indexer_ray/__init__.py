@@ -22,3 +22,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Driver-side fix for Ray's schema-less empty sort ranges (see module
+# docstring); no-op if Ray internals have moved.
+from indexer_ray import _raypatch as _raypatch
+
+_raypatch.apply()

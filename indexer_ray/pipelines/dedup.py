@@ -2727,14 +2727,7 @@ def drop_duplicate_substrings(
     base = ds.select_columns(["doc_id", "text"]).map_batches(
         _base, batch_format="pyarrow", zero_copy_batch=True
     )
-    # same width rule as the dpart merge below: gram blocks outnumber the
-    # 'part' key space at small corpora, and the sort's empty ranges
-    # would inject schema-less empty blocks into the union
-    marked = (
-        grams.repartition(max(1, n_parts // 2))
-        .groupby("part")
-        .map_groups(_marked, batch_format="pandas")
-    )
+    marked = grams.groupby("part").map_groups(_marked, batch_format="pandas")
     unioned = (
         base.union(
             marked.map_batches(
@@ -2745,13 +2738,6 @@ def drop_duplicate_substrings(
             )
         )
         .map_batches(_doc_route, batch_format="pyarrow", zero_copy_batch=True)
-        # keep the sort-shuffle width at HALF the routing-key space: when
-        # ranges ~= distinct dpart values, the sort's sampled quantile
-        # boundaries collide and empty ranges surface as schema-less
-        # empty blocks (executor schema warnings, r04 bench tail); at <=
-        # keys/2 every range holds >= 1 key.  n_parts stays the one
-        # scale knob — raise it for larger corpora and both widths grow.
-        .repartition(max(1, n_parts // 2))
     )
 
     def _cut(g: pd.DataFrame):

@@ -367,6 +367,17 @@ class IndexSearcher:
         heap_scores = np.empty(0, dtype=np.float64)
         heap_docs = np.empty(0, dtype=np.uint64)
         theta = -math.inf
+        # pruning telemetry (read via self.last_wand_stats after a search):
+        # windows under/over θ and payload decodes actually avoided — the
+        # regression gate that keeps the skip path observable, not just
+        # equal to exhaustive
+        stats = {
+            "windows": 0,
+            "windows_skipped": 0,
+            "blocks_decoded": 0,
+            "blocks_total": int(sum(nblocks)),
+        }
+        self.last_wand_stats = stats
 
         def push_candidates(docs: np.ndarray, scs: np.ndarray):
             nonlocal heap_scores, heap_docs, theta
@@ -397,10 +408,14 @@ class IndexSearcher:
                 if f[t] > lo:
                     boundary = min(boundary, f[t] - 1)
             bound = sum(float(ubs[t][cursors[t]]) for t in active)
+            stats["windows"] += 1
+            if bound < theta:
+                stats["windows_skipped"] += 1
             if bound >= theta:
                 d_parts, c_parts = [], []
                 for t in active:
                     if decoded[t] is None:
+                        stats["blocks_decoded"] += 1
                         tb = terms[t][2]
                         cur = cursors[t]
                         doc_ids, tfs, dls, _ = decode_blocks(

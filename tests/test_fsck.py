@@ -104,3 +104,59 @@ def test_cli_verify_exit_codes(built_index, capsys):
     bad = _copy(idx, root, "bad_cli")
     os.unlink(os.path.join(bad, "parts", "1", "_meta.json"))
     assert main(["verify", "-i", bad]) == 1
+
+
+def test_fsck_deep_over_merge_delete_remap_lineage(
+    built_index, tmp_path_factory, ray_session
+):
+    """The three lifecycle ops compose: build -> merge -> delete -> remap,
+    with verify --deep green after every step and the final docmap being
+    the dense url rank (the remap contract)."""
+    from indexer_ray.pipelines.merge import delete_docs, merge_indexes
+    from indexer_ray.pipelines.remap import remap_docids
+
+    idx, _ = built_index
+    work = tmp_path_factory.mktemp("lineage")
+
+    delta_pages = str(work / "delta.parquet")
+    # start=300: disjoint url space from the base fixture's 300 rows
+    generate_pages_parquet(delta_pages, n_rows=120, seed=11, start=300)
+    delta_idx = str(work / "delta_idx")
+    build_index([delta_pages], delta_idx, BuildConfig(n_partitions=8))
+    r = verify_index(delta_idx, deep=True)
+    assert r["ok"], r["errors"]
+
+    merged = str(work / "merged")
+    merge_indexes(idx, delta_idx, merged)
+    r = verify_index(merged, deep=True)
+    assert r["ok"], r["errors"]
+
+    dm = pq.read_table(
+        sorted(glob.glob(os.path.join(merged, "docmap", "*.parquet"))),
+        columns=["url"],
+    )
+    urls = sorted(dm.column("url").to_pylist())[::17][:25]
+    assert urls
+    deleted = str(work / "deleted")
+    delete_docs(merged, urls, deleted)
+    r = verify_index(deleted, deep=True)
+    assert r["ok"], r["errors"]
+
+    remapped = str(work / "remapped")
+    remap_docids(deleted, remapped, key_cols=("url",))
+    r = verify_index(remapped, deep=True)
+    assert r["ok"], r["errors"]
+
+    dm2 = (
+        pq.read_table(
+            sorted(glob.glob(os.path.join(remapped, "docmap", "*.parquet"))),
+            columns=["doc_id", "url"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert dm2["doc_id"].tolist() == list(range(len(dm2)))
+    assert dm2["url"].tolist() == sorted(dm2["url"])
+    assert len(dm2) == 300 + 120 - len(urls)
+    for u in urls:
+        assert u not in set(dm2["url"])

@@ -87,6 +87,26 @@ def test_wand_equals_exhaustive(built, scorer):
             assert wd == ex, (q["query"], k)
 
 
+def test_wand_telemetry_counts_consistent(built):
+    """last_wand_stats after a WAND search: every counter non-negative,
+    windows_skipped <= windows, blocks_decoded <= blocks_total, and the
+    pruning path observably fires on at least one reference query."""
+    index_dir, _, _ = built
+    s = IndexSearcher(index_dir)
+    any_pruned = False
+    for q in reference_queries():
+        s.search(q["query"], k=3, scorer="bm25", algorithm="wand")
+        st = s.last_wand_stats
+        assert 0 <= st["windows_skipped"] <= st["windows"]
+        assert 0 <= st["blocks_decoded"] <= st["blocks_total"]
+        if (
+            st["windows_skipped"] > 0
+            or st["blocks_decoded"] < st["blocks_total"]
+        ):
+            any_pruned = True
+    assert any_pruned
+
+
 def test_url_resolution(built):
     index_dir, _, corpus = built
     s = IndexSearcher(index_dir)

@@ -254,3 +254,54 @@ def test_routed_cnt_sum_keeps_null_group_values(ray_session):
     assert got["nullish"] == 3
     en = out[out["lang"] == "en"]
     assert dict(zip(en["term"], en["cnt"]))["alpha"] == 3
+
+
+# -------------------------------------- schema-less empty sort ranges
+def test_empty_sort_ranges_keep_schema_and_stay_silent(ray_session):
+    """A groupby whose sort width exceeds the distinct-key count produces
+    empty reduce ranges; Ray's merge emits them as zero-column blocks.
+    The _raypatch shim must adopt the stream schema for such bundles
+    without logging the divergence warning (the one-shot warn slot stays
+    reserved for real schema changes)."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    import indexer_ray  # noqa: F401 — package import applies _raypatch
+
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, r):
+            if "different schema" in r.getMessage():
+                records.append(r.getMessage())
+
+    h = _Catch()
+    logging.getLogger("ray.data").addHandler(h)
+    try:
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+
+        def route(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return t.append_column(
+                "dpart", pa.array((ids % 3).astype(np.int32), type=pa.int32())
+            )
+
+        def m(g: pd.DataFrame):
+            return pa.table(
+                {"doc_id": pa.array(np.asarray(g["doc_id"]), type=pa.int64())}
+            )
+
+        out = (
+            rd.from_pandas(df)
+            .repartition(16)  # 16 sort ranges over 3 distinct keys
+            .map_batches(route, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(m, batch_format="pandas")
+        )
+        assert out.count() == 500
+        assert [f.name for f in out.schema().base_schema] == ["doc_id"]
+    finally:
+        logging.getLogger("ray.data").removeHandler(h)
+    assert records == [], records
