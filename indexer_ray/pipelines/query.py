@@ -51,21 +51,35 @@ class _TermBlocks:
     """All block metadata + payloads for one term, in global doc_id order.
 
     ``decoded`` lazily caches the fully-decoded (doc_ids, tfs, dls) arrays —
-    hot Zipf-head terms are decoded once per searcher, not once per query."""
+    hot Zipf-head terms are decoded once per searcher, not once per query;
+    ``dec_blocks`` is the per-BLOCK analogue for the WAND path, which only
+    touches the blocks its upper bounds can't skip (both caches live inside
+    the 24-bytes-per-posting share `_tb_size` already charges to the
+    searcher's block-LRU budget)."""
 
-    __slots__ = ("term", "df", "first", "last", "n", "max_tf", "min_dl", "payloads", "decoded")
+    __slots__ = ("term", "df", "first", "last", "n", "max_tf", "min_dl", "payloads", "decoded", "dec_blocks")
 
     def __init__(self, term, df, first, last, n, max_tf, min_dl, payloads):
         self.term, self.df = term, df
         self.first, self.last, self.n = first, last, n
         self.max_tf, self.min_dl, self.payloads = max_tf, min_dl, payloads
         self.decoded = None
+        self.dec_blocks: dict[int, tuple] = {}
 
     def decode_all(self):
         if self.decoded is None:
             doc_ids, tfs, dls, _ = decode_blocks(self.payloads, self.n, self.first)
             self.decoded = (doc_ids, tfs, dls)
         return self.decoded
+
+    def decode_block(self, cur: int):
+        raw = self.dec_blocks.get(cur)
+        if raw is None:
+            doc_ids, tfs, dls, _ = decode_blocks(
+                [self.payloads[cur]], self.n[cur : cur + 1], self.first[cur : cur + 1]
+            )
+            raw = self.dec_blocks[cur] = (doc_ids, tfs, dls)
+        return raw
 
 
 class IndexSearcher:
@@ -418,9 +432,7 @@ class IndexSearcher:
                         stats["blocks_decoded"] += 1
                         tb = terms[t][2]
                         cur = cursors[t]
-                        doc_ids, tfs, dls, _ = decode_blocks(
-                            [tb.payloads[cur]], tb.n[cur : cur + 1], tb.first[cur : cur + 1]
-                        )
+                        doc_ids, tfs, dls = tb.decode_block(cur)
                         decoded[t] = (doc_ids, self._contrib(scorer, terms[t][1], tfs, dls))
                     doc_ids, contrib = decoded[t]
                     # decoded doc_ids are sorted: window slice via searchsorted.
