@@ -305,3 +305,39 @@ def test_empty_sort_ranges_keep_schema_and_stay_silent(ray_session):
     finally:
         logging.getLogger("ray.data").removeHandler(h)
     assert records == [], records
+
+
+def test_zero_row_blocks_do_not_poison_hash_join(ray_session):
+    """The hash-shuffle aggregate emits empty partitions as zero-column
+    blocks and projections skip 0-row blocks (stale columns survive);
+    either shape used to crash a downstream join with acero's "No match
+    or multiple matches for key field reference".  The _raypatch hook
+    drops 0-row blocks at add_output, so the join sees only typed
+    blocks.  (Observed on the 600k-doc minhash forced-join probe.)"""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import indexer_ray  # noqa: F401 — package import applies _raypatch
+
+    corpus = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(1000, dtype=np.int64), "text": ["x"] * 1000}
+        )
+    )
+    refs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3] * 200, dtype=np.int64),
+                "part": np.array([0, 1, 2] * 200, dtype=np.int32),
+            }
+        )
+    ).repartition(16)  # many more shuffle partitions than distinct keys
+    needed = (
+        refs.groupby(["doc_id", "part"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["doc_id", "part"])
+    )
+    joined = corpus.join(needed, "inner", 4, on=("doc_id",))
+    out = joined.to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
