@@ -1563,6 +1563,52 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(_emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K)
 
 
+def _q_ann_ivf_exact(sf_dir: str):
+    """IVF with nprobe == n_centroids probes EVERY cell, so the routing
+    admits every (query, vector) pair and the result is exact brute
+    cosine top-k — a full SQL oracle for the whole IVF machinery (cell
+    assignment, per-cell local top-k, distributed final merge), which
+    the approximate `ann_ivf_topk` (rows-only) cannot have.  Ranks tie-
+    break by vec_id; the float cosine column is dropped (same stance as
+    ann_brute_topk)."""
+    from indexer_ray.pipelines.ann import ann_ivf_topk
+
+    out = ann_ivf_topk(
+        _emb(sf_dir), _ann_queries(sf_dir), k=_ANN_K, n_centroids=8, nprobe=8
+    )
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _q_ngram_jaccard_exact(sf_dir: str):
+    """Exact 3-token-shingle Jaccard for every consecutive doc_id pair
+    (sorted ids; pair i = (ids[i], ids[i+1]) — 'next doc' semantics the
+    SQL reproduces with min(b.doc_id) > a.doc_id).  The pipeline's
+    uint64 shingle-HASH sets equal the string shingle sets absent 64-bit
+    collisions (~1e-15 at these set sizes), so DuckDB's string-set
+    Jaccard is an exact oracle; both sides quantize floor(j*1e6+0.5)
+    with j computed as the same double division."""
+    import pyarrow.parquet as _pq
+
+    from indexer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ids = np.sort(
+        _pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_numpy()
+    )
+    pairs = pd.DataFrame(
+        {"doc_a": ids[:-1].astype("int64"), "doc_b": ids[1:].astype("int64")}
+    )
+    out = ngram_jaccard_pairs(_docs(sf_dir), pairs=pairs, shingle_k=3, threshold=0.0)
+    out = out.copy()
+    out["jaccard_q"] = np.floor(out["jaccard"].to_numpy() * 1e6 + 0.5).astype(
+        "int64"
+    )
+    return out[["doc_a", "doc_b", "jaccard_q"]].astype("int64")
+
+
 def _q_embedding_clusters(sf_dir: str):
     """K-means topic bucketing over the embedding column (farthest-point
     seeded, deterministic); rows-only (iterative algorithm)."""
@@ -2891,15 +2937,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": _q_host_doc_counts,
         "stratified_sample": _q_stratified_sample,
         "vocab_top": _q_build_vocab,
-        "substring_dup_stats": _q_substring_dup,
-        "ccnet_buckets": _q_ccnet_buckets,
         "more_like_this": _q_more_like_this,
         # new-in-r05 oracle queries, first driver capture this round:
         "doc_trigram_nll": _q_doc_trigram_nll,
         "bloom_dedup_exact": _q_bloom_dedup_exact,
         "dsir_bucket_counts": _q_dsir_bucket_counts,
+        "ann_ivf_exact": _q_ann_ivf_exact,
+        "ngram_jaccard_exact": _q_ngram_jaccard_exact,
         # ---- slot 50 boundary ----
         # displaced this round, each driver-green in r04:
+        "substring_dup_stats": _q_substring_dup,
+        "ccnet_buckets": _q_ccnet_buckets,
         "crawl_diff": _q_crawl_diff,
         "robots_filter": _q_robots_filter,
         "chunk_documents": _q_chunk_documents,
@@ -3181,7 +3229,7 @@ def _pagerank_oracle_sql(iters: int = 3, final_select: str | None = None) -> str
 
 def oracle_sql() -> dict[str, str]:
     probe = ", ".join(f"'{t}'" for t in _PROBE_TERMS)
-    return {
+    d = {
         "search_tfidf_topk_plain": _search_oracle_sql("tfidf"),
         "search_bm25_topk_plain": _search_oracle_sql("bm25"),
         # WAND is exact (≡ exhaustive): the SAME BM25 oracle applies
@@ -4678,4 +4726,46 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 HAVING count(*) FILTER (rn = 1) > 0
 ORDER BY doc_id""",
+        # exact 3-token-shingle Jaccard over consecutive-doc pairs: the
+        # pipeline's uint64 hash SETS equal the string shingle sets
+        # (collisions ~1e-15), and both sides quantize the same double
+        # division floor(1e6*(i/u)+0.5)
+        "ngram_jaccard_exact": f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest({_PLAIN_TOKS}) AS term,
+         unnest(range(len({_PLAIN_TOKS}))) AS pos
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS doc_a, min(b.doc_id) AS doc_b
+  FROM (SELECT doc_id FROM documents) a
+  JOIN (SELECT doc_id FROM documents) b ON b.doc_id > a.doc_id
+  GROUP BY a.doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(1e6 * (CAST(COALESCE(i.i, 0) AS DOUBLE)
+                         / (sa.n + sb.n - COALESCE(i.i, 0))) + 0.5)
+            AS BIGINT) AS jaccard_q
+FROM p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
     }
+    # full-probe IVF (nprobe == n_centroids) IS exact brute cosine top-k,
+    # so the brute oracle applies verbatim
+    d["ann_ivf_exact"] = d["ann_brute_topk"]
+    return d

@@ -331,3 +331,15 @@ def test_quantized_ann_recall(ray_session, emb_setup):
     assert np.mean(recalls) >= 0.85
     # the self-vector is always rank 0
     assert ap[ap["rank"] == 0]["vec_id"].tolist() == [3, 77, 200, 399]
+
+
+def test_ivf_full_probe_equals_brute(emb_setup):
+    """nprobe == n_centroids admits every (query, vector) pair, so IVF
+    degenerates to exact brute cosine top-k — the invariant behind the
+    ann_ivf_exact SQL oracle (its DuckDB side is the brute oracle)."""
+    from indexer_ray.pipelines.ann import ann_brute_topk
+
+    ds, Q = emb_setup
+    full = ann_ivf_topk(ds, Q, k=10, n_centroids=8, nprobe=8)
+    brute = ann_brute_topk(ds, Q, k=10)
+    pd.testing.assert_frame_equal(_frame_key(full), _frame_key(brute))
