@@ -2282,16 +2282,23 @@ def _q_anchor_texts(sf_dir: str):
 
 
 def _q_ann_quantized(sf_dir: str):
-    """int8-quantized asymmetric ANN (4x memory vs float32): rows-only —
-    the quantization is approximate by design; recall/error-bound pinned
-    by test_quantized_ann_recall."""
+    """int8-quantized asymmetric ANN (4x memory vs float32).  The
+    quantization is approximate RELATIVE TO true cosine but the pipeline
+    itself is deterministic arithmetic — code = clip(round(x/||x||*127)),
+    score = (code/127) · q_unit — so DuckDB replays it exactly (unnest +
+    per-vector norm + the same round/clip/dot).  np.round is half-to-even
+    and DuckDB's is half-away-from-zero, but an exact .5 cannot arise
+    from division by these irrational norms; ranks tie-break by vec_id
+    and the float score column is dropped (ann_brute_topk stance).
+    Recall vs true cosine separately pinned by test_quantized_ann_recall."""
     from indexer_ray.pipelines.ann import ann_quantized_topk, quantize_embeddings
 
-    return ann_quantized_topk(
+    out = ann_quantized_topk(
         quantize_embeddings(_emb(sf_dir)).materialize(),
         _ann_queries(sf_dir),
         k=_ANN_K,
     )
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
 
 
 def _q_eval_retrieval(sf_dir: str):
@@ -4768,4 +4775,38 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
     # full-probe IVF (nprobe == n_centroids) IS exact brute cosine top-k,
     # so the brute oracle applies verbatim
     d["ann_ivf_exact"] = d["ann_brute_topk"]
+    # int8 quantized ANN: replay code = clip(round(x/||x||*127)) and the
+    # asymmetric (code/127)·q_unit score element-wise (see _q_ann_quantized
+    # for the round-semantics argument)
+    d["ann_quantized_topk"] = f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nv FROM e GROUP BY vec_id
+), code AS MATERIALIZED (
+  SELECT e.vec_id, e.i,
+         greatest(-127.0, least(127.0, round(e.x / nrm.nv * 127))) AS c
+  FROM e JOIN nrm USING (vec_id)
+), q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}
+), qe AS (
+  SELECT query_id, unnest(qe) AS qx, unnest(range(len(qe))) AS i FROM q
+), qn AS (
+  SELECT query_id, greatest(sqrt(sum(qx * qx)), 1e-12) AS nq FROM qe GROUP BY query_id
+), qu AS MATERIALIZED (
+  SELECT qe.query_id, qe.i, qe.qx / qn.nq AS qx FROM qe JOIN qn USING (query_id)
+), s AS (
+  SELECT qu.query_id, code.vec_id, sum((code.c / 127.0) * qu.qx) AS score
+  FROM qu JOIN code ON code.i = qu.i
+  GROUP BY qu.query_id, code.vec_id
+), r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) - 1 AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < {_ANN_K}"""
     return d
