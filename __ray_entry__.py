@@ -1688,9 +1688,47 @@ def _q_ann_index_lsh(sf_dir: str):
 
 
 def _q_language_id(sf_dir: str):
+    """Heuristic language ID under a full SQL oracle.  On a pure-ASCII
+    corpus (every sf table — asserted below so a data change fails loud
+    instead of silently diverging) the script-range branch never fires
+    and the prediction is the argmax closed-class-marker hit ratio,
+    which DuckDB replays from the same _LANG_MARKERS table with the
+    same first-in-_LANG_ORDER strict-greater tie rule; [^\\W\\d_]+ over
+    lowered ASCII is exactly [a-z]+.  Scores quantize floor(r*1e6+.5)."""
+    import pyarrow.compute as _pc
+
     from indexer_ray.pipelines.text_analysis import language_id
 
-    return language_id(_docs(sf_dir))
+    docs = _docs(sf_dir)
+    n_non_ascii = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        int(
+                            _pc.sum(
+                                _pc.match_substring_regex(
+                                    t.column("text"), "[^\\x00-\\x7F]"
+                                ).cast("int64")
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    type=pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    assert not n_non_ascii, (
+        f"language_id oracle precondition broken: {n_non_ascii} non-ASCII "
+        "docs (script-range branch would fire; extend the SQL oracle)"
+    )
+    out = language_id(docs).to_pandas()
+    out["score_q"] = np.floor(out["lang_score"].to_numpy() * 1e6 + 0.5).astype(
+        "int64"
+    )
+    return out[["doc_id", "pred_lang", "score_q"]]
 
 
 def _q_fingerprints(sf_dir: str):
@@ -4809,4 +4847,36 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {_ANN_K}"""
+    # heuristic language ID: argmax closed-class-marker hit ratio from the
+    # SAME _LANG_MARKERS table, first-in-_LANG_ORDER strict-greater ties
+    # (pure-ASCII corpus asserted Ray-side, so the script branch is dead)
+    from indexer_ray.pipelines.text_analysis import _LANG_MARKERS, _LANG_ORDER
+
+    marker_rows = ", ".join(
+        f"('{lang}', {pri}, '{w}')"
+        for pri, lang in enumerate(_LANG_ORDER)
+        for w in sorted(_LANG_MARKERS[lang])
+    )
+    d["language_id"] = f"""WITH words AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), wc AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+m(lang, pri, w) AS (VALUES {marker_rows}),
+hits AS (
+  SELECT words.doc_id, m.lang, m.pri, count(*) AS h
+  FROM words JOIN m ON m.w = words.w
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT hits.doc_id, hits.lang,
+         CAST(hits.h AS DOUBLE) / wc.n AS r,
+         row_number() OVER (
+           PARTITION BY hits.doc_id
+           ORDER BY CAST(hits.h AS DOUBLE) / wc.n DESC, hits.pri) AS rn
+  FROM hits JOIN wc USING (doc_id)
+)
+SELECT d.doc_id,
+       COALESCE(rk.lang, 'und') AS pred_lang,
+       CAST(floor(COALESCE(rk.r, 0) * 1e6 + 0.5) AS BIGINT) AS score_q
+FROM documents d
+LEFT JOIN ranked rk ON rk.doc_id = d.doc_id AND rk.rn = 1"""
     return d
