@@ -341,3 +341,64 @@ def test_zero_row_blocks_do_not_poison_hash_join(ray_session):
     joined = corpus.join(needed, "inner", 4, on=("doc_id",))
     out = joined.to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_raypatch_empty_blocks_adversarial_shapes(ray_session):
+    """The empty-block replacement/drop hooks must stay invisible under
+    preserve_order, a join whose BOTH sides flow through aggregates with
+    many empty ranges, and a union with an all-empty-filtered stream
+    (stock Ray loses the schema of an all-empty SORTED stream with or
+    without the patch — not asserted here)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ray.data.context import DataContext
+
+    import indexer_ray  # noqa: F401 — applies _raypatch
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ds = rd.from_pandas(
+            pd.DataFrame({"x": np.arange(5000, dtype=np.int64)})
+        ).repartition(40)
+        vals = [
+            r["x"]
+            for r in ds.map_batches(
+                lambda b: b[b["x"] % 9 == 0], batch_format="pandas"
+            ).take_all()
+        ]
+        assert vals == sorted(vals) and len(vals) == len(range(0, 5000, 9))
+
+        left = (
+            rd.from_pandas(
+                pd.DataFrame(
+                    {"k": np.array([7, 8] * 50, dtype=np.int64), "v": np.arange(100)}
+                )
+            )
+            .repartition(24)
+            .groupby("k")
+            .aggregate(Count(alias_name="cl"))
+            .select_columns(["k"])
+        )
+        right = (
+            rd.from_pandas(
+                pd.DataFrame(
+                    {"k": np.array([8, 9] * 50, dtype=np.int64), "w": np.arange(100)}
+                )
+            )
+            .repartition(24)
+            .groupby("k")
+            .aggregate(Count(alias_name="cr"))
+            .select_columns(["k"])
+        )
+        j = left.join(right, "inner", 4, on=("k",)).to_pandas()
+        assert sorted(j["k"]) == [8]
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+        ).repartition(8).map_batches(lambda b: b[b["k"] < 0], batch_format="pandas")
+        real = rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype=np.int64)}))
+        assert sorted(r["k"] for r in empty.union(real).take_all()) == [0, 1, 2, 3, 4]
+    finally:
+        ctx.execution_options.preserve_order = prev
